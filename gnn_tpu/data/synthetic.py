@@ -1,0 +1,89 @@
+"""Synthetic graph generation for tests and benchmarks.
+
+The reference has no test graphs; its datasets (Reddit/OGB) are external
+downloads. For hermetic tests and TPU benchmarking we generate power-law
+graphs with configurable scale that mimic the reference workloads'
+structure (Reddit: 233K nodes / 115M edges / 602 feats / 41 classes).
+"""
+from __future__ import annotations
+
+import dataclasses
+
+import numpy as np
+import scipy.sparse as sp
+
+
+@dataclasses.dataclass
+class GraphData:
+    """Mirror of the reference loader return tuple (`preprocess.py:52`)."""
+
+    adj_full: sp.csr_matrix        # symmetric, unweighted
+    labels: sp.csr_matrix          # [N, C] indicator matrix
+    feats: np.ndarray              # [N, F] float32
+    num_classes: int
+    train_nodes: np.ndarray
+    valid_nodes: np.ndarray
+    test_nodes: np.ndarray
+
+
+def make_powerlaw_graph(num_nodes: int, avg_degree: int, num_feats: int,
+                        num_classes: int, seed: int = 0,
+                        multilabel: bool = False) -> GraphData:
+    """Degree-weighted random graph (configuration-model style): endpoints
+    drawn with probability ~ zipf-ish weights, symmetrized, self-loops
+    removed, dup edges merged."""
+    rng = np.random.default_rng(seed)
+    n_edges = num_nodes * avg_degree // 2
+    w = 1.0 / (np.arange(1, num_nodes + 1) ** 0.75)
+    w /= w.sum()
+    perm = rng.permutation(num_nodes)
+    src = perm[rng.choice(num_nodes, n_edges, p=w)]
+    dst = perm[rng.choice(num_nodes, n_edges, p=w)]
+    keep = src != dst
+    src, dst = src[keep], dst[keep]
+    rows = np.concatenate([src, dst])
+    cols = np.concatenate([dst, src])
+    adj = sp.csr_matrix((np.ones(len(rows), np.float32), (rows, cols)),
+                        shape=(num_nodes, num_nodes))
+    adj.data[:] = 1.0  # merge duplicates to unweighted
+    adj.sum_duplicates()
+    adj.data[:] = 1.0
+
+    # connect isolated nodes to a random neighbor so every row has degree>0
+    deg = np.asarray(adj.sum(axis=1)).flatten()
+    isolated = np.flatnonzero(deg == 0)
+    if len(isolated):
+        nbr = rng.integers(0, num_nodes, len(isolated))
+        nbr = np.where(nbr == isolated, (nbr + 1) % num_nodes, nbr)
+        fix = sp.csr_matrix(
+            (np.ones(2 * len(isolated), np.float32),
+             (np.concatenate([isolated, nbr]),
+              np.concatenate([nbr, isolated]))),
+            shape=(num_nodes, num_nodes))
+        adj = (adj + fix).tocsr()
+        adj.data[:] = 1.0
+
+    feats = rng.normal(size=(num_nodes, num_feats)).astype(np.float32)
+    if multilabel:
+        dense = (rng.random((num_nodes, num_classes)) < 0.15).astype(np.int32)
+        dense[np.arange(num_nodes),
+              rng.integers(0, num_classes, num_nodes)] = 1
+        labels = sp.csr_matrix(dense)
+    else:
+        # correlate label with features so learning is possible
+        proj = rng.normal(size=(num_feats, num_classes))
+        y = np.argmax(feats @ proj + 0.5 * rng.normal(
+            size=(num_nodes, num_classes)), axis=1)
+        labels = sp.csr_matrix(
+            (np.ones(num_nodes, np.int32), (np.arange(num_nodes), y)),
+            shape=(num_nodes, num_classes))
+
+    idx = rng.permutation(num_nodes)
+    n_tr = int(0.6 * num_nodes)
+    n_va = int(0.2 * num_nodes)
+    return GraphData(
+        adj_full=adj, labels=labels, feats=feats, num_classes=num_classes,
+        train_nodes=np.sort(idx[:n_tr]),
+        valid_nodes=np.sort(idx[n_tr:n_tr + n_va]),
+        test_nodes=np.sort(idx[n_tr + n_va:]),
+    )

@@ -1,0 +1,309 @@
+"""LADIES layer-wise importance sampling + subgraph sampling (host side).
+
+TPU-native re-implementation of the reference samplers
+(`/root/reference/sampler.py:7-160`). Same math, different engineering:
+
+* **Same math**: per layer, slice ``U = lap[prev, :]``; column sampling
+  probability = column nnz counts of ``U`` (`sampler.py:117`); optional
+  locality skew multiplies buffered nodes' probability by ``scale_factor``
+  (`sampler.py:119-121`); sample ``s_num = min(nnz(p), samp_num)`` columns
+  without replacement (`sampler.py:126-128`); union with ``prev`` for
+  self-loops (`sampler.py:131`); debias edge weights by ``normfact =
+  1/clip(s_num * p[after], 1e-10, 1)`` (`sampler.py:137`) on top of the
+  row-normalized laplacian value (the reference recomputes
+  ``1/deg_full(row)`` on device, `cuda_spmm.cu:800`; here the CSR data
+  already holds it).
+
+* **Different engineering** (XLA needs static shapes): every layer is
+  padded to a *static* node cap derived from ``batch_size + d*samp_num``
+  and the edge list to a bucketed nnz cap, so each minibatch compiles once
+  per bucket instead of per shape. This also removes the reference's int16
+  column-index truncation (`sampler.py:136` caps layers at 32767 nodes).
+
+* Sampling-without-replacement uses the Gumbel top-k equivalence instead
+  of ``np.random.choice(..., replace=False)`` (`sampler.py:128`): identical
+  distribution, O(N + k log N) instead of the sequential O(kN) loop.
+
+* The sampler returns *global input node ids*; turning those into
+  device/host gather plans is the feature cache's job
+  (`gnn_tpu.parallel.feature_cache`), not the sampler's — unlike the
+  reference which bakes placement maps into the sampler
+  (`sampler.py:150-158`).
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import List, Optional, Sequence
+
+import numpy as np
+import scipy.sparse as sp
+
+from gnn_tpu.ops import sparse as sparse_ops
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+def bucket_size(n: int, minimum: int = 1024) -> int:
+    """Round up to a geometric bucket (~1.3x steps) to bound recompiles."""
+    b = minimum
+    while b < n:
+        b = _round_up(int(b * 1.3) + 1, 256)
+    return b
+
+
+@dataclasses.dataclass(frozen=True)
+class SamplerConfig:
+    """Static sampling configuration (defines all padded shapes)."""
+
+    batch_size: int
+    samp_num: int
+    orders: Sequence[int]          # per-layer aggregation order, bottom-up
+    num_nodes: int
+    num_classes: int
+    sampler: str = "ladies"        # 'ladies' | 'subgraph'
+    scale_factor: float = 1.0
+    adj_format: str = "coo"        # 'coo' | 'blocked'
+    bm: int = 128
+    bk: int = 128
+    node_pad_multiple: int = 128
+
+    def layer_caps(self) -> List[int]:
+        """Static per-level node-count caps, bottom-up.
+
+        Level j is the node set feeding layer j; level L (== batch) is the
+        output. Sampling happens top-down: each order>0 layer can add at
+        most ``samp_num`` new nodes to the level below it
+        (``after = unique(sample ∪ prev)``, `sampler.py:128-131`).
+
+        The subgraph sampler shares ONE sampled node set across all layers
+        (`sampler.py:30-34`), so all levels get the same uniform cap
+        ``batch + samp_num`` — this keeps adjacent layers' row/col pads
+        chained consistently.
+        """
+        if self.sampler == "subgraph":
+            cap = _round_up(self.batch_size + self.samp_num,
+                            self.node_pad_multiple)
+            return [cap] * (len(list(self.orders)) + 1)
+        caps_td = [self.batch_size]
+        m = self.batch_size
+        for order in reversed(list(self.orders)):
+            if order > 0:
+                m = m + self.samp_num
+            caps_td.append(m)
+        caps = caps_td[::-1]  # bottom-up: caps[0] = input level
+        return [_round_up(c, self.node_pad_multiple) for c in caps]
+
+
+@dataclasses.dataclass
+class MiniBatch:
+    """One sampled, padded minibatch (host numpy; device-put as a pytree).
+
+    ``adjs[l]`` is ``None`` for order-0 layers (no aggregation), matching
+    the reference (`sampler.py:107-111`).
+    """
+
+    adjs: List[Optional[object]]        # COOAdj | BlockedAdj | None
+    sampled_nodes: List[np.ndarray]     # int32 [R_cap_l] per layer
+    input_nodes: np.ndarray             # int32 [C_cap_0] global ids (padded 0)
+    n_input: int                        # valid entries of input_nodes
+    input_mask: np.ndarray              # f32 [C_cap_0]
+    labels: np.ndarray                  # f32 [B_cap, num_classes]
+    label_mask: np.ndarray              # f32 [B_cap]
+    batch_nodes: np.ndarray             # int32 [B_cap] output node ids
+
+
+def _gumbel_topk_without_replacement(rng: np.random.Generator,
+                                     p: np.ndarray, k: int) -> np.ndarray:
+    """Sample k indices without replacement ~ successive sampling with
+    probabilities p (Gumbel top-k; same distribution as
+    ``np.random.choice(n, k, p=p, replace=False)``, `sampler.py:128`)."""
+    pos = np.flatnonzero(p > 0)
+    if k >= len(pos):
+        return pos
+    logp = np.log(p[pos])
+    gumbel = -np.log(-np.log(rng.random(len(pos)) + 1e-300) + 1e-300)
+    keys = logp + gumbel
+    top = np.argpartition(-keys, k - 1)[:k]
+    return pos[top]
+
+
+def _slice_cols_to_coo(U: sp.csr_matrix, after: np.ndarray,
+                       normfact: np.ndarray):
+    """COO of ``U[:, after]`` with edge weights ``U.data * normfact[col]``.
+
+    Equivalent to the reference's device-side adjacency build
+    (`sampler.py:133-139` + `cuda_spmm.cu:787-803`) done fully on host.
+    """
+    n = U.shape[1]
+    pos = np.full(n, -1, np.int64)
+    pos[after] = np.arange(len(after))
+    row_of_nnz = np.repeat(np.arange(U.shape[0]), np.diff(U.indptr))
+    new_col = pos[U.indices]
+    keep = new_col >= 0
+    rows = row_of_nnz[keep].astype(np.int32)
+    cols = new_col[keep].astype(np.int32)
+    vals = (U.data[keep] * normfact[cols]).astype(np.float32)
+    return rows, cols, vals
+
+
+def _pack_adj(cfg: SamplerConfig, rows, cols, vals, n_rows, n_cols,
+              r_cap, c_cap):
+    if cfg.adj_format == "blocked":
+        # bucket max_blk so shapes are stable-ish across steps
+        return sparse_ops.pack_blocked(
+            rows, cols, vals, n_rows, n_cols, r_cap, c_cap,
+            bm=cfg.bm, bk=cfg.bk)
+    nnz_pad = bucket_size(max(len(rows), 1))
+    return sparse_ops.pack_coo(rows, cols, vals, n_rows, n_cols,
+                               r_cap, c_cap, nnz_pad)
+
+
+def _layer_probability(U: sp.csr_matrix, skew_nodes, scale_factor):
+    """Column sampling probability = col nnz counts (`sampler.py:117`),
+    with optional locality skew (`sampler.py:119-121`)."""
+    pi = np.bincount(U.indices, minlength=U.shape[1]).astype(np.float64)
+    if scale_factor > 1 and skew_nodes is not None:
+        pi[skew_nodes] = pi[skew_nodes] * scale_factor
+    return pi / pi.sum()
+
+
+def ladies_sample(
+    cfg: SamplerConfig,
+    seed: int,
+    batch_nodes: np.ndarray,
+    lap_matrix: sp.csr_matrix,
+    labels_full: sp.csr_matrix,
+    skewed_sampling_nodes: Optional[List[np.ndarray]] = None,
+) -> MiniBatch:
+    """LADIES sampler (reference `sampler.py:90-160`), padded for XLA."""
+    rng = np.random.default_rng(seed)
+    caps = cfg.layer_caps()
+    orders_td = list(cfg.orders)[::-1]
+    n_layers = len(orders_td)
+
+    prev = np.asarray(batch_nodes, dtype=np.int64)
+    adjs: List[Optional[object]] = []
+    sampled: List[np.ndarray] = []
+
+    for d in range(n_layers):
+        # bottom-up index of this layer, for caps and skew sets
+        li = n_layers - d - 1
+        r_cap, c_cap = caps[li + 1], caps[li]
+        if orders_td[d] == 0:
+            adjs.append(None)
+            sampled.append(np.zeros(r_cap, np.int32))
+            continue
+        U = lap_matrix[prev, :]
+        skew = None
+        if skewed_sampling_nodes is not None:
+            skew = skewed_sampling_nodes[li]
+        p = _layer_probability(U, skew, cfg.scale_factor)
+        s_num = min(int((p > 0).sum()), cfg.samp_num)
+        chosen = _gumbel_topk_without_replacement(rng, p, s_num)
+        after = np.unique(np.concatenate([chosen, prev]))
+        normfact = (1.0 / np.clip(s_num * p[after], 1e-10, 1.0)).astype(
+            np.float32)
+        rows, cols, vals = _slice_cols_to_coo(U, after, normfact)
+        adjs.append(_pack_adj(cfg, rows, cols, vals, len(prev), len(after),
+                              r_cap, c_cap))
+        s = np.searchsorted(after, prev).astype(np.int32)
+        s_pad = np.zeros(r_cap, np.int32)
+        s_pad[: len(s)] = s
+        sampled.append(s_pad)
+        prev = after
+
+    adjs.reverse()
+    sampled.reverse()
+    return _finalize_batch(cfg, caps, prev, batch_nodes, adjs, sampled,
+                           labels_full)
+
+
+def subgraph_sample(
+    cfg: SamplerConfig,
+    seed: int,
+    batch_nodes: np.ndarray,
+    lap_matrix: sp.csr_matrix,
+    labels_full: sp.csr_matrix,
+    skewed_sampling_nodes: Optional[List[np.ndarray]] = None,
+) -> MiniBatch:
+    """Subgraph sampler (reference `sampler.py:7-86`): one node set sampled
+    from the top layer's distribution; deeper layers reuse the square
+    ``lap[after][:, after]`` adjacency with the same debias weights."""
+    rng = np.random.default_rng(seed)
+    caps = cfg.layer_caps()
+    orders_td = list(cfg.orders)[::-1]
+    n_layers = len(orders_td)
+    # Uniform caps: every sampled layer shares the same `after` set, whose
+    # size is bounded by batch + samp_num; use the bottom cap everywhere.
+    prev = np.asarray(batch_nodes, dtype=np.int64)
+
+    U = lap_matrix[prev, :]
+    skew = None
+    if skewed_sampling_nodes is not None and cfg.scale_factor > 1:
+        # reference `sampler.py:23-25` skews by nodes resident on this
+        # device; callers pass that set as a single-layer skew list.
+        skew = skewed_sampling_nodes[0]
+    p = _layer_probability(U, skew, cfg.scale_factor)
+    s_num = min(int((p > 0).sum()), cfg.samp_num)
+    chosen = _gumbel_topk_without_replacement(rng, p, s_num)
+    after = np.unique(np.concatenate([chosen, prev]))
+    normfact = (1.0 / np.clip(s_num * p[after], 1e-10, 1.0)).astype(
+        np.float32)
+
+    adjs: List[Optional[object]] = []
+    sampled: List[np.ndarray] = []
+    layer_idx = 0
+    cap_bottom = caps[0]
+    for d in range(n_layers):
+        li = n_layers - d - 1
+        r_cap = caps[li + 1]
+        layer_idx += 1
+        if orders_td[d] == 0:
+            adjs.append(None)
+            sampled.append(np.zeros(r_cap, np.int32))
+        else:
+            rows, cols, vals = _slice_cols_to_coo(U, after, normfact)
+            adjs.append(_pack_adj(cfg, rows, cols, vals, len(prev),
+                                  len(after), r_cap, cap_bottom))
+            s = np.searchsorted(after, prev).astype(np.int32)
+            s_pad = np.zeros(r_cap, np.int32)
+            s_pad[: len(s)] = s
+            sampled.append(s_pad)
+            break
+    for d in range(layer_idx, n_layers):
+        li = n_layers - d - 1
+        r_cap = caps[li + 1]
+        Usq = lap_matrix[after, :]
+        rows, cols, vals = _slice_cols_to_coo(Usq, after, normfact)
+        adjs.append(_pack_adj(cfg, rows, cols, vals, len(after), len(after),
+                              r_cap, cap_bottom))
+        sampled.append(np.arange(r_cap, dtype=np.int32) % max(len(after), 1))
+    adjs.reverse()
+    sampled.reverse()
+    return _finalize_batch(cfg, caps, after, batch_nodes, adjs, sampled,
+                           labels_full)
+
+
+def _finalize_batch(cfg, caps, input_nodes, batch_nodes, adjs, sampled,
+                    labels_full) -> MiniBatch:
+    c0 = adjs[0].ncols if adjs[0] is not None else caps[0]
+    inp = np.zeros(c0, np.int32)
+    inp[: len(input_nodes)] = input_nodes
+    mask = np.zeros(c0, np.float32)
+    mask[: len(input_nodes)] = 1.0
+    b_cap = caps[-1]
+    labels = np.zeros((b_cap, cfg.num_classes), np.float32)
+    labels[: len(batch_nodes)] = (
+        labels_full[batch_nodes].toarray().astype(np.float32))
+    lmask = np.zeros(b_cap, np.float32)
+    lmask[: len(batch_nodes)] = 1.0
+    bn = np.zeros(b_cap, np.int32)
+    bn[: len(batch_nodes)] = batch_nodes
+    return MiniBatch(adjs=adjs, sampled_nodes=sampled, input_nodes=inp,
+                     n_input=len(input_nodes), input_mask=mask,
+                     labels=labels, label_mask=lmask, batch_nodes=bn)
+
+
+SAMPLERS = {"ladies": ladies_sample, "subgraph": subgraph_sample}

@@ -1,0 +1,134 @@
+"""Sampler tests: LADIES math (probabilities, debias weights, self-loop
+union), padding invariants, subgraph sampler, and the pipeline."""
+import numpy as np
+import pytest
+import scipy.sparse as sp
+
+from gnn_tpu.ops import sparse as sops
+from gnn_tpu.sampling.ladies import (SamplerConfig, bucket_size,
+                                     ladies_sample, subgraph_sample)
+from gnn_tpu.utils.normalize import build_laplacian
+
+
+def _cfg(graph, **kw):
+    defaults = dict(batch_size=32, samp_num=64,
+                    orders=(1, 1), num_nodes=graph.adj_full.shape[0],
+                    num_classes=graph.num_classes)
+    defaults.update(kw)
+    return SamplerConfig(**defaults)
+
+
+def test_layer_caps():
+    cfg = SamplerConfig(batch_size=512, samp_num=8192, orders=(1, 1, 1),
+                        num_nodes=10**6, num_classes=41)
+    caps = cfg.layer_caps()
+    assert caps[-1] == 512
+    assert caps[2] == 512 + 8192
+    assert caps[1] == 512 + 2 * 8192
+    assert caps[0] == ((512 + 3 * 8192 + 127) // 128) * 128
+    cfg0 = SamplerConfig(batch_size=512, samp_num=8192, orders=(0, 1, 1),
+                         num_nodes=10**6, num_classes=41)
+    caps0 = cfg0.layer_caps()
+    assert caps0[0] == caps0[1]  # order-0 bottom layer adds no nodes
+
+
+def test_ladies_structure(small_graph):
+    lap = build_laplacian(small_graph.adj_full, "graphsage")
+    cfg = _cfg(small_graph)
+    batch = small_graph.train_nodes[:32]
+    mb = ladies_sample(cfg, seed=0, batch_nodes=batch, lap_matrix=lap,
+                       labels_full=small_graph.labels)
+    caps = cfg.layer_caps()
+    assert len(mb.adjs) == 2
+    # chained static shapes: layer l output rows == layer l+1 input cols
+    assert mb.adjs[0].shape == (caps[1], caps[0])
+    assert mb.adjs[1].shape == (caps[2], caps[1])
+    assert mb.labels.shape == (caps[2], small_graph.num_classes)
+    assert mb.label_mask.sum() == 32
+    assert mb.input_mask.sum() == mb.n_input
+    # input node ids are valid and unique in the valid region
+    valid = mb.input_nodes[: mb.n_input]
+    assert len(np.unique(valid)) == mb.n_input
+
+
+def test_ladies_debias_weights(small_graph):
+    """Edge weights must equal lap_value(row_full_deg) * normfact[col]
+    (reference `sampler.py:137` + `cuda_spmm.cu:800`): verify E[A_sampled
+    @ 1] ~= row sums preserved in expectation — here structurally: each
+    stored edge value = lap.data * 1/clip(s_num*p,1e-10,1) <= lap.data *
+    1e10, and rows that kept all their neighbors reproduce exact row sums
+    when normfact==1."""
+    lap = build_laplacian(small_graph.adj_full, "graphsage")
+    cfg = _cfg(small_graph, samp_num=small_graph.adj_full.shape[0])
+    batch = small_graph.train_nodes[:32]
+    mb = ladies_sample(cfg, seed=1, batch_nodes=batch, lap_matrix=lap,
+                       labels_full=small_graph.labels)
+    # with samp_num == N every nonzero-prob node is sampled -> normfact
+    # = 1/clip(s_num * p, _, 1); high-degree cols clip to 1. Check the
+    # top adjacency's row sums: rows = batch nodes, each row keeps its
+    # full neighborhood, values = (1/deg) * normfact >= 1/deg.
+    adj = mb.adjs[-1]
+    import jax.numpy as jnp
+    dense = np.asarray(sops.to_dense(adj))
+    row_sums = dense.sum(axis=1)[: len(batch)]
+    assert np.all(row_sums >= 0.999)  # >= original row sum of 1
+
+
+def test_ladies_determinism(small_graph):
+    lap = build_laplacian(small_graph.adj_full, "graphsage")
+    cfg = _cfg(small_graph)
+    batch = small_graph.train_nodes[:32]
+    mb1 = ladies_sample(cfg, 7, batch, lap, small_graph.labels)
+    mb2 = ladies_sample(cfg, 7, batch, lap, small_graph.labels)
+    np.testing.assert_array_equal(mb1.input_nodes, mb2.input_nodes)
+    np.testing.assert_array_equal(np.asarray(mb1.adjs[0].vals),
+                                  np.asarray(mb2.adjs[0].vals))
+
+
+def test_order0_layers_get_none_adj(small_graph):
+    lap = build_laplacian(small_graph.adj_full, "graphsage")
+    cfg = _cfg(small_graph, orders=(1, 0, 1))
+    mb = ladies_sample(cfg, 0, small_graph.train_nodes[:32], lap,
+                       small_graph.labels)
+    assert mb.adjs[1] is None
+    assert mb.adjs[0] is not None and mb.adjs[2] is not None
+
+
+def test_subgraph_sampler(small_graph):
+    lap = build_laplacian(small_graph.adj_full, "graphsage")
+    cfg = _cfg(small_graph, sampler="subgraph", orders=(1, 1))
+    mb = subgraph_sample(cfg, 0, small_graph.train_nodes[:32], lap,
+                         small_graph.labels)
+    caps = cfg.layer_caps()
+    assert caps[0] == caps[1] == caps[2]
+    assert mb.adjs[0].shape == (caps[0], caps[0])
+    assert mb.adjs[1].shape == (caps[0], caps[0])
+
+
+def test_locality_skew_changes_distribution(small_graph):
+    """scale_factor > 1 must skew sampling toward the skew set
+    (`sampler.py:119-121`)."""
+    lap = build_laplacian(small_graph.adj_full, "graphsage")
+    n = small_graph.adj_full.shape[0]
+    skew_set = np.arange(n // 2)  # first half "buffered"
+    cfgs = [_cfg(small_graph, scale_factor=s, samp_num=128)
+            for s in (1.0, 50.0)]
+    frac = []
+    for cfg in cfgs:
+        hits, tot = 0, 0
+        for seed in range(5):
+            mb = ladies_sample(cfg, seed, small_graph.train_nodes[:32], lap,
+                               small_graph.labels,
+                               skewed_sampling_nodes=[skew_set, skew_set])
+            valid = mb.input_nodes[: mb.n_input]
+            hits += np.sum(valid < n // 2)
+            tot += len(valid)
+        frac.append(hits / tot)
+    assert frac[1] > frac[0] + 0.05
+
+
+def test_bucket_size_monotone():
+    assert bucket_size(1) == 1024
+    assert bucket_size(1024) == 1024
+    b1, b2 = bucket_size(3000), bucket_size(3001)
+    assert b1 >= 3000 and b2 >= 3001 and b2 >= b1
