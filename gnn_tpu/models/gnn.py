@@ -135,9 +135,11 @@ class GNN(nn.Module):
         x = self.encoder(feat, adjs, sampled_nodes,
                          deterministic=deterministic)
         # row-wise L2 normalization (`models.py:94` F.normalize p=2 dim=1);
-        # torch clamps the norm at 1e-12.
-        norm = jnp.maximum(jnp.linalg.norm(x, axis=1, keepdims=True), 1e-12)
-        x = x / norm
+        # torch clamps the norm at 1e-12. The tiny additive term keeps the
+        # sqrt gradient finite on all-zero (padded) rows, where a plain
+        # max(sqrt(0), eps) yields 0 * inf = NaN under autodiff.
+        norm = jnp.sqrt(jnp.sum(x * x, axis=1, keepdims=True) + 1e-24)
+        x = x / jnp.maximum(norm, 1e-12)
         x = nn.Dropout(self.dropout, deterministic=deterministic)(x)
         return nn.Dense(self.num_classes, name="linear")(x)
 

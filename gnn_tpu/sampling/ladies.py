@@ -37,6 +37,7 @@ from typing import List, Optional, Sequence
 
 import numpy as np
 import scipy.sparse as sp
+from flax import struct as _flax_struct
 
 from gnn_tpu.ops import sparse as sparse_ops
 
@@ -94,6 +95,21 @@ class SamplerConfig:
             caps_td.append(m)
         caps = caps_td[::-1]  # bottom-up: caps[0] = input level
         return [_round_up(c, self.node_pad_multiple) for c in caps]
+
+
+@_flax_struct.dataclass
+class DeviceBatch:
+    """The jit-facing slice of a (stacked) minibatch — a pytree of arrays
+    with a leading device axis, shardable with ``PartitionSpec('data')``.
+    Host-only metadata (true batch node ids, valid counts) stays on
+    :class:`MiniBatch`."""
+
+    adjs: tuple                 # per-layer COOAdj | BlockedAdj | None
+    sampled_nodes: tuple        # per-layer int32 [ws, R_cap_l]
+    input_nodes: object         # int32 [ws, C_cap_0]
+    input_mask: object          # f32 [ws, C_cap_0]
+    labels: object              # f32 [ws, B_cap, C]
+    label_mask: object          # f32 [ws, B_cap]
 
 
 @dataclasses.dataclass
@@ -304,6 +320,18 @@ def _finalize_batch(cfg, caps, input_nodes, batch_nodes, adjs, sampled,
     return MiniBatch(adjs=adjs, sampled_nodes=sampled, input_nodes=inp,
                      n_input=len(input_nodes), input_mask=mask,
                      labels=labels, label_mask=lmask, batch_nodes=bn)
+
+
+def to_device_batch(mb: MiniBatch) -> DeviceBatch:
+    """Extract the jit-facing pytree from a (stacked) host minibatch."""
+    return DeviceBatch(
+        adjs=tuple(mb.adjs),
+        sampled_nodes=tuple(mb.sampled_nodes),
+        input_nodes=mb.input_nodes,
+        input_mask=mb.input_mask,
+        labels=mb.labels,
+        label_mask=mb.label_mask,
+    )
 
 
 SAMPLERS = {"ladies": ladies_sample, "subgraph": subgraph_sample}

@@ -1,0 +1,214 @@
+"""Asynchronous minibatch pipeline (host side).
+
+Replaces the reference's `prepare_data` (`/root/reference/sampler.py:163-210`):
+a ThreadPoolExecutor prefetches sampler calls in bounded waves (the
+reference uses depth-32 waves, `sampler.py:186`) while the device trains.
+
+Differences from the reference, driven by the TPU execution model:
+
+* DP ranks are not threads — they are mesh devices fed from ONE host
+  process. Each global step therefore needs `world_size` minibatches
+  (one per device), sampled from *disjoint* chunks of the shuffled epoch
+  exactly like the reference's per-rank chunking
+  (`sampler.py:170-183`), then re-padded to common static shapes and
+  stacked along a leading device axis.
+
+* Global vs local shuffle both supported: global shuffle re-seeds from
+  the epoch counter so every rank sees the same permutation and takes
+  its own chunk (`sampler.py:177-179`); local shuffle permutes only
+  within each rank's chunk (`sampler.py:181-183`).
+"""
+from __future__ import annotations
+
+import dataclasses
+from concurrent.futures import ThreadPoolExecutor
+from typing import Iterator, List, Optional, Sequence
+
+import numpy as np
+
+from gnn_tpu.ops import sparse as sparse_ops
+from gnn_tpu.sampling.ladies import (MiniBatch, SamplerConfig, SAMPLERS,
+                                     bucket_size)
+
+_epoch_counter = 0
+
+
+def _repad_coo(adj: sparse_ops.COOAdj, nnz_pad: int) -> sparse_ops.COOAdj:
+    cur = adj.rows.shape[0]
+    if cur == nnz_pad:
+        return adj
+    pad = nnz_pad - cur
+    return dataclasses.replace(
+        adj,
+        rows=np.concatenate([adj.rows, np.zeros(pad, np.int32)]),
+        cols=np.concatenate([adj.cols, np.zeros(pad, np.int32)]),
+        vals=np.concatenate([adj.vals, np.zeros(pad, np.float32)]),
+    )
+
+
+def _repad_blocked(adj: sparse_ops.BlockedAdj, max_blk: int,
+                   max_blk_t: int) -> sparse_ops.BlockedAdj:
+    def pad2(a, m):
+        cur = a.shape[1]
+        if cur == m:
+            return a
+        widths = [(0, 0), (0, m - cur)] + [(0, 0)] * (a.ndim - 2)
+        return np.pad(a, widths)
+
+    return dataclasses.replace(
+        adj,
+        block_cols=pad2(adj.block_cols, max_blk),
+        block_vals=pad2(adj.block_vals, max_blk),
+        block_cols_t=pad2(adj.block_cols_t, max_blk_t),
+        block_vals_t=pad2(adj.block_vals_t, max_blk_t),
+    )
+
+
+def stack_minibatches(mbs: Sequence[MiniBatch]) -> MiniBatch:
+    """Re-pad `world_size` minibatches to common bucketed shapes and stack
+    every array leaf along a new leading device axis."""
+    n_layers = len(mbs[0].adjs)
+    adjs = []
+    for l in range(n_layers):
+        if mbs[0].adjs[l] is None:
+            adjs.append(None)
+            continue
+        layer = [mb.adjs[l] for mb in mbs]
+        if isinstance(layer[0], sparse_ops.COOAdj):
+            nnz = bucket_size(max(a.rows.shape[0] for a in layer))
+            layer = [_repad_coo(a, nnz) for a in layer]
+        else:
+            mb_max = bucket_size(max(a.block_cols.shape[1] for a in layer),
+                                 minimum=8)
+            mbt_max = bucket_size(
+                max(a.block_cols_t.shape[1] for a in layer), minimum=8)
+            layer = [_repad_blocked(a, mb_max, mbt_max) for a in layer]
+        stacked = dataclasses.replace(
+            layer[0],
+            **{f.name: np.stack([getattr(a, f.name) for a in layer])
+               for f in dataclasses.fields(layer[0])
+               if f.name not in ("nrows", "ncols", "bm", "bk")
+               and isinstance(getattr(layer[0], f.name), np.ndarray)},
+            n_valid_rows=np.stack([a.n_valid_rows for a in layer]),
+            n_valid_cols=np.stack([a.n_valid_cols for a in layer]),
+        )
+        adjs.append(stacked)
+    return MiniBatch(
+        adjs=adjs,
+        sampled_nodes=[np.stack([mb.sampled_nodes[l] for mb in mbs])
+                       for l in range(n_layers)],
+        input_nodes=np.stack([mb.input_nodes for mb in mbs]),
+        n_input=max(mb.n_input for mb in mbs),
+        input_mask=np.stack([mb.input_mask for mb in mbs]),
+        labels=np.stack([mb.labels for mb in mbs]),
+        label_mask=np.stack([mb.label_mask for mb in mbs]),
+        batch_nodes=np.stack([mb.batch_nodes for mb in mbs]),
+    )
+
+
+def _rank_chunks(n_targets: int, world_size: int):
+    chunk = n_targets // world_size
+    if n_targets % world_size:
+        chunk += 1
+    return [(r * chunk, min((r + 1) * chunk, n_targets))
+            for r in range(world_size)]
+
+
+class BatchPipeline:
+    """Prefetching minibatch source for one trainer."""
+
+    def __init__(self, cfg: SamplerConfig, lap_matrix, labels_full,
+                 world_size: int = 1, pool_num: int = 4,
+                 queue_depth: int = 32,
+                 skewed_sampling_nodes: Optional[List[np.ndarray]] = None,
+                 local_shuffle: bool = False, seed: int = 0):
+        self.cfg = cfg
+        self.lap = lap_matrix
+        self.labels = labels_full
+        self.world_size = world_size
+        self.pool = ThreadPoolExecutor(max_workers=pool_num)
+        self.queue_depth = queue_depth
+        self.skew = skewed_sampling_nodes
+        self.local_shuffle = local_shuffle
+        self._sampler = SAMPLERS[cfg.sampler]
+        self._rng = np.random.default_rng(seed)
+        self._epoch = 0
+
+    def _sample_one(self, seed, batch_nodes):
+        return self._sampler(self.cfg, seed, batch_nodes, self.lap,
+                             self.labels, self.skew)
+
+    def train_epoch(self, target_nodes: np.ndarray,
+                    rank_chunks: Optional[List[np.ndarray]] = None,
+                    ) -> Iterator[MiniBatch]:
+        """Yield stacked minibatches (leading axis = world_size) for one
+        epoch. ``rank_chunks`` overrides the chunking (used with PaGraph
+        local-shuffle where ranks own explicit train-node sets,
+        `main.py:280-282`)."""
+        self._epoch += 1
+        ws, bs = self.world_size, self.cfg.batch_size
+        if rank_chunks is None:
+            n = len(target_nodes)
+            if self.local_shuffle:
+                spans = _rank_chunks(n, ws)
+                per_rank = [
+                    target_nodes[s + np.random.default_rng(
+                        self._epoch * ws + r).permutation(e - s)]
+                    for r, (s, e) in enumerate(spans)]
+            else:
+                # identical global shuffle on every rank, disjoint chunks
+                # (`sampler.py:177-179`)
+                perm = np.random.default_rng(self._epoch).permutation(n)
+                shuffled = target_nodes[perm]
+                spans = _rank_chunks(n, ws)
+                per_rank = [shuffled[s:e] for s, e in spans]
+        else:
+            per_rank = [
+                c[np.random.default_rng(
+                    self._epoch * ws + r).permutation(len(c))]
+                for r, c in enumerate(rank_chunks)]
+
+        num_steps = max(int(np.ceil(len(c) / bs)) for c in per_rank)
+        futures = []
+        emitted = 0
+        submitted = 0
+
+        def submit_step(j):
+            group = []
+            for r in range(ws):
+                chunk = per_rank[r][j * bs:(j + 1) * bs]
+                if len(chunk) == 0:  # rank exhausted: resample from start
+                    chunk = per_rank[r][:bs]
+                seed = int(self._rng.integers(2 ** 31 - 1))
+                group.append(self.pool.submit(self._sample_one, seed, chunk))
+            return group
+
+        depth = max(self.queue_depth // max(ws, 1), 2)
+        while submitted < num_steps and submitted < depth:
+            futures.append(submit_step(submitted))
+            submitted += 1
+        while emitted < num_steps:
+            group = futures.pop(0)
+            if submitted < num_steps:
+                futures.append(submit_step(submitted))
+                submitted += 1
+            yield stack_minibatches([f.result() for f in group])
+            emitted += 1
+
+    def eval_batches(self, target_nodes: np.ndarray, batch_size: int,
+                     mode: str = "val") -> Iterator[MiniBatch]:
+        """Single-replica evaluation batches (reference `sampler.py:194-210`):
+        val = one random batch; test = full sweep."""
+        if mode == "val":
+            idx = self._rng.permutation(len(target_nodes))[:batch_size]
+            yield stack_minibatches(
+                [self._sample_one(int(self._rng.integers(2 ** 31 - 1)),
+                                  target_nodes[idx])])
+            return
+        n_batches = int(np.ceil(len(target_nodes) / batch_size))
+        futs = [self.pool.submit(
+            self._sample_one, int(self._rng.integers(2 ** 31 - 1)),
+            target_nodes[j * batch_size:(j + 1) * batch_size])
+            for j in range(n_batches)]
+        for f in futs:
+            yield stack_minibatches([f.result()])

@@ -1,0 +1,262 @@
+"""Training orchestration: jitted DP train/eval steps + the epoch loop.
+
+TPU-native replacement for the reference's `train()` thread body
+(`/root/reference/main.py:68-241`):
+
+* The per-iteration recipe matches the reference exactly — forward, masked
+  BCE/CE loss (`utils.py:129-140`), backward, per-replica global-norm grad
+  clip at 5 (`main.py:146`), cross-replica gradient **sum** (NOT average —
+  `main.py:159` sums), Adam step (`main.py:102`).
+
+* The parallelism is a `shard_map` over a 1-D ``data`` mesh instead of
+  one Python thread per GPU: stacked minibatches are sharded on their
+  leading axis, parameters are replicated, and the gradient exchange is a
+  single `lax.psum` over ICI that XLA schedules/overlaps — replacing the
+  shared-list + threading.Barrier + peer-to-peer `.to(device)` pulls of
+  `main.py:149-168`.
+
+* Input features are gathered on-device from a resident feature source
+  (replicated table here; the sharded/placed cache lives in
+  `gnn_tpu.parallel.feature_cache`), replacing the host loop at
+  `main.py:129-134`.
+"""
+from __future__ import annotations
+
+import dataclasses
+import functools
+import time
+from typing import Any, Callable, List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+from jax.sharding import PartitionSpec as P
+
+from gnn_tpu.parallel.mesh import DATA_AXIS, make_mesh, put_batch, \
+    put_replicated
+from gnn_tpu.sampling.ladies import DeviceBatch, MiniBatch, to_device_batch
+from gnn_tpu.train.loss import calc_f1, masked_loss, predict_proba
+
+
+def clip_by_global_norm(grads, max_norm: float):
+    """torch.nn.utils.clip_grad_norm_ semantics (`main.py:146`)."""
+    leaves = jax.tree_util.tree_leaves(grads)
+    norm = jnp.sqrt(sum(jnp.sum(g.astype(jnp.float32) ** 2)
+                        for g in leaves))
+    scale = jnp.minimum(1.0, max_norm / (norm + 1e-6))
+    return jax.tree_util.tree_map(lambda g: g * scale, grads)
+
+
+def _squeeze_batch(batch):
+    """Inside shard_map each device sees leading axis 1; drop it."""
+    return jax.tree_util.tree_map(lambda a: a[0], batch)
+
+
+@dataclasses.dataclass
+class TrainStepFns:
+    train_step: Callable
+    eval_forward: Callable
+
+
+def build_step_fns(net, optimizer, sigmoid_loss: bool, mesh,
+                   grad_clip: float = 5.0) -> TrainStepFns:
+    """Build the jitted DP train step and single-replica eval forward."""
+
+    def per_device_loss(params, feats, batch: DeviceBatch, rng):
+        x = jnp.take(feats, batch.input_nodes, axis=0)
+        x = x * batch.input_mask[:, None]
+        out = net.apply(params, x, list(batch.adjs),
+                        list(batch.sampled_nodes),
+                        deterministic=False, rngs={"dropout": rng})
+        return masked_loss(out, batch.labels, batch.label_mask,
+                           sigmoid_loss)
+
+    def _sharded_step(params, opt_state, feats, batch, rng):
+        batch = _squeeze_batch(batch)
+        my_rng = jax.random.fold_in(rng, jax.lax.axis_index(DATA_AXIS))
+        loss, grads = jax.value_and_grad(per_device_loss)(
+            params, feats, batch, my_rng)
+        grads = clip_by_global_norm(grads, grad_clip)
+        # reference sums gradients across replicas without dividing
+        # (`main.py:159`)
+        grads = jax.lax.psum(grads, DATA_AXIS)
+        mean_loss = jax.lax.pmean(loss, DATA_AXIS)
+        updates, opt_state = optimizer.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, mean_loss
+
+    batch_spec = P(DATA_AXIS)
+    step = jax.jit(jax.shard_map(
+        _sharded_step, mesh=mesh,
+        in_specs=(P(), P(), P(), batch_spec, P()),
+        out_specs=(P(), P(), P()),
+        check_vma=False,
+    ))
+
+    @jax.jit
+    def eval_forward(params, feats, batch):
+        batch = _squeeze_batch(batch)
+        x = jnp.take(feats, batch.input_nodes, axis=0)
+        x = x * batch.input_mask[:, None]
+        out = net.apply(params, x, list(batch.adjs),
+                        list(batch.sampled_nodes),
+                        deterministic=True)
+        return out, masked_loss(out, batch.labels, batch.label_mask,
+                                sigmoid_loss)
+
+    return TrainStepFns(train_step=step, eval_forward=eval_forward)
+
+
+@dataclasses.dataclass
+class EpochMetrics:
+    """The reference's per-epoch timing line (`main.py:196`)."""
+
+    epoch: int
+    train_loss: float
+    valid_loss: float
+    valid_f1: float
+    data_movement_time: float
+    execution_time: float
+    sample_wait_time: float
+
+    def format(self, scale_factor: float = 1.0) -> str:
+        ratio = (self.data_movement_time / self.execution_time
+                 if self.execution_time else 0.0)
+        return (f"Epoch: {self.epoch} ({self.sample_wait_time:.2f}s)"
+                f"({self.data_movement_time:.2f}s)"
+                f"({self.execution_time:.2f}s) "
+                f"Train Loss: {self.train_loss:.2f}    "
+                f"Valid Loss: {self.valid_loss:.2f} "
+                f"Valid F1: {self.valid_f1:.3f}    "
+                f"scale_factor: {scale_factor:.3f}     "
+                f"ratio: {ratio:.3f}")
+
+
+class Trainer:
+    """End-to-end trainer mirroring `main.py`'s behavior on a TPU mesh."""
+
+    def __init__(self, net, pipeline, feats: np.ndarray, mesh=None,
+                 lr: float = 0.01, sigmoid_loss: bool = True,
+                 seed: int = 0):
+        self.net = net
+        self.pipeline = pipeline
+        self.mesh = mesh if mesh is not None else make_mesh(
+            pipeline.world_size)
+        self.optimizer = optax.adam(lr)
+        self.fns = build_step_fns(net, self.optimizer, sigmoid_loss,
+                                  self.mesh)
+        self.sigmoid_loss = sigmoid_loss
+        self.rng = jax.random.PRNGKey(seed)
+        self.feats = put_replicated(self.mesh, jnp.asarray(feats))
+        self.params = None
+        self.opt_state = None
+        self.best_val = -1.0
+        self.best_params = None
+        self.history: List[EpochMetrics] = []
+
+    def _init_params(self, batch: DeviceBatch):
+        one = jax.tree_util.tree_map(lambda a: a[0], batch)
+        x = jnp.asarray(np.zeros(
+            (one.input_nodes.shape[0], self.feats.shape[1]), np.float32))
+        self.params = self.net.init(jax.random.PRNGKey(0), x,
+                                    list(one.adjs),
+                                    list(one.sampled_nodes))
+        self.opt_state = self.optimizer.init(self.params)
+        self.params = put_replicated(self.mesh, self.params)
+        self.opt_state = put_replicated(self.mesh, self.opt_state)
+
+    def train_epoch(self, train_nodes, epoch: int,
+                    rank_chunks=None) -> EpochMetrics:
+        t_sample = 0.0
+        t_move = 0.0
+        t_exec = 0.0
+        losses = []
+        t0 = time.perf_counter()
+        for mb in self.pipeline.train_epoch(train_nodes, rank_chunks):
+            batch = to_device_batch(mb)
+            t1 = time.perf_counter()
+            t_sample += t1 - t0
+            if self.params is None:
+                self._init_params(batch)
+            dev_batch = put_batch(self.mesh, batch)
+            t2 = time.perf_counter()
+            t_move += t2 - t1
+            self.rng, step_rng = jax.random.split(self.rng)
+            self.params, self.opt_state, loss = self.fns.train_step(
+                self.params, self.opt_state, self.feats, dev_batch,
+                step_rng)
+            losses.append(loss)
+            t0 = time.perf_counter()
+            t_exec += t0 - t2
+        # sync once per epoch for honest timing
+        jax.block_until_ready(self.params)
+        train_loss = float(np.mean([float(l) for l in losses])) if losses \
+            else float("nan")
+        return EpochMetrics(epoch=epoch, train_loss=train_loss,
+                            valid_loss=float("nan"),
+                            valid_f1=float("nan"),
+                            data_movement_time=t_move,
+                            execution_time=t_exec,
+                            sample_wait_time=t_sample)
+
+    def evaluate(self, target_nodes, batch_size: int = 128,
+                 mode: str = "val"):
+        """Micro-F1 + loss over eval batches (reference
+        `main.py:178-199, 217-241`)."""
+        total_f1 = 0.0
+        total_n = 0
+        total_loss = 0.0
+        n_batches = 0
+        for mb in self.pipeline.eval_batches(target_nodes, batch_size,
+                                              mode):
+            batch = to_device_batch(mb)
+            out, loss = self.fns.eval_forward(self.params, self.feats,
+                                              batch)
+            labels = mb.labels[0]
+            mask = mb.label_mask[0].astype(bool)
+            proba = np.asarray(predict_proba(out, self.sigmoid_loss))
+            f1_mic, _ = calc_f1(labels[mask], proba[: labels.shape[0]][mask],
+                                self.sigmoid_loss)
+            n = int(mask.sum())
+            total_f1 += f1_mic * n
+            total_n += n
+            total_loss += float(loss)
+            n_batches += 1
+        return (total_f1 / max(total_n, 1),
+                total_loss / max(n_batches, 1))
+
+    def fit(self, train_nodes, valid_nodes, epochs: int,
+            rank_chunks=None, log: bool = True,
+            checkpoint_dir: Optional[str] = None):
+        for epoch in range(epochs):
+            m = self.train_epoch(train_nodes, epoch, rank_chunks)
+            f1, vloss = self.evaluate(valid_nodes, 128, "val")
+            m.valid_f1, m.valid_loss = f1, vloss
+            self.history.append(m)
+            if log:
+                print(m.format(self.pipeline.cfg.scale_factor), flush=True)
+            # best-model selection at +1e-2 improvement (`main.py:197-199`)
+            if f1 > self.best_val + 1e-2:
+                self.best_val = f1
+                self.best_params = jax.tree_util.tree_map(
+                    np.asarray, self.params)
+                if checkpoint_dir is not None:
+                    from gnn_tpu.train.checkpoint import save_checkpoint
+                    save_checkpoint(checkpoint_dir, self.best_params,
+                                    step=epoch)
+        return self.history
+
+    def test(self, test_nodes, batch_size: int = 128,
+             use_best: bool = True):
+        """Full-sweep weighted micro-F1 (reference `main.py:217-241`) —
+        evaluated with the *best* checkpoint (the reference intended this
+        but had a latent bug running the last model, `main.py:235`)."""
+        if use_best and self.best_params is not None:
+            saved = self.params
+            self.params = put_replicated(self.mesh, self.best_params)
+            f1, _ = self.evaluate(test_nodes, batch_size, "test")
+            self.params = saved
+            return f1
+        f1, _ = self.evaluate(test_nodes, batch_size, "test")
+        return f1

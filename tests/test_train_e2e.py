@@ -1,0 +1,70 @@
+"""End-to-end training tests: single replica and 4-way data parallel on
+the virtual CPU mesh (SURVEY.md §4: multi-chip logic tested via
+xla_force_host_platform_device_count)."""
+import jax
+import numpy as np
+import pytest
+
+from gnn_tpu.models.gnn import build_model
+from gnn_tpu.parallel.mesh import make_mesh
+from gnn_tpu.sampling.ladies import SamplerConfig
+from gnn_tpu.sampling.pipeline import BatchPipeline
+from gnn_tpu.train.trainer import Trainer
+from gnn_tpu.utils.normalize import build_laplacian
+
+
+def _make_trainer(graph, world_size, model="graphsage", sigmoid=False,
+                  orders=(1, 1), adj_format="coo", lr=0.01):
+    lap = build_laplacian(graph.adj_full, model)
+    cfg = SamplerConfig(batch_size=64, samp_num=128, orders=orders,
+                        num_nodes=graph.adj_full.shape[0],
+                        num_classes=graph.num_classes,
+                        adj_format=adj_format)
+    pipe = BatchPipeline(cfg, lap, graph.labels, world_size=world_size,
+                         pool_num=2)
+    net = build_model(model, nhid=32, orders=orders,
+                      num_classes=graph.num_classes)
+    mesh = make_mesh(world_size)
+    return Trainer(net, pipe, graph.feats, mesh=mesh, lr=lr,
+                   sigmoid_loss=sigmoid)
+
+
+def test_single_replica_learns(small_graph):
+    tr = _make_trainer(small_graph, world_size=1)
+    hist = tr.fit(small_graph.train_nodes, small_graph.valid_nodes,
+                  epochs=3, log=False)
+    assert hist[-1].train_loss < hist[0].train_loss
+    assert hist[-1].valid_f1 > 0.4
+
+
+def test_dp4_learns(small_graph):
+    assert jax.device_count() >= 4
+    tr = _make_trainer(small_graph, world_size=4)
+    hist = tr.fit(small_graph.train_nodes, small_graph.valid_nodes,
+                  epochs=3, log=False)
+    assert hist[-1].train_loss < hist[0].train_loss
+    assert hist[-1].valid_f1 > 0.4
+
+
+def test_dp_blocked_format(small_graph):
+    tr = _make_trainer(small_graph, world_size=2, adj_format="blocked")
+    hist = tr.fit(small_graph.train_nodes, small_graph.valid_nodes,
+                  epochs=2, log=False)
+    assert hist[-1].valid_f1 > 0.3
+
+
+def test_gcn_sigmoid_multilabel(multilabel_graph):
+    tr = _make_trainer(multilabel_graph, world_size=2, model="gcn",
+                       sigmoid=True)
+    hist = tr.fit(multilabel_graph.train_nodes,
+                  multilabel_graph.valid_nodes, epochs=2, log=False)
+    assert np.isfinite(hist[-1].train_loss)
+    assert hist[-1].valid_f1 >= 0.0
+
+
+def test_test_sweep_uses_best_params(small_graph):
+    tr = _make_trainer(small_graph, world_size=1)
+    tr.fit(small_graph.train_nodes, small_graph.valid_nodes, epochs=2,
+           log=False)
+    f1 = tr.test(small_graph.test_nodes, batch_size=128)
+    assert f1 > 0.3
