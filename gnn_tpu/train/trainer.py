@@ -33,6 +33,7 @@ import numpy as np
 import optax
 from jax.sharding import PartitionSpec as P
 
+from gnn_tpu.parallel.feature_cache import ReplicatedFeatures
 from gnn_tpu.parallel.mesh import DATA_AXIS, make_mesh, put_batch, \
     put_replicated
 from gnn_tpu.sampling.ladies import DeviceBatch, MiniBatch, to_device_batch
@@ -60,23 +61,27 @@ class TrainStepFns:
 
 
 def build_step_fns(net, optimizer, sigmoid_loss: bool, mesh,
-                   grad_clip: float = 5.0) -> TrainStepFns:
-    """Build the jitted DP train step and single-replica eval forward."""
+                   feature_source, grad_clip: float = 5.0) -> TrainStepFns:
+    """Build the jitted DP train step and single-replica eval forward.
 
-    def per_device_loss(params, feats, batch: DeviceBatch, rng):
-        x = jnp.take(feats, batch.input_nodes, axis=0)
-        x = x * batch.input_mask[:, None]
+    ``feature_source`` supplies input features on device — either a
+    replicated HBM table or the placement-driven sharded cache with
+    all-to-all halo exchange (`gnn_tpu.parallel.feature_cache`)."""
+
+    def per_device_loss(params, feat_state, plan, batch: DeviceBatch, rng):
+        x = feature_source.gather(feat_state, plan, batch.input_nodes,
+                                  batch.input_mask)
         out = net.apply(params, x, list(batch.adjs),
                         list(batch.sampled_nodes),
                         deterministic=False, rngs={"dropout": rng})
         return masked_loss(out, batch.labels, batch.label_mask,
                            sigmoid_loss)
 
-    def _sharded_step(params, opt_state, feats, batch, rng):
+    def _sharded_step(params, opt_state, feat_state, batch, plan, rng):
         batch = _squeeze_batch(batch)
         my_rng = jax.random.fold_in(rng, jax.lax.axis_index(DATA_AXIS))
         loss, grads = jax.value_and_grad(per_device_loss)(
-            params, feats, batch, my_rng)
+            params, feat_state, plan, batch, my_rng)
         grads = clip_by_global_norm(grads, grad_clip)
         # reference sums gradients across replicas without dividing
         # (`main.py:159`)
@@ -89,16 +94,15 @@ def build_step_fns(net, optimizer, sigmoid_loss: bool, mesh,
     batch_spec = P(DATA_AXIS)
     step = jax.jit(jax.shard_map(
         _sharded_step, mesh=mesh,
-        in_specs=(P(), P(), P(), batch_spec, P()),
+        in_specs=(P(), P(), feature_source.state_spec(), batch_spec,
+                  batch_spec, P()),
         out_specs=(P(), P(), P()),
         check_vma=False,
     ))
 
     @jax.jit
-    def eval_forward(params, feats, batch):
+    def eval_forward(params, x, batch):
         batch = _squeeze_batch(batch)
-        x = jnp.take(feats, batch.input_nodes, axis=0)
-        x = x * batch.input_mask[:, None]
         out = net.apply(params, x, list(batch.adjs),
                         list(batch.sampled_nodes),
                         deterministic=True)
@@ -138,17 +142,23 @@ class Trainer:
 
     def __init__(self, net, pipeline, feats: np.ndarray, mesh=None,
                  lr: float = 0.01, sigmoid_loss: bool = True,
-                 seed: int = 0):
+                 seed: int = 0, feature_source=None):
         self.net = net
         self.pipeline = pipeline
         self.mesh = mesh if mesh is not None else make_mesh(
             pipeline.world_size)
+        self.feature_source = (feature_source if feature_source is not None
+                               else ReplicatedFeatures(feats))
         self.optimizer = optax.adam(lr)
         self.fns = build_step_fns(net, self.optimizer, sigmoid_loss,
-                                  self.mesh)
+                                  self.mesh, self.feature_source)
         self.sigmoid_loss = sigmoid_loss
         self.rng = jax.random.PRNGKey(seed)
-        self.feats = put_replicated(self.mesh, jnp.asarray(feats))
+        from jax.sharding import NamedSharding
+        self.feat_state = jax.device_put(
+            self.feature_source.state(),
+            NamedSharding(self.mesh, self.feature_source.state_spec()))
+        self.n_feats = feats.shape[1]
         self.params = None
         self.opt_state = None
         self.best_val = -1.0
@@ -158,7 +168,7 @@ class Trainer:
     def _init_params(self, batch: DeviceBatch):
         one = jax.tree_util.tree_map(lambda a: a[0], batch)
         x = jnp.asarray(np.zeros(
-            (one.input_nodes.shape[0], self.feats.shape[1]), np.float32))
+            (one.input_nodes.shape[0], self.n_feats), np.float32))
         self.params = self.net.init(jax.random.PRNGKey(0), x,
                                     list(one.adjs),
                                     list(one.sampled_nodes))
@@ -175,17 +185,19 @@ class Trainer:
         t0 = time.perf_counter()
         for mb in self.pipeline.train_epoch(train_nodes, rank_chunks):
             batch = to_device_batch(mb)
+            plan = self.feature_source.plan(mb)
             t1 = time.perf_counter()
             t_sample += t1 - t0
             if self.params is None:
                 self._init_params(batch)
             dev_batch = put_batch(self.mesh, batch)
+            dev_plan = put_batch(self.mesh, plan)
             t2 = time.perf_counter()
             t_move += t2 - t1
             self.rng, step_rng = jax.random.split(self.rng)
             self.params, self.opt_state, loss = self.fns.train_step(
-                self.params, self.opt_state, self.feats, dev_batch,
-                step_rng)
+                self.params, self.opt_state, self.feat_state, dev_batch,
+                dev_plan, step_rng)
             losses.append(loss)
             t0 = time.perf_counter()
             t_exec += t0 - t2
@@ -211,7 +223,9 @@ class Trainer:
         for mb in self.pipeline.eval_batches(target_nodes, batch_size,
                                               mode):
             batch = to_device_batch(mb)
-            out, loss = self.fns.eval_forward(self.params, self.feats,
+            x = self.feature_source.host_gather(mb.input_nodes[0],
+                                                mb.input_mask[0])
+            out, loss = self.fns.eval_forward(self.params, jnp.asarray(x),
                                               batch)
             labels = mb.labels[0]
             mask = mb.label_mask[0].astype(bool)
