@@ -1,0 +1,156 @@
+"""Command-line trainer mirroring the reference CLI
+(`/root/reference/main.py:24-65`), flag for flag, plus TPU-specific
+extensions (adjacency format, mesh size, checkpoint/resume).
+
+Run e.g.::
+
+    python -m gnn_tpu.cli --dataset synthetic:nodes=50000,deg=30 \
+        --model graphsage --nhid 512 --orders 1,1,1 --samp_num 8192 \
+        --batch_size 512 --epoch_num 10 --n_devices 1
+
+Reference flag semantics preserved: ``--orders '1,1,1'`` is both the layer
+count and per-layer aggregation order (0 = dense layer); ``--buffer_size``
+is a fraction of N; ``--alpha`` gates placement replacement; ``--cuda``
+is accepted (ignored) for drop-in compatibility.
+"""
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+import numpy as np
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        description="TPU-native GNN training (GraphSAGE/GCN + LADIES)")
+    # --- reference flags (`main.py:24-65`) ---
+    p.add_argument("--dataset", type=str, default="synthetic",
+                   help="dataset name, GraphSAINT dir, ogbn-*, or "
+                        "synthetic:nodes=..,deg=..")
+    p.add_argument("--model", type=str, default="graphsage",
+                   choices=["graphsage", "gcn"])
+    p.add_argument("--nhid", type=int, default=512)
+    p.add_argument("--epoch_num", type=int, default=4)
+    p.add_argument("--pool_num", type=int, default=4)
+    p.add_argument("--batch_size", type=int, default=2048)
+    p.add_argument("--orders", type=str, default="1,1,1")
+    p.add_argument("--samp_num", type=int, default=8192)
+    p.add_argument("--cuda", type=str, default="",
+                   help="accepted for reference compatibility; ignored "
+                        "(use --n_devices)")
+    p.add_argument("--sigmoid_loss", action="store_true", default=False)
+    p.add_argument("--local_shuffle", action="store_true")
+    p.add_argument("--buffer_size", type=float, default=0.2,
+                   help="fraction of nodes buffered per device")
+    p.add_argument("--scale_factor", type=float, default=1.0)
+    p.add_argument("--lr", type=float, default=0.01)
+    p.add_argument("--test", action="store_true")
+    p.add_argument("--alpha", type=float, default=0)
+    p.add_argument("--sampler", type=str, default="ladies",
+                   choices=["ladies", "subgraph"])
+    p.add_argument("--pagraph", action="store_true")
+    p.add_argument("--naive", action="store_true")
+    p.add_argument("--random", action="store_true")
+    p.add_argument("--locality_sampling", action="store_true")
+    # --- TPU-native extensions ---
+    p.add_argument("--n_devices", type=int, default=0,
+                   help="mesh size (0 = all available devices)")
+    p.add_argument("--adj_format", type=str, default="coo",
+                   choices=["coo", "blocked"])
+    p.add_argument("--feature_cache", action="store_true",
+                   help="use the placement-driven sharded HBM cache "
+                        "instead of a replicated feature table")
+    p.add_argument("--save_dir", type=str, default="save")
+    p.add_argument("--data_dir", type=str,
+                   default=os.environ.get("GNN_DATA_DIR", "data"))
+    p.add_argument("--seed", type=int, default=0)
+    return p
+
+
+def main(argv=None) -> int:
+    args = build_parser().parse_args(argv)
+    print(args, flush=True)
+
+    import jax
+
+    # Some sandboxes force a platform via sitecustomize config updates that
+    # silently override $JAX_PLATFORMS; re-assert the user's choice.
+    if os.environ.get("JAX_PLATFORMS"):
+        try:
+            jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
+        except Exception:
+            pass
+
+    from gnn_tpu.data.loaders import load_dataset
+    from gnn_tpu.models.gnn import build_model
+    from gnn_tpu.parallel.feature_cache import CachedFeatures, \
+        ReplicatedFeatures
+    from gnn_tpu.parallel.mesh import make_mesh
+    from gnn_tpu.placement.engine import create_placement, \
+        get_skewed_sampled_nodes
+    from gnn_tpu.sampling.ladies import SamplerConfig
+    from gnn_tpu.sampling.pipeline import BatchPipeline
+    from gnn_tpu.train.trainer import Trainer
+    from gnn_tpu.utils.normalize import build_laplacian
+    import scipy.sparse as sp
+
+    orders = tuple(int(t) for t in args.orders.split(","))
+    n_devices = args.n_devices or jax.device_count()
+    graph = load_dataset(args.dataset, args.data_dir)
+    n = graph.adj_full.shape[0]
+    lap = build_laplacian(graph.adj_full, args.model)
+
+    strategy = ("pagraph" if args.pagraph else
+                "random" if args.random else
+                "naive" if args.naive else "greedy")
+    per_dev = int(args.buffer_size * n)
+    print("buffer_size: ", per_dev, flush=True)
+    placement = create_placement(
+        lap, graph.train_nodes, per_dev=per_dev, num_devs=n_devices,
+        num_conv_layers=sum(orders), alpha=args.alpha, strategy=strategy,
+        cache_dir=args.save_dir, dataset=args.dataset.replace("/", "_"))
+
+    skew = None
+    scale_factor = args.scale_factor
+    if args.locality_sampling:
+        skew = get_skewed_sampled_nodes(
+            graph.adj_full + sp.eye(n), placement.buffers, orders)
+        if scale_factor <= 1.0:
+            scale_factor = 1.0  # tuner may raise it during training
+
+    cfg = SamplerConfig(
+        batch_size=args.batch_size, samp_num=args.samp_num, orders=orders,
+        num_nodes=n, num_classes=graph.num_classes, sampler=args.sampler,
+        scale_factor=scale_factor, adj_format=args.adj_format)
+    pipe = BatchPipeline(cfg, lap, graph.labels, world_size=n_devices,
+                         pool_num=args.pool_num,
+                         skewed_sampling_nodes=skew,
+                         local_shuffle=args.local_shuffle, seed=args.seed)
+    net = build_model(args.model, args.nhid, orders, graph.num_classes)
+
+    if args.feature_cache:
+        source = CachedFeatures(graph.feats, placement)
+    else:
+        source = ReplicatedFeatures(graph.feats)
+    trainer = Trainer(net, pipe, graph.feats, mesh=make_mesh(n_devices),
+                      lr=args.lr, sigmoid_loss=args.sigmoid_loss,
+                      seed=args.seed, feature_source=source)
+
+    rank_chunks = None
+    if args.local_shuffle and args.pagraph:
+        assert placement.train_nodes_per_dev is not None
+        rank_chunks = placement.train_nodes_per_dev
+
+    trainer.fit(graph.train_nodes, graph.valid_nodes, args.epoch_num,
+                rank_chunks=rank_chunks, checkpoint_dir=args.save_dir)
+
+    if args.test:
+        f1 = trainer.test(graph.test_nodes, batch_size=128)
+        print("Test f1 score: %.3f" % f1, flush=True)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,156 @@
+"""JIT-built native host sampling core (ctypes).
+
+Mirrors the reference's import-time JIT build of its native extension
+(`/root/reference/custom_sparse_ops.py:8`), but with g++ + ctypes instead
+of a CUDA/pybind11 toolchain, and with a clean numpy fallback: importers
+call :func:`get_lib` and get ``None`` when no compiler is available.
+"""
+from __future__ import annotations
+
+import ctypes
+import hashlib
+import os
+import subprocess
+import threading
+
+import numpy as np
+
+_HERE = os.path.dirname(os.path.abspath(__file__))
+_SRC = os.path.join(_HERE, "sampler_core.cpp")
+_LOCK = threading.Lock()
+_LIB = None
+_TRIED = False
+
+
+def _build(so_path: str) -> None:
+    cmd = ["g++", "-O3", "-march=native", "-fopenmp", "-shared", "-fPIC",
+           "-std=c++17", _SRC, "-o", so_path]
+    subprocess.run(cmd, check=True, capture_output=True)
+
+
+def get_lib():
+    """Load (building if needed) the native library; None on failure."""
+    global _LIB, _TRIED
+    with _LOCK:
+        if _TRIED:
+            return _LIB
+        _TRIED = True
+        try:
+            with open(_SRC, "rb") as f:
+                tag = hashlib.sha1(f.read()).hexdigest()[:12]
+            cache = os.environ.get(
+                "GNN_TPU_NATIVE_CACHE",
+                os.path.join(os.path.expanduser("~"), ".cache", "gnn_tpu"))
+            os.makedirs(cache, exist_ok=True)
+            so_path = os.path.join(cache, f"sampler_core_{tag}.so")
+            if not os.path.exists(so_path):
+                _build(so_path)
+            lib = ctypes.CDLL(so_path)
+            _declare(lib)
+            _LIB = lib
+        except Exception as e:  # pragma: no cover - env without g++
+            import warnings
+            warnings.warn(f"native sampler core unavailable ({e}); "
+                          f"falling back to numpy")
+            _LIB = None
+        return _LIB
+
+
+def _declare(lib) -> None:
+    i64p = ctypes.POINTER(ctypes.c_int64)
+    i32p = ctypes.POINTER(ctypes.c_int32)
+    f64p = ctypes.POINTER(ctypes.c_double)
+    f32p = ctypes.POINTER(ctypes.c_float)
+    lib.count_cols.argtypes = [i64p, i32p, i32p, ctypes.c_int64,
+                               ctypes.c_int64, f64p]
+    lib.count_cols.restype = None
+    lib.scale_skew.argtypes = [f64p, i32p, ctypes.c_int64, ctypes.c_double]
+    lib.scale_skew.restype = None
+    lib.gumbel_topk.argtypes = [f64p, ctypes.c_int64, ctypes.c_int64,
+                                ctypes.c_uint64, i32p]
+    lib.gumbel_topk.restype = ctypes.c_int64
+    lib.slice_cols_count.argtypes = [i64p, i32p, i32p, ctypes.c_int64,
+                                     i32p, i64p]
+    lib.slice_cols_count.restype = None
+    lib.slice_cols_fill.argtypes = [i64p, i32p, f32p, i32p, ctypes.c_int64,
+                                    i32p, f32p, i64p, i32p, i32p, f32p]
+    lib.slice_cols_fill.restype = None
+    lib.prefix_sum.argtypes = [i64p, ctypes.c_int64, i64p]
+    lib.prefix_sum.restype = None
+
+
+def _ptr(a: np.ndarray, ct):
+    return a.ctypes.data_as(ctypes.POINTER(ct))
+
+
+class NativeCSR:
+    """A CSR graph pinned in the dtypes the native core expects."""
+
+    def __init__(self, csr):
+        self.indptr = np.ascontiguousarray(csr.indptr, np.int64)
+        self.indices = np.ascontiguousarray(csr.indices, np.int32)
+        self.data = np.ascontiguousarray(csr.data, np.float32)
+        self.shape = csr.shape
+
+
+def ladies_layer_native(lib, graph: NativeCSR, prev: np.ndarray,
+                        samp_num: int, seed: int,
+                        skew: np.ndarray | None = None,
+                        scale_factor: float = 1.0):
+    """One LADIES layer step, fully in native code.
+
+    Returns (after, normfact, rows, cols, vals): the sampled node set,
+    debias vector, and the COO of ``A[prev][:, after]`` with final edge
+    weights — the exact quantities of `sampler.py:113-139`.
+    """
+    n = graph.shape[1]
+    prev = np.ascontiguousarray(prev, np.int32)
+    pi = np.zeros(n, np.float64)
+    c_i64 = ctypes.c_int64
+    lib.count_cols(_ptr(graph.indptr, ctypes.c_int64),
+                   _ptr(graph.indices, ctypes.c_int32),
+                   _ptr(prev, ctypes.c_int32), c_i64(len(prev)), c_i64(n),
+                   _ptr(pi, ctypes.c_double))
+    if skew is not None and scale_factor > 1.0:
+        skew = np.ascontiguousarray(skew, np.int32)
+        lib.scale_skew(_ptr(pi, ctypes.c_double),
+                       _ptr(skew, ctypes.c_int32), c_i64(len(skew)),
+                       ctypes.c_double(scale_factor))
+    chosen = np.empty(samp_num, np.int32)
+    got = lib.gumbel_topk(_ptr(pi, ctypes.c_double), c_i64(n),
+                          c_i64(samp_num), ctypes.c_uint64(seed),
+                          _ptr(chosen, ctypes.c_int32))
+    s_num = int(got)
+    after = np.union1d(chosen[:s_num], prev).astype(np.int64)
+
+    p_total = pi.sum()
+    p_after = pi[after] / max(p_total, 1e-300)
+    normfact = (1.0 / np.clip(s_num * p_after, 1e-10, 1.0)).astype(
+        np.float32)
+
+    pos = np.full(n, -1, np.int32)
+    pos[after] = np.arange(len(after), dtype=np.int32)
+    rowlen = np.empty(len(prev), np.int64)
+    lib.slice_cols_count(_ptr(graph.indptr, ctypes.c_int64),
+                         _ptr(graph.indices, ctypes.c_int32),
+                         _ptr(prev, ctypes.c_int32), c_i64(len(prev)),
+                         _ptr(pos, ctypes.c_int32),
+                         _ptr(rowlen, ctypes.c_int64))
+    row_off = np.empty(len(prev) + 1, np.int64)
+    lib.prefix_sum(_ptr(rowlen, ctypes.c_int64), c_i64(len(prev)),
+                   _ptr(row_off, ctypes.c_int64))
+    nnz = int(row_off[-1])
+    rows = np.empty(nnz, np.int32)
+    cols = np.empty(nnz, np.int32)
+    vals = np.empty(nnz, np.float32)
+    lib.slice_cols_fill(_ptr(graph.indptr, ctypes.c_int64),
+                        _ptr(graph.indices, ctypes.c_int32),
+                        _ptr(graph.data, ctypes.c_float),
+                        _ptr(prev, ctypes.c_int32), c_i64(len(prev)),
+                        _ptr(pos, ctypes.c_int32),
+                        _ptr(normfact, ctypes.c_float),
+                        _ptr(row_off, ctypes.c_int64),
+                        _ptr(rows, ctypes.c_int32),
+                        _ptr(cols, ctypes.c_int32),
+                        _ptr(vals, ctypes.c_float))
+    return after, normfact, rows, cols, vals

@@ -246,10 +246,11 @@ def create_placement(
             f"({num_conv_layers}).({strategy}).buf.npz")
         if os.path.exists(fname):
             z = np.load(fname, allow_pickle=True)
-            tn = (list(z["train_sets"]) if "train_sets" in z.files
-                  else None)
-            return Placement(z["device_id"], z["slot"],
-                             list(z["buffers"]), tn)
+            tn = None
+            if "train_sets" in z.files:
+                tn = [np.asarray(t, np.int64) for t in z["train_sets"]]
+            bufs = [np.asarray(b, np.int64) for b in z["buffers"]]
+            return Placement(z["device_id"], z["slot"], bufs, tn)
 
     if strategy in ("naive", "random"):
         p = naive_placement(lap.shape[1], per_dev, num_devs,

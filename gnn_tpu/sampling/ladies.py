@@ -41,6 +41,24 @@ from flax import struct as _flax_struct
 
 from gnn_tpu.ops import sparse as sparse_ops
 
+# Native (C++/OpenMP) host sampling core — JIT-built like the reference's
+# extension (`custom_sparse_ops.py:8`); numpy fallback when unavailable.
+_NATIVE_GRAPHS: dict = {}
+
+
+def _native_graph(lap):
+    """Cache a NativeCSR view of a laplacian (keyed by object id)."""
+    from gnn_tpu import native as _native
+    lib = _native.get_lib()
+    if lib is None:
+        return None, None
+    key = id(lap)
+    entry = _NATIVE_GRAPHS.get(key)
+    if entry is None or entry[0] is not lap:
+        entry = (lap, _native.NativeCSR(lap))
+        _NATIVE_GRAPHS[key] = entry
+    return lib, entry[1]
+
 
 def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
@@ -202,6 +220,7 @@ def ladies_sample(
     prev = np.asarray(batch_nodes, dtype=np.int64)
     adjs: List[Optional[object]] = []
     sampled: List[np.ndarray] = []
+    lib, ngraph = _native_graph(lap_matrix)
 
     for d in range(n_layers):
         # bottom-up index of this layer, for caps and skew sets
@@ -211,17 +230,23 @@ def ladies_sample(
             adjs.append(None)
             sampled.append(np.zeros(r_cap, np.int32))
             continue
-        U = lap_matrix[prev, :]
         skew = None
         if skewed_sampling_nodes is not None:
             skew = skewed_sampling_nodes[li]
-        p = _layer_probability(U, skew, cfg.scale_factor)
-        s_num = min(int((p > 0).sum()), cfg.samp_num)
-        chosen = _gumbel_topk_without_replacement(rng, p, s_num)
-        after = np.unique(np.concatenate([chosen, prev]))
-        normfact = (1.0 / np.clip(s_num * p[after], 1e-10, 1.0)).astype(
-            np.float32)
-        rows, cols, vals = _slice_cols_to_coo(U, after, normfact)
+        if lib is not None:
+            from gnn_tpu.native import ladies_layer_native
+            after, normfact, rows, cols, vals = ladies_layer_native(
+                lib, ngraph, prev, cfg.samp_num,
+                int(rng.integers(2 ** 63 - 1)), skew, cfg.scale_factor)
+        else:
+            U = lap_matrix[prev, :]
+            p = _layer_probability(U, skew, cfg.scale_factor)
+            s_num = min(int((p > 0).sum()), cfg.samp_num)
+            chosen = _gumbel_topk_without_replacement(rng, p, s_num)
+            after = np.unique(np.concatenate([chosen, prev]))
+            normfact = (1.0 / np.clip(s_num * p[after], 1e-10, 1.0)).astype(
+                np.float32)
+            rows, cols, vals = _slice_cols_to_coo(U, after, normfact)
         adjs.append(_pack_adj(cfg, rows, cols, vals, len(prev), len(after),
                               r_cap, c_cap))
         s = np.searchsorted(after, prev).astype(np.int32)
