@@ -143,8 +143,11 @@ def main(argv=None) -> int:
         assert placement.train_nodes_per_dev is not None
         rank_chunks = placement.train_nodes_per_dev
 
+    from gnn_tpu.train.metrics import MetricsRegistry
+    metrics = MetricsRegistry(os.path.join(args.save_dir, "metrics.jsonl"))
     trainer.fit(graph.train_nodes, graph.valid_nodes, args.epoch_num,
-                rank_chunks=rank_chunks, checkpoint_dir=args.save_dir)
+                rank_chunks=rank_chunks, checkpoint_dir=args.save_dir,
+                locality_tuner=args.locality_sampling, metrics=metrics)
 
     if args.test:
         f1 = trainer.test(graph.test_nodes, batch_size=128)

@@ -242,14 +242,42 @@ class Trainer:
 
     def fit(self, train_nodes, valid_nodes, epochs: int,
             rank_chunks=None, log: bool = True,
-            checkpoint_dir: Optional[str] = None):
+            checkpoint_dir: Optional[str] = None,
+            locality_tuner: bool = False,
+            metrics=None, profile_dir: Optional[str] = None):
+        tuner = None
+        if locality_tuner:
+            from gnn_tpu.train.metrics import ScaleFactorTuner
+            tuner = ScaleFactorTuner(self.pipeline.cfg.scale_factor)
         for epoch in range(epochs):
+            if profile_dir is not None and epoch == 1:
+                # profile the second epoch (first is dominated by compiles)
+                jax.profiler.start_trace(profile_dir)
             m = self.train_epoch(train_nodes, epoch, rank_chunks)
+            if profile_dir is not None and epoch == 1:
+                jax.profiler.stop_trace()
             f1, vloss = self.evaluate(valid_nodes, 128, "val")
             m.valid_f1, m.valid_loss = f1, vloss
             self.history.append(m)
             if log:
                 print(m.format(self.pipeline.cfg.scale_factor), flush=True)
+            if metrics is not None:
+                from gnn_tpu.train.metrics import device_memory_stats
+                metrics.log(epoch=epoch, train_loss=m.train_loss,
+                            valid_loss=m.valid_loss, valid_f1=m.valid_f1,
+                            sample_wait_s=m.sample_wait_time,
+                            data_movement_s=m.data_movement_time,
+                            execution_s=m.execution_time,
+                            scale_factor=self.pipeline.cfg.scale_factor,
+                            device_memory=device_memory_stats())
+            # live scale-factor controller (the reference left this
+            # commented out at `main.py:200-212`)
+            if tuner is not None:
+                new_sf = tuner.update(m.data_movement_time,
+                                      m.execution_time)
+                if new_sf != self.pipeline.cfg.scale_factor:
+                    self.pipeline.cfg = dataclasses.replace(
+                        self.pipeline.cfg, scale_factor=new_sf)
             # best-model selection at +1e-2 improvement (`main.py:197-199`)
             if f1 > self.best_val + 1e-2:
                 self.best_val = f1
