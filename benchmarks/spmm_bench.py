@@ -21,15 +21,9 @@ from gnn_tpu.sampling.ladies import SamplerConfig, ladies_sample
 from gnn_tpu.utils.normalize import build_laplacian
 
 
-def timeit(fn, *args, n=20, warmup=3):
-    for _ in range(warmup):
-        out = fn(*args)
-    jax.block_until_ready(out)
-    t0 = time.perf_counter()
-    for _ in range(n):
-        out = fn(*args)
-    jax.block_until_ready(out)
-    return (time.perf_counter() - t0) / n
+import os, sys
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+from benchmarks.timing import chain_time
 
 
 def main():
@@ -74,8 +68,13 @@ def main():
                                      dtype=vdt)
                     st = jax.tree_util.tree_map(jnp.asarray, st)
                     xx = x.astype(xdt)
-                    t = timeit(lambda: stream_spmm(st, xx, precision=prec),
-                               n=10)
+                    if st.blk_rc.shape[0] > 240000:
+                        print(f"  {tag:28s}: SKIP (stream too long)",
+                              flush=True)
+                        continue
+                    t = chain_time(
+                        lambda z, st_: stream_spmm(st_, z, precision=prec),
+                        xx, n=16, args=(st,))
                     nb = st.blk_rc.shape[0]
                     results[tag] = t
                     print(f"  {tag:28s}: {t*1e3:8.3f} ms  "
@@ -86,7 +85,8 @@ def main():
         # coo segment-sum
         coo = sops.pack_coo(rows, cols, vals, R, C, R, C)
         coo = jax.tree_util.tree_map(jnp.asarray, coo)
-        t = timeit(jax.jit(sops.spmm), coo, x, n=10)
+        t = chain_time(lambda z, c: sops.spmm(c, z), x, n=16,
+                       args=(coo,))
         results["coo"] = t
         print(f"  coo segsum        : {t*1e3:8.3f} ms  ({nnz/t/1e9:.2f} Gedge/s)",
               flush=True)
@@ -94,13 +94,13 @@ def main():
         dense = np.zeros((R, C), np.float32)
         dense[rows, cols] = vals
         dj = jnp.asarray(dense)
-        t = timeit(jax.jit(lambda a, b: a @ b), dj, x, n=10)
+        t = chain_time(lambda z, a: a @ z, x, n=16, args=(dj,))
         results["dense f32"] = t
         print(f"  dense f32 matmul  : {t*1e3:8.3f} ms  ({nnz/t/1e9:.2f} Gedge/s)",
               flush=True)
         db = dj.astype(jnp.bfloat16)
         xb = x.astype(jnp.bfloat16)
-        t = timeit(jax.jit(lambda a, b: (a @ b).astype(jnp.float32)), db, xb, n=10)
+        t = chain_time(lambda z, a: (a @ z), xb, n=16, args=(db,))
         results["dense bf16"] = t
         print(f"  dense bf16 matmul : {t*1e3:8.3f} ms  ({nnz/t/1e9:.2f} Gedge/s)",
               flush=True)
