@@ -289,6 +289,32 @@ class Trainer:
                                     step=epoch)
         return self.history
 
+    def save(self, ckpt_dir: str, step: int = 0, name: str = "latest"):
+        """Full training-state checkpoint (params + optimizer + step) —
+        the resume capability the reference lacks (SURVEY.md 5.4)."""
+        from gnn_tpu.train.checkpoint import save_checkpoint
+        return save_checkpoint(ckpt_dir, self.params, step=step,
+                               opt_state=self.opt_state, name=name)
+
+    def restore(self, ckpt_dir: str, batch=None, name: str = "latest"):
+        """Restore params/opt_state; returns the saved step. Parameters
+        must have been initialized (pass a batch or train one step
+        first)."""
+        from gnn_tpu.train.checkpoint import load_checkpoint
+        if self.params is None:
+            if batch is None:
+                raise ValueError("restore() needs initialized params; "
+                                 "pass a DeviceBatch")
+            self._init_params(batch)
+        host_params = jax.tree_util.tree_map(np.asarray, self.params)
+        host_opt = jax.tree_util.tree_map(np.asarray, self.opt_state)
+        params, step, opt_state = load_checkpoint(ckpt_dir, host_params,
+                                                  host_opt, name=name)
+        self.params = put_replicated(self.mesh, params)
+        if opt_state is not None:
+            self.opt_state = put_replicated(self.mesh, opt_state)
+        return step
+
     def test(self, test_nodes, batch_size: int = 128,
              use_best: bool = True):
         """Full-sweep weighted micro-F1 (reference `main.py:217-241`) —

@@ -1,0 +1,106 @@
+"""Aux subsystem tests: reorder, shared CSR, checkpoint/resume, metrics,
+scale-factor tuner, loss golden values."""
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+import scipy.sparse as sp
+
+from gnn_tpu.data.reorder import degree_order, reorder_dataset, \
+    reorder_graph
+from gnn_tpu.data.shared import SharedCSR, attach_shared_csr
+from gnn_tpu.train.loss import masked_loss
+from gnn_tpu.train.metrics import MetricsRegistry, ScaleFactorTuner
+
+
+def test_reorder_preserves_graph(small_graph):
+    g2 = reorder_dataset(small_graph)
+    # degrees sorted descending
+    deg = np.asarray(g2.adj_full.sum(axis=1)).ravel()
+    assert np.all(np.diff(deg) <= 1e-6)
+    # edge count preserved
+    assert g2.adj_full.nnz == small_graph.adj_full.nnz
+    # an edge (u, v) maps to (new[u], new[v])
+    order = degree_order(small_graph.adj_full)
+    _, new_of_old = reorder_graph(small_graph.adj_full, order)
+    coo = small_graph.adj_full.tocoo()
+    u, v = coo.row[0], coo.col[0]
+    assert g2.adj_full[new_of_old[u], new_of_old[v]] != 0
+    # features/labels follow
+    np.testing.assert_array_equal(g2.feats[new_of_old[u]],
+                                  small_graph.feats[u])
+
+
+def test_shared_csr_roundtrip():
+    m = sp.random(50, 70, density=0.1, format="csr",
+                  random_state=np.random.RandomState(0), dtype=np.float32)
+    with SharedCSR(m) as sh:
+        m2, segs = attach_shared_csr(sh.handle)
+        np.testing.assert_array_equal(m2.toarray(), m.toarray())
+        for s in segs:
+            s.close()
+
+
+def test_checkpoint_resume_roundtrip(small_graph, tmp_path):
+    from tests.test_train_e2e import _make_trainer
+    tr = _make_trainer(small_graph, world_size=2)
+    tr.fit(small_graph.train_nodes, small_graph.valid_nodes, epochs=1,
+           log=False)
+    path = tr.save(str(tmp_path), step=7)
+    assert os.path.exists(path)
+    p_before = jax.tree_util.tree_map(np.asarray, tr.params)
+
+    tr2 = _make_trainer(small_graph, world_size=2)
+    tr2.fit(small_graph.train_nodes, small_graph.valid_nodes, epochs=1,
+            log=False)  # different state
+    step = tr2.restore(str(tmp_path))
+    assert step == 7
+    p_after = jax.tree_util.tree_map(np.asarray, tr2.params)
+    jax.tree_util.tree_map(np.testing.assert_array_equal, p_before,
+                           p_after)
+
+
+def test_metrics_registry_jsonl(tmp_path):
+    m = MetricsRegistry(str(tmp_path / "m.jsonl"))
+    m.log(epoch=0, f1=0.5)
+    m.log(epoch=1, f1=0.7)
+    assert m.latest("f1") == 0.7
+    import json
+    lines = [json.loads(l) for l in open(tmp_path / "m.jsonl")]
+    assert len(lines) == 2 and lines[1]["epoch"] == 1
+
+
+def test_scale_factor_tuner_bisects():
+    t = ScaleFactorTuner(1.0)
+    assert t.update(0.5, 1.0) == 2.0     # ratio 0.5 >= 0.2 -> double
+    assert t.update(0.3, 1.0) == 4.0
+    assert t.update(0.05, 1.0) == 3.0    # ratio < 0.1 -> bisect
+    assert t.update(0.15, 1.0) == 3.0    # in band -> stop
+    assert not t.active
+
+
+def test_loss_matches_torch_formulas():
+    """Golden check of `utils.py:129-140` semantics: BCEWithLogits with
+    per-example weight 1/B sum reduction, and weighted CE."""
+    preds = jnp.asarray([[2.0, -1.0], [0.5, 0.0], [-3.0, 1.0]])
+    labels = jnp.asarray([[1.0, 0.0], [0.0, 1.0], [1.0, 0.0]])
+    mask = jnp.asarray([1.0, 1.0, 1.0])
+    # manual BCE
+    x, y = np.asarray(preds), np.asarray(labels)
+    bce = np.maximum(x, 0) - x * y + np.log1p(np.exp(-np.abs(x)))
+    expected = (bce / 3).sum()
+    got = float(masked_loss(preds, labels, mask, sigmoid_loss=True))
+    np.testing.assert_allclose(got, expected, rtol=1e-6)
+    # manual weighted CE with one-hot targets
+    logp = x - np.log(np.exp(x).sum(1, keepdims=True))
+    ce = -(y * logp).sum(1)
+    expected = (ce / 3).sum()
+    got = float(masked_loss(preds, labels, mask, sigmoid_loss=False))
+    np.testing.assert_allclose(got, expected, rtol=1e-6)
+    # padded rows contribute nothing
+    mask2 = jnp.asarray([1.0, 1.0, 0.0])
+    got2 = float(masked_loss(preds, labels, mask2, sigmoid_loss=True))
+    expected2 = (bce[:2] / 2).sum()
+    np.testing.assert_allclose(got2, expected2, rtol=1e-6)
