@@ -19,8 +19,6 @@ import argparse
 import os
 import sys
 
-import numpy as np
-
 
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(

@@ -10,7 +10,7 @@ placement, and blocked adjacency tiles densify.
 """
 from __future__ import annotations
 
-from typing import Dict, Tuple
+from typing import Tuple
 
 import numpy as np
 import scipy.sparse as sp

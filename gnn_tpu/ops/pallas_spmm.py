@@ -29,7 +29,7 @@ Layout invariants (prepared host-side by :func:`pack_stream`):
 from __future__ import annotations
 
 import functools
-from typing import Optional, Tuple
+from typing import Optional
 
 import jax
 import jax.numpy as jnp

@@ -30,8 +30,7 @@ node id) is the fast path when the feature table fits per-chip.
 """
 from __future__ import annotations
 
-import dataclasses
-from typing import List, Optional
+from typing import List
 
 import jax
 import jax.numpy as jnp

@@ -19,8 +19,7 @@ plan once per partition (it depends only on graph structure).
 """
 from __future__ import annotations
 
-import dataclasses
-from typing import List, Optional, Tuple
+from typing import List, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -28,7 +27,6 @@ import numpy as np
 import scipy.sparse as sp
 from flax import struct
 
-from gnn_tpu.ops import sparse as sparse_ops
 from gnn_tpu.parallel.mesh import DATA_AXIS
 
 

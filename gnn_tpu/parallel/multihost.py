@@ -19,7 +19,7 @@ partitioning within a host's chips.
 from __future__ import annotations
 
 import os
-from typing import Optional, Sequence
+from typing import Optional
 
 import jax
 import numpy as np

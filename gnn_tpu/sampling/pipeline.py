@@ -134,8 +134,8 @@ class BatchPipeline:
         self._rng = np.random.default_rng(seed)
         self._epoch = 0
 
-    def _sample_one(self, seed, batch_nodes):
-        return self._sampler(self.cfg, seed, batch_nodes, self.lap,
+    def _sample_one(self, seed, batch_nodes, cfg=None):
+        return self._sampler(cfg or self.cfg, seed, batch_nodes, self.lap,
                              self.labels, self.skew)
 
     def train_epoch(self, target_nodes: np.ndarray,
@@ -199,16 +199,22 @@ class BatchPipeline:
                      mode: str = "val") -> Iterator[MiniBatch]:
         """Single-replica evaluation batches (reference `sampler.py:194-210`):
         val = one random batch; test = full sweep."""
+        # eval batch size may exceed the train batch size (the reference
+        # always evaluates on 128-node batches, `main.py:180`); widen the
+        # static caps accordingly
+        cfg = self.cfg
+        if batch_size > cfg.batch_size:
+            cfg = dataclasses.replace(cfg, batch_size=batch_size)
         if mode == "val":
             idx = self._rng.permutation(len(target_nodes))[:batch_size]
             yield stack_minibatches(
                 [self._sample_one(int(self._rng.integers(2 ** 31 - 1)),
-                                  target_nodes[idx])])
+                                  target_nodes[idx], cfg)])
             return
         n_batches = int(np.ceil(len(target_nodes) / batch_size))
         futs = [self.pool.submit(
             self._sample_one, int(self._rng.integers(2 ** 31 - 1)),
-            target_nodes[j * batch_size:(j + 1) * batch_size])
+            target_nodes[j * batch_size:(j + 1) * batch_size], cfg)
             for j in range(n_batches)]
         for f in futs:
             yield stack_minibatches([f.result()])

@@ -13,7 +13,7 @@ the intra-partition aggregation.
 from __future__ import annotations
 
 import dataclasses
-from typing import Optional, Sequence
+from typing import Sequence
 
 import jax
 import jax.numpy as jnp
@@ -21,10 +21,9 @@ import numpy as np
 import optax
 from jax.sharding import NamedSharding, PartitionSpec as P
 
-from gnn_tpu.parallel.halo import (HaloPlan, build_halo_plan,
-                                   halo_spmm_local, partition_features)
+from gnn_tpu.parallel.halo import (build_halo_plan, halo_spmm_local,
+                                   partition_features)
 from gnn_tpu.parallel.mesh import DATA_AXIS, make_mesh
-from gnn_tpu.train.loss import masked_loss
 from gnn_tpu.train.trainer import clip_by_global_norm
 
 

@@ -23,9 +23,8 @@ TPU-native replacement for the reference's `train()` thread body
 from __future__ import annotations
 
 import dataclasses
-import functools
 import time
-from typing import Any, Callable, List, Optional
+from typing import Callable, List, Optional
 
 import jax
 import jax.numpy as jnp
@@ -36,7 +35,7 @@ from jax.sharding import PartitionSpec as P
 from gnn_tpu.parallel.feature_cache import ReplicatedFeatures
 from gnn_tpu.parallel.mesh import DATA_AXIS, make_mesh, put_batch, \
     put_replicated
-from gnn_tpu.sampling.ladies import DeviceBatch, MiniBatch, to_device_batch
+from gnn_tpu.sampling.ladies import DeviceBatch, to_device_batch
 from gnn_tpu.train.loss import calc_f1, masked_loss, predict_proba
 
 

@@ -1,0 +1,82 @@
+"""Pipeline unit tests: chunking, stacking, shuffle modes, eval modes."""
+import numpy as np
+import pytest
+
+from gnn_tpu.sampling.ladies import SamplerConfig, ladies_sample
+from gnn_tpu.sampling.pipeline import BatchPipeline, _rank_chunks, \
+    stack_minibatches
+from gnn_tpu.utils.normalize import build_laplacian
+
+
+def _pipe(graph, ws, **kw):
+    lap = build_laplacian(graph.adj_full, "graphsage")
+    cfg = SamplerConfig(batch_size=32, samp_num=64, orders=(1, 1),
+                        num_nodes=graph.adj_full.shape[0],
+                        num_classes=graph.num_classes, **kw)
+    return BatchPipeline(cfg, lap, graph.labels, world_size=ws,
+                         pool_num=2), lap, cfg
+
+
+def test_rank_chunks_disjoint_cover():
+    spans = _rank_chunks(103, 4)
+    assert spans[0] == (0, 26)
+    assert spans[-1][1] == 103
+    covered = sum(e - s for s, e in spans)
+    assert covered == 103
+
+
+def test_epoch_yields_expected_steps(small_graph):
+    pipe, _, cfg = _pipe(small_graph, 2)
+    n_train = len(small_graph.train_nodes)
+    per_rank = (n_train + 1) // 2
+    expected = int(np.ceil(per_rank / 32))
+    steps = list(pipe.train_epoch(small_graph.train_nodes))
+    assert len(steps) == expected
+    for mb in steps:
+        assert mb.input_nodes.shape[0] == 2  # leading device axis
+        assert mb.labels.shape[0] == 2
+
+
+def test_stacking_repads_to_common_bucket(small_graph):
+    lap = build_laplacian(small_graph.adj_full, "graphsage")
+    cfg = SamplerConfig(batch_size=32, samp_num=64, orders=(1,),
+                        num_nodes=small_graph.adj_full.shape[0],
+                        num_classes=small_graph.num_classes)
+    a = ladies_sample(cfg, 0, small_graph.train_nodes[:32], lap,
+                      small_graph.labels)
+    b = ladies_sample(cfg, 1, small_graph.train_nodes[32:64], lap,
+                      small_graph.labels)
+    mb = stack_minibatches([a, b])
+    assert mb.adjs[0].rows.shape[0] == 2
+    assert mb.adjs[0].rows.shape[1] >= max(a.adjs[0].rows.shape[0],
+                                           b.adjs[0].rows.shape[0]) or \
+        mb.adjs[0].rows.shape[1] == a.adjs[0].rows.shape[0]
+    # stacked batches reproduce each source's valid edges
+    for i, src in enumerate((a, b)):
+        nz_src = np.sort(src.adjs[0].vals[src.adjs[0].vals != 0])
+        nz_stk = np.sort(mb.adjs[0].vals[i][mb.adjs[0].vals[i] != 0])
+        np.testing.assert_array_equal(nz_src, nz_stk)
+
+
+def test_global_shuffle_identical_across_ranks(small_graph):
+    """Global shuffle must be epoch-seeded identically so rank chunks are
+    disjoint (`sampler.py:177-179` semantics)."""
+    pipe, _, _ = _pipe(small_graph, 2)
+    seen = []
+    for mb in pipe.train_epoch(small_graph.train_nodes):
+        for r in range(2):
+            valid = int(mb.label_mask[r].sum())
+            seen.append(mb.batch_nodes[r][:valid])
+    flat = np.concatenate(seen)
+    # every trained node unique within the epoch (disjoint chunks)
+    assert len(np.unique(flat)) == len(flat)
+
+
+def test_eval_modes(small_graph):
+    pipe, _, _ = _pipe(small_graph, 1)
+    val = list(pipe.eval_batches(small_graph.valid_nodes, 128, "val"))
+    assert len(val) == 1
+    assert int(val[0].label_mask.sum()) == 128
+    test = list(pipe.eval_batches(small_graph.test_nodes, 128, "test"))
+    total = sum(int(mb.label_mask.sum()) for mb in test)
+    assert total == len(small_graph.test_nodes)
