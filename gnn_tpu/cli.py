@@ -64,6 +64,8 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--data_dir", type=str,
                    default=os.environ.get("GNN_DATA_DIR", "data"))
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--profile_dir", type=str, default="",
+                   help="write a jax.profiler trace of epoch 1 here")
     return p
 
 
@@ -145,7 +147,8 @@ def main(argv=None) -> int:
     metrics = MetricsRegistry(os.path.join(args.save_dir, "metrics.jsonl"))
     trainer.fit(graph.train_nodes, graph.valid_nodes, args.epoch_num,
                 rank_chunks=rank_chunks, checkpoint_dir=args.save_dir,
-                locality_tuner=args.locality_sampling, metrics=metrics)
+                locality_tuner=args.locality_sampling, metrics=metrics,
+                profile_dir=args.profile_dir or None)
 
     if args.test:
         f1 = trainer.test(graph.test_nodes, batch_size=128)

