@@ -45,23 +45,40 @@ def main():
     log(f"backend: {jax.default_backend()}")
 
     n_nodes, avg_deg, n_feats = 232965, 100, 602
-    log("generating Reddit-scale synthetic graph...")
-    g = make_powerlaw_graph(n_nodes, avg_deg, 8, 41, seed=0)
-    lap = build_laplacian(g.adj_full, "graphsage")
-    cfg = SamplerConfig(batch_size=512, samp_num=8192, orders=(1, 1, 1),
-                        num_nodes=n_nodes, num_classes=41)
-    log("sampling LADIES minibatch (samp 8192, batch 512, 3 layers)...")
-    mb = ladies_sample(cfg, 0, g.train_nodes[:512], lap, g.labels)
+    import os
+    cache = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                         "bench_cache", "minibatch.npz")
+    layers = None
+    if os.path.exists(cache):
+        log("loading cached minibatch layers...")
+        z = np.load(cache)
+        n_layers = int(z["n_layers"])
+        layers = [(int(z[f"R{i}"]), int(z[f"C{i}"]), z[f"rows{i}"],
+                   z[f"cols{i}"], z[f"vals{i}"]) for i in range(n_layers)]
+    if layers is None:
+        log("generating Reddit-scale synthetic graph...")
+        g = make_powerlaw_graph(n_nodes, avg_deg, 8, 41, seed=0)
+        lap = build_laplacian(g.adj_full, "graphsage")
+        cfg = SamplerConfig(batch_size=512, samp_num=8192,
+                            orders=(1, 1, 1), num_nodes=n_nodes,
+                            num_classes=41)
+        log("sampling LADIES minibatch (samp 8192, batch 512, 3 layers)...")
+        mb = ladies_sample(cfg, 0, g.train_nodes[:512], lap, g.labels)
+        layers = [(adj.shape[0], adj.shape[1], np.asarray(adj.rows),
+                   np.asarray(adj.cols), np.asarray(adj.vals))
+                  for adj in mb.adjs]
+        os.makedirs(os.path.dirname(cache), exist_ok=True)
+        payload = {"n_layers": len(layers)}
+        for i, (R, C, r, c, v) in enumerate(layers):
+            payload.update({f"R{i}": R, f"C{i}": C, f"rows{i}": r,
+                            f"cols{i}": c, f"vals{i}": v})
+        np.savez_compressed(cache, **payload)
 
     rng = np.random.RandomState(0)
     total_nnz = 0
     total_time = 0.0
     total_roof = 0.0
-    for li, adj in enumerate(mb.adjs):
-        R, C = adj.shape
-        rows = np.asarray(adj.rows)
-        cols = np.asarray(adj.cols)
-        vals = np.asarray(adj.vals)
+    for li, (R, C, rows, cols, vals) in enumerate(layers):
         live = vals != 0
         nnz = int(live.sum())
         x = jnp.asarray(rng.randn(C, n_feats).astype(np.float32))

@@ -213,11 +213,39 @@ def pack_blocked(
 # Device-side aggregation implementations
 # ---------------------------------------------------------------------------
 
+# Edge-chunk size for the COO path: bounds the [chunk, F] gather/scatter
+# temporaries (the naive single-pass form materializes [nnz, F] — ~6 GB
+# per layer at Reddit scale, which OOMs a 16 GB chip once forward +
+# backward temporaries coexist).
+_COO_CHUNK = 262_144
+
+
 def _coo_aggregate(rows, cols, vals, x, nrows):
-    """y[r] = sum_e vals[e] * x[cols[e]] for edges with rows[e]==r."""
-    gathered = jnp.take(x, cols, axis=0)  # [nnz, F]
-    contrib = gathered * vals[:, None].astype(x.dtype)
-    return jax.ops.segment_sum(contrib, rows, num_segments=nrows)
+    """y[r] = sum_e vals[e] * x[cols[e]] for edges with rows[e]==r.
+
+    Edges are processed in fixed-size chunks under ``lax.scan`` so peak
+    memory is [chunk, F] regardless of nnz.
+    """
+    nnz = rows.shape[0]
+    if nnz <= _COO_CHUNK:
+        gathered = jnp.take(x, cols, axis=0)  # [nnz, F]
+        contrib = gathered * vals[:, None].astype(x.dtype)
+        return jax.ops.segment_sum(contrib, rows, num_segments=nrows)
+    n_chunks = -(-nnz // _COO_CHUNK)
+    pad = n_chunks * _COO_CHUNK - nnz
+    rows_c = jnp.pad(rows, (0, pad)).reshape(n_chunks, _COO_CHUNK)
+    cols_c = jnp.pad(cols, (0, pad)).reshape(n_chunks, _COO_CHUNK)
+    vals_c = jnp.pad(vals, (0, pad)).reshape(n_chunks, _COO_CHUNK)
+
+    def body(acc, chunk):
+        r, c, v = chunk
+        contrib = jnp.take(x, c, axis=0) * v[:, None].astype(x.dtype)
+        return acc + jax.ops.segment_sum(contrib, r,
+                                         num_segments=nrows), None
+
+    y0 = jnp.zeros((nrows, x.shape[1]), x.dtype)
+    y, _ = jax.lax.scan(body, y0, (rows_c, cols_c, vals_c))
+    return y
 
 
 def _blocked_aggregate_jnp(block_cols, block_vals, x, bm, bk):
