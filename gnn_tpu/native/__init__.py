@@ -77,6 +77,8 @@ def _declare(lib) -> None:
     lib.slice_cols_fill.restype = None
     lib.prefix_sum.argtypes = [i64p, ctypes.c_int64, i64p]
     lib.prefix_sum.restype = None
+    lib.set_threads.argtypes = [ctypes.c_int]
+    lib.set_threads.restype = None
 
 
 def _ptr(a: np.ndarray, ct):

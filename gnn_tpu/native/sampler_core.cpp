@@ -35,6 +35,22 @@
 
 extern "C" {
 
+// Per-call OpenMP width. The pipeline tunes this so that
+// (pool workers x OMP threads) ~= 2x physical cores — oversubscription
+// measurably collapses throughput (127 -> 40 ms/batch on a 4-core host
+// going from 4x4 to 4x2).
+static int g_threads = 0;
+
+void set_threads(int n) { g_threads = n; }
+
+static int eff_threads() {
+#ifdef _OPENMP
+  return g_threads > 0 ? g_threads : omp_get_max_threads();
+#else
+  return 1;
+#endif
+}
+
 // pi[c] = |{(r, c) in U}| for U = A[prev, :].
 // indptr: int64[N+1], indices: int32[nnz], prev: int32[n_prev]
 // out_pi: float64[n_cols] (pre-zeroed by caller)
@@ -84,19 +100,35 @@ void scale_skew(double* pi, const int32_t* skew, int64_t n_skew,
 
 // Sample k indices without replacement with prob ~ pi (Gumbel top-k).
 // Returns the actual count (= min(k, #nonzero)). out: int32[k].
+// Key generation is OpenMP-parallel (per-thread RNG streams seeded from
+// `seed` + thread id — deterministic for a fixed seed and thread count).
 int64_t gumbel_topk(const double* pi, int64_t n, int64_t k, uint64_t seed,
                     int32_t* out) {
-  // collect nonzero entries with keys log(pi) + Gumbel
-  std::vector<std::pair<float, int32_t>> keys;
-  keys.reserve(1 << 16);
-  std::mt19937_64 rng(seed);
-  std::uniform_real_distribution<double> unif(1e-300, 1.0);
-  for (int64_t i = 0; i < n; ++i) {
-    if (pi[i] > 0) {
-      double g = -std::log(-std::log(unif(rng)));
-      keys.emplace_back((float)(std::log(pi[i]) + g), (int32_t)i);
+  int nt = eff_threads();
+  std::vector<std::vector<std::pair<float, int32_t>>> parts(nt);
+#pragma omp parallel num_threads(nt)
+  {
+    int t = 0;
+#ifdef _OPENMP
+    t = omp_get_thread_num();
+#endif
+    std::mt19937_64 rng(seed * 0x9E3779B97F4A7C15ULL + t);
+    std::uniform_real_distribution<double> unif(1e-300, 1.0);
+    auto& mine = parts[t];
+    mine.reserve(1 << 14);
+    int64_t lo = n * t / nt, hi = n * (t + 1) / nt;
+    for (int64_t i = lo; i < hi; ++i) {
+      if (pi[i] > 0) {
+        double g = -std::log(-std::log(unif(rng)));
+        mine.emplace_back((float)(std::log(pi[i]) + g), (int32_t)i);
+      }
     }
   }
+  std::vector<std::pair<float, int32_t>> keys;
+  size_t total = 0;
+  for (auto& p : parts) total += p.size();
+  keys.reserve(total);
+  for (auto& p : parts) keys.insert(keys.end(), p.begin(), p.end());
   int64_t m = (int64_t)keys.size();
   int64_t take = std::min(k, m);
   if (take < m) {
@@ -112,7 +144,7 @@ int64_t gumbel_topk(const double* pi, int64_t n, int64_t k, uint64_t seed,
 void slice_cols_count(const int64_t* indptr, const int32_t* indices,
                       const int32_t* prev, int64_t n_prev,
                       const int32_t* pos, int64_t* out_rowlen) {
-#pragma omp parallel for schedule(dynamic, 64)
+#pragma omp parallel for schedule(dynamic, 64) num_threads(eff_threads())
   for (int64_t i = 0; i < n_prev; ++i) {
     int64_t s = indptr[prev[i]], e = indptr[prev[i] + 1];
     int64_t c = 0;
@@ -129,7 +161,7 @@ void slice_cols_fill(const int64_t* indptr, const int32_t* indices,
                      const int32_t* pos, const float* normfact,
                      const int64_t* row_off, int32_t* out_rows,
                      int32_t* out_cols, float* out_vals) {
-#pragma omp parallel for schedule(dynamic, 64)
+#pragma omp parallel for schedule(dynamic, 64) num_threads(eff_threads())
   for (int64_t i = 0; i < n_prev; ++i) {
     int64_t s = indptr[prev[i]], e = indptr[prev[i] + 1];
     int64_t w = row_off[i];

@@ -129,12 +129,16 @@ def pack_coo(
         nnz_pad = max(_round_up(max(nnz, 1), 512), 512)
     if nnz > nnz_pad:
         raise ValueError(f"nnz {nnz} exceeds pad {nnz_pad}")
-    r = np.zeros(nnz_pad, np.int32)
-    c = np.zeros(nnz_pad, np.int32)
-    v = np.zeros(nnz_pad, np.float32)
+    r = np.empty(nnz_pad, np.int32)
+    c = np.empty(nnz_pad, np.int32)
+    v = np.empty(nnz_pad, np.float32)
     r[:nnz] = rows
     c[:nnz] = cols
     v[:nnz] = vals
+    # only the pad tail needs defined values (zero vals => no-op edges)
+    r[nnz:] = 0
+    c[nnz:] = 0
+    v[nnz:] = 0
     return COOAdj(
         rows=r, cols=c, vals=v,
         n_valid_rows=np.int32(n_valid_rows),

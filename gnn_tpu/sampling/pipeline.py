@@ -66,7 +66,30 @@ def _repad_blocked(adj: sparse_ops.BlockedAdj, max_blk: int,
 
 def stack_minibatches(mbs: Sequence[MiniBatch]) -> MiniBatch:
     """Re-pad `world_size` minibatches to common bucketed shapes and stack
-    every array leaf along a new leading device axis."""
+    every array leaf along a new leading device axis.
+
+    The single-replica case adds the axis with zero-copy views."""
+    if len(mbs) == 1:
+        mb = mbs[0]
+        ex = lambda a: np.expand_dims(a, 0)
+        adjs = []
+        for adj in mb.adjs:
+            if adj is None:
+                adjs.append(None)
+                continue
+            fields = {f.name: ex(getattr(adj, f.name))
+                      for f in dataclasses.fields(adj)
+                      if isinstance(getattr(adj, f.name), np.ndarray)}
+            adjs.append(dataclasses.replace(
+                adj, **fields,
+                n_valid_rows=np.asarray([adj.n_valid_rows]),
+                n_valid_cols=np.asarray([adj.n_valid_cols])))
+        return MiniBatch(
+            adjs=adjs,
+            sampled_nodes=[ex(s) for s in mb.sampled_nodes],
+            input_nodes=ex(mb.input_nodes), n_input=mb.n_input,
+            input_mask=ex(mb.input_mask), labels=ex(mb.labels),
+            label_mask=ex(mb.label_mask), batch_nodes=ex(mb.batch_nodes))
     n_layers = len(mbs[0].adjs)
     adjs = []
     for l in range(n_layers):
@@ -119,7 +142,7 @@ class BatchPipeline:
 
     def __init__(self, cfg: SamplerConfig, lap_matrix, labels_full,
                  world_size: int = 1, pool_num: int = 4,
-                 queue_depth: int = 32,
+                 queue_depth: int = 8,
                  skewed_sampling_nodes: Optional[List[np.ndarray]] = None,
                  local_shuffle: bool = False, seed: int = 0):
         self.cfg = cfg
@@ -133,6 +156,18 @@ class BatchPipeline:
         self._sampler = SAMPLERS[cfg.sampler]
         self._rng = np.random.default_rng(seed)
         self._epoch = 0
+        # tune native OpenMP width so pool x OMP ~= 2x cores (measured
+        # optimum on this class of host; oversubscription collapses
+        # throughput - see benchmarks/RESULTS.md)
+        try:
+            from gnn_tpu import native as _native
+            lib = _native.get_lib()
+            if lib is not None:
+                import os as _os
+                ncpu = _os.cpu_count() or 4
+                lib.set_threads(max(1, round(2 * ncpu / max(pool_num, 1))))
+        except Exception:
+            pass
 
     def _sample_one(self, seed, batch_nodes, cfg=None):
         return self._sampler(cfg or self.cfg, seed, batch_nodes, self.lap,
@@ -183,6 +218,10 @@ class BatchPipeline:
                 group.append(self.pool.submit(self._sample_one, seed, chunk))
             return group
 
+        # shallow prefetch: once `depth` steps are ready the workers
+        # idle, freeing host cores for the main thread's H2D +
+        # dispatch (a deep queue keeps all cores hot with sampling and
+        # starves the transfer path - measured 73 MB/s vs 2.2 GB/s H2D)
         depth = max(self.queue_depth // max(ws, 1), 2)
         while submitted < num_steps and submitted < depth:
             futures.append(submit_step(submitted))
