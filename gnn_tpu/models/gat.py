@@ -92,6 +92,35 @@ class GATConv(nn.Module):
             jnp.take(x, sampled_nodes, axis=0)))
 
 
+class GATEncoder(nn.Module):
+    """Stack of GATConv layers, drop-in alongside GraphSage/GCN.
+
+    Memory note: the tile-wise attention materializes a dense tile mask
+    per layer ([n_rt * n_ct, bm, bk]); suitable for small/medium
+    minibatches (samp_num up to ~2048). Larger scales should use the
+    occupied-tile (pack_stream) route — a round-2 item.
+    """
+
+    nhid: int
+    orders: Sequence[int]
+    dropout: float = 0.1
+
+    @property
+    def out_dim(self) -> int:
+        return self.nhid
+
+    @nn.compact
+    def __call__(self, x, adjs, sampled_nodes, *, deterministic: bool):
+        for i, order in enumerate(self.orders):
+            if order > 0:
+                x = GATConv(self.nhid, name=f"gcs_{i}")(
+                    x, adjs[i], sampled_nodes[i])
+            else:
+                x = nn.elu(nn.Dense(self.nhid, name=f"gcs_{i}")(x))
+            x = nn.Dropout(self.dropout, deterministic=deterministic)(x)
+        return x
+
+
 def _stream_aggregate(stream: StreamBlocks, x):
     try:
         if jax.default_backend() == "tpu":

@@ -151,6 +151,10 @@ def build_model(model: str, nhid: int, orders: Sequence[int],
         encoder = GraphSage(nhid=nhid, orders=tuple(orders), dropout=dropout)
     elif model == "gcn":
         encoder = GCN(nhid=nhid, orders=tuple(orders), dropout=dropout)
+    elif model == "gat":
+        from gnn_tpu.models.gat import GATEncoder
+        encoder = GATEncoder(nhid=nhid, orders=tuple(orders),
+                             dropout=dropout)
     else:
         raise ValueError(f"unknown model {model!r}")
     return GNN(encoder=encoder, num_classes=num_classes, dropout=dropout)

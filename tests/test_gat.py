@@ -70,3 +70,28 @@ def test_gat_conv_matches_dense_attention():
     pre = att @ v + selfp
     expected = np.where(pre > 0, pre, np.expm1(pre))
     np.testing.assert_allclose(out, expected, rtol=2e-4, atol=2e-4)
+
+
+def test_gat_trains_end_to_end(small_graph):
+    import jax
+    from gnn_tpu.models.gnn import build_model
+    from gnn_tpu.parallel.mesh import make_mesh
+    from gnn_tpu.sampling.ladies import SamplerConfig
+    from gnn_tpu.sampling.pipeline import BatchPipeline
+    from gnn_tpu.train.trainer import Trainer
+    from gnn_tpu.utils.normalize import build_laplacian
+
+    lap = build_laplacian(small_graph.adj_full, "gcn")
+    cfg = SamplerConfig(batch_size=64, samp_num=128, orders=(1, 1),
+                        num_nodes=small_graph.adj_full.shape[0],
+                        num_classes=small_graph.num_classes)
+    pipe = BatchPipeline(cfg, lap, small_graph.labels, world_size=2,
+                         pool_num=2)
+    net = build_model("gat", nhid=16, orders=(1, 1),
+                      num_classes=small_graph.num_classes)
+    tr = Trainer(net, pipe, small_graph.feats, mesh=make_mesh(2), lr=0.01,
+                 sigmoid_loss=False)
+    hist = tr.fit(small_graph.train_nodes, small_graph.valid_nodes,
+                  epochs=2, log=False)
+    assert hist[-1].train_loss < hist[0].train_loss
+    assert hist[-1].valid_f1 > 0.3
