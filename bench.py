@@ -41,6 +41,17 @@ def main():
     from gnn_tpu.sampling.ladies import SamplerConfig, ladies_sample
     from gnn_tpu.utils.normalize import build_laplacian
 
+    try:
+        import os as _os
+        jax.config.update(
+            "jax_compilation_cache_dir",
+            _os.environ.get("JAX_COMPILATION_CACHE_DIR",
+                            _os.path.join(_os.path.expanduser("~"),
+                                          ".cache", "jax_comp_cache")))
+        jax.config.update("jax_persistent_cache_min_compile_time_secs",
+                          1.0)
+    except Exception:
+        pass
     on_tpu = jax.default_backend() == "tpu"
     log(f"backend: {jax.default_backend()}")
 
