@@ -169,7 +169,16 @@ def pagraph_placement(train_nodes: np.ndarray, lap: sp.csr_matrix,
                       sample_prob: np.ndarray, num_devs: int,
                       num_conv_layers: int, per_dev: int,
                       nblocks: int = 20) -> Placement:
-    """PaGraph Algorithm 1 (`preprocess.py:267-309`)."""
+    """PaGraph Algorithm 1 (`preprocess.py:267-309`).
+
+    Note an intentional divergence: the reference's per-device buffer
+    extraction (`preprocess.py:305`) runs ``list.index`` over subset
+    probabilities and then uses those *positions within the subset* as
+    global node ids — an id/index confusion that buffers the wrong nodes
+    whenever a device's node set is not a prefix of ``range(N)``. We
+    implement the evidently intended semantics: buffer the ``per_dev``
+    nodes of the device's set with the highest ``sample_prob``.
+    """
     n = lap.shape[1]
     block_size = max(len(train_nodes) // nblocks, 1)
     nodes_sets: List[np.ndarray] = []
