@@ -72,8 +72,49 @@ def load_graphsaint_data(graph_name: str, root_dir: str) -> GraphData:
                      test_nodes=np.array(role["te"]))
 
 
+def load_mag240M(root_dir: str) -> GraphData:
+    """MAG240M-LSC loader (`preprocess.py:100-143`); needs `ogb.lsc`.
+
+    Paper-paper citation graph symmetrized to CSR, paper features,
+    labels densified to an indicator CSR over the valid (labeled) rows.
+    """
+    try:
+        from ogb.lsc import MAG240MDataset
+    except ImportError as e:  # pragma: no cover
+        raise ImportError(
+            "MAG240M needs the optional 'ogb' package (ogb.lsc), which "
+            "is not installed in this environment.") from e
+    data = MAG240MDataset(root=root_dir)
+    row, col = data.edge_index("paper", "paper")
+    n = data.num_papers
+    rows = np.concatenate([row, col])
+    cols = np.concatenate([col, row])
+    adj_full = sp.csr_matrix(
+        (np.ones(len(rows), np.float32), (rows, cols)), shape=(n, n))
+    adj_full.data[:] = 1.0
+    feats = np.asarray(data.paper_feat, np.float32)
+    y = np.asarray(data.paper_label, np.float64)
+    valid = ~np.isnan(y)
+    offset = int(np.nanmin(y))
+    num_classes = int(np.nanmax(y) - offset + 1)
+    li = np.flatnonzero(valid)
+    labels = sp.csr_matrix(
+        (np.ones(len(li), np.int32),
+         (li, y[li].astype(np.int64) - offset)), shape=(n, num_classes))
+    split = data.get_idx_split()
+    print("feat dim: ", feats.shape, flush=True)
+    print("label dim: ", labels.shape, flush=True)
+    return GraphData(adj_full=adj_full, labels=labels, feats=feats,
+                     num_classes=num_classes,
+                     train_nodes=np.asarray(split["train"]),
+                     valid_nodes=np.asarray(split["valid"]),
+                     test_nodes=np.asarray(split["test"]))
+
+
 def load_ogbn_data(graph_name: str, root_dir: str) -> GraphData:
     """OGB loader (`preprocess.py:55-97`); needs the `ogb` package."""
+    if graph_name == "mag240m_kddcup2021":
+        return load_mag240M(root_dir)
     try:
         from ogb.nodeproppred import NodePropPredDataset
     except ImportError as e:  # pragma: no cover
