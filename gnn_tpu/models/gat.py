@@ -63,14 +63,21 @@ def masked_tile_softmax(blk_rc, scores, mask, n_rt):
 
 
 class GATConv(nn.Module):
-    """Single-head dot-product graph attention over a sampled adjacency."""
+    """Multi-head dot-product graph attention over a sampled adjacency.
+
+    Heads are vmapped over the per-head score/softmax/aggregate pipeline
+    and concatenated; ``n_out`` must divide by ``n_heads``.
+    """
 
     n_out: int
+    n_heads: int = 1
     bm: int = 128
     bk: int = 128
 
     @nn.compact
     def __call__(self, x, adj: sparse_ops.COOAdj, sampled_nodes):
+        assert self.n_out % self.n_heads == 0
+        d = self.n_out // self.n_heads
         q = nn.Dense(self.n_out, name="q")(x)
         k = nn.Dense(self.n_out, name="k")(x)
         v = nn.Dense(self.n_out, name="v")(x)
@@ -81,13 +88,20 @@ class GATConv(nn.Module):
         q_rows = jnp.take(q, sampled_nodes, axis=0)
         q_pad = jnp.zeros((adj.nrows, self.n_out), q.dtype
                           ).at[: q_rows.shape[0]].set(q_rows)
-        scores = sddmm_reference(blk_rc, q_pad, k, self.bm, self.bk)
-        scores = scores / jnp.sqrt(jnp.float32(self.n_out))
-        att = masked_tile_softmax(blk_rc, scores, mask, n_rt)
-        stream = StreamBlocks(blk_rc=blk_rc, vals=att, nrows=adj.nrows,
-                              ncols=adj.ncols, bm=self.bm, bk=self.bk)
-        # aggregation: jnp path (CPU) or pallas stream (TPU)
-        agg = _stream_aggregate(stream, v)
+
+        def one_head(qh, kh, vh):
+            scores = sddmm_reference(blk_rc, qh, kh, self.bm, self.bk)
+            scores = scores / jnp.sqrt(jnp.float32(d))
+            att = masked_tile_softmax(blk_rc, scores, mask, n_rt)
+            stream = StreamBlocks(blk_rc=blk_rc, vals=att,
+                                  nrows=adj.nrows, ncols=adj.ncols,
+                                  bm=self.bm, bk=self.bk)
+            return _stream_aggregate(stream, vh)
+
+        split = lambda a: jnp.moveaxis(
+            a.reshape(a.shape[0], self.n_heads, d), 1, 0)
+        heads = jax.vmap(one_head)(split(q_pad), split(k), split(v))
+        agg = jnp.moveaxis(heads, 0, 1).reshape(adj.nrows, self.n_out)
         return nn.elu(agg + nn.Dense(self.n_out, name="self")(
             jnp.take(x, sampled_nodes, axis=0)))
 
@@ -104,6 +118,7 @@ class GATEncoder(nn.Module):
     nhid: int
     orders: Sequence[int]
     dropout: float = 0.1
+    n_heads: int = 1
 
     @property
     def out_dim(self) -> int:
@@ -113,7 +128,8 @@ class GATEncoder(nn.Module):
     def __call__(self, x, adjs, sampled_nodes, *, deterministic: bool):
         for i, order in enumerate(self.orders):
             if order > 0:
-                x = GATConv(self.nhid, name=f"gcs_{i}")(
+                x = GATConv(self.nhid, n_heads=self.n_heads,
+                            name=f"gcs_{i}")(
                     x, adjs[i], sampled_nodes[i])
             else:
                 x = nn.elu(nn.Dense(self.nhid, name=f"gcs_{i}")(x))

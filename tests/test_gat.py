@@ -95,3 +95,37 @@ def test_gat_trains_end_to_end(small_graph):
                   epochs=2, log=False)
     assert hist[-1].train_loss < hist[0].train_loss
     assert hist[-1].valid_f1 > 0.3
+
+
+def test_multihead_matches_manual_two_head():
+    rng = np.random.RandomState(3)
+    nr, nc, f, h = 128, 128, 10, 8
+    adj, rows, cols = _adj(rng, nr, nc)
+    x = jnp.asarray(rng.randn(nc, f).astype(np.float32))
+    sampled = jnp.arange(nr, dtype=jnp.int32)
+    layer = GATConv(n_out=h, n_heads=2)
+    params = layer.init(jax.random.PRNGKey(0), x, adj, sampled)
+    out = np.asarray(layer.apply(params, x, adj, sampled))
+
+    p = params["params"]
+    q = np.asarray(x) @ np.asarray(p["q"]["kernel"]) + np.asarray(p["q"]["bias"])
+    k = np.asarray(x) @ np.asarray(p["k"]["kernel"]) + np.asarray(p["k"]["bias"])
+    v = np.asarray(x) @ np.asarray(p["v"]["kernel"]) + np.asarray(p["v"]["bias"])
+    pattern = np.zeros((nr, nc), bool)
+    pattern[rows, cols] = True
+    d = h // 2
+    aggs = []
+    for hd in range(2):
+        qh, kh, vh = (a[:, hd * d:(hd + 1) * d] for a in (q, k, v))
+        logits = (qh @ kh.T) / np.sqrt(d)
+        logits = np.where(pattern, logits, -np.inf)
+        att = np.exp(logits - logits.max(1, keepdims=True))
+        att = np.where(pattern, att, 0)
+        att /= att.sum(1, keepdims=True)
+        aggs.append(att @ vh)
+    agg = np.concatenate(aggs, axis=1)
+    selfp = (np.asarray(x) @ np.asarray(p["self"]["kernel"])
+             + np.asarray(p["self"]["bias"]))
+    pre = agg + selfp
+    expected = np.where(pre > 0, pre, np.expm1(pre))
+    np.testing.assert_allclose(out, expected, rtol=3e-4, atol=3e-4)
