@@ -38,7 +38,14 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--cuda", type=str, default="",
                    help="accepted for reference compatibility; ignored "
                         "(use --n_devices)")
-    p.add_argument("--sigmoid_loss", action="store_true", default=False)
+    # reference `main.py:44` declares type=bool default=True, which makes
+    # sigmoid BCE effectively always on; default True matches that, and
+    # --no_sigmoid_loss provides the off switch argparse-bool can't express
+    p.add_argument("--sigmoid_loss", dest="sigmoid_loss",
+                   action="store_true", default=True)
+    p.add_argument("--no_sigmoid_loss", dest="sigmoid_loss",
+                   action="store_false",
+                   help="train with softmax cross-entropy instead of BCE")
     p.add_argument("--local_shuffle", action="store_true")
     p.add_argument("--buffer_size", type=float, default=0.2,
                    help="fraction of nodes buffered per device")

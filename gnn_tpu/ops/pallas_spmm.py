@@ -147,6 +147,17 @@ def stream_spmm(stream: StreamBlocks, x: jnp.ndarray,
         # leave headroom for the vals stream + out accumulators)
         budget = 64 * 1024 * 1024 // max(C * x.dtype.itemsize, 1)
         f_tile = min(_round_up(F, 128), max(128, (budget // 128) * 128))
+    # the kernel keeps the whole (C, f_tile) x-block resident; past ~200K
+    # f32 rows even the minimum f_tile of 128 exceeds the VMEM limit and
+    # the failure would otherwise surface as an opaque Mosaic compile
+    # error deep in the stack — fail early with a recipe instead
+    if C * f_tile * x.dtype.itemsize > 100 * 1024 * 1024:
+        raise ValueError(
+            f"stream_spmm: x block ({C} rows x f_tile {f_tile}, "
+            f"{C * f_tile * x.dtype.itemsize / 2**20:.0f} MiB) exceeds the "
+            f"100 MiB VMEM budget; shard the graph over a mesh "
+            f"(gnn_tpu.parallel.halo) or fall back to the chunked COO "
+            f"path (COOAdj) for C this large")
     n_ft = pl.cdiv(F, f_tile)
     grid = (n_ft, nb)
 

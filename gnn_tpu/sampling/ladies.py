@@ -43,21 +43,31 @@ from gnn_tpu.ops import sparse as sparse_ops
 
 # Native (C++/OpenMP) host sampling core — JIT-built like the reference's
 # extension (`custom_sparse_ops.py:8`); numpy fallback when unavailable.
+# The cache holds only a weak reference to each laplacian, so graphs (and
+# their int64/int32/f32 native copies) are evicted as soon as the caller
+# drops the matrix instead of pinning host RAM for the process lifetime.
 _NATIVE_GRAPHS: dict = {}
 
 
 def _native_graph(lap):
-    """Cache a NativeCSR view of a laplacian (keyed by object id)."""
+    """Cache a NativeCSR view of a laplacian (weakref-keyed by object id)."""
+    import weakref
+
     from gnn_tpu import native as _native
     lib = _native.get_lib()
     if lib is None:
         return None, None
     key = id(lap)
     entry = _NATIVE_GRAPHS.get(key)
-    if entry is None or entry[0] is not lap:
-        entry = (lap, _native.NativeCSR(lap))
-        _NATIVE_GRAPHS[key] = entry
-    return lib, entry[1]
+    if entry is not None and entry[0]() is lap:
+        return lib, entry[1]
+
+    def _evict(_ref, _key=key):
+        _NATIVE_GRAPHS.pop(_key, None)
+
+    ncsr = _native.NativeCSR(lap)
+    _NATIVE_GRAPHS[key] = (weakref.ref(lap, _evict), ncsr)
+    return lib, ncsr
 
 
 def _round_up(x: int, m: int) -> int:
@@ -320,7 +330,12 @@ def subgraph_sample(
         rows, cols, vals = _slice_cols_to_coo(Usq, after, normfact)
         adjs.append(_pack_adj(cfg, rows, cols, vals, len(after), len(after),
                               r_cap, cap_bottom))
-        sampled.append(np.arange(r_cap, dtype=np.int32) % max(len(after), 1))
+        # deeper layers' rows ARE the shared node set, so sampled_nodes is
+        # the identity on valid rows; padded rows point at input 0 (same
+        # convention as the LADIES path — the loss masks them)
+        s_pad = np.zeros(r_cap, np.int32)
+        s_pad[: len(after)] = np.arange(len(after), dtype=np.int32)
+        sampled.append(s_pad)
     adjs.reverse()
     sampled.reverse()
     return _finalize_batch(cfg, caps, after, batch_nodes, adjs, sampled,

@@ -30,8 +30,6 @@ from gnn_tpu.ops import sparse as sparse_ops
 from gnn_tpu.sampling.ladies import (MiniBatch, SamplerConfig, SAMPLERS,
                                      bucket_size)
 
-_epoch_counter = 0
-
 
 def _repad_coo(adj: sparse_ops.COOAdj, nnz_pad: int) -> sparse_ops.COOAdj:
     cur = adj.rows.shape[0]
@@ -212,8 +210,17 @@ class BatchPipeline:
             group = []
             for r in range(ws):
                 chunk = per_rank[r][j * bs:(j + 1) * bs]
-                if len(chunk) == 0:  # rank exhausted: resample from start
-                    chunk = per_rank[r][:bs]
+                if len(chunk) == 0:
+                    # rank exhausted before num_steps (uneven chunk sizes):
+                    # keep cycling its shuffled permutation rather than
+                    # reusing the first batch, so no example within the
+                    # rank is repeated before the whole chunk recurs
+                    # (the reference simply runs fewer batches on such
+                    # ranks, `sampler.py:170-175`; a static mesh needs a
+                    # batch per rank every step)
+                    nr = len(per_rank[r])
+                    idx = np.arange(j * bs, j * bs + bs) % max(nr, 1)
+                    chunk = per_rank[r][idx]
                 seed = int(self._rng.integers(2 ** 31 - 1))
                 group.append(self.pool.submit(self._sample_one, seed, chunk))
             return group

@@ -80,3 +80,22 @@ def test_eval_modes(small_graph):
     test = list(pipe.eval_batches(small_graph.test_nodes, 128, "test"))
     total = sum(int(mb.label_mask.sum()) for mb in test)
     assert total == len(small_graph.test_nodes)
+
+
+def test_exhausted_rank_cycles_permutation(small_graph):
+    """A rank whose chunk runs out before num_steps must keep cycling its
+    shuffled permutation (no example repeated before the whole chunk
+    recurs), not resample its first batch every step."""
+    pipe, _, _ = _pipe(small_graph, 2)
+    # rank 0 owns 3 batches worth, rank 1 only 1 batch worth
+    chunks = [small_graph.train_nodes[:96], small_graph.train_nodes[96:128]]
+    seen_r1 = []
+    for mb in pipe.train_epoch(small_graph.train_nodes, rank_chunks=chunks):
+        valid = int(mb.label_mask[1].sum())
+        seen_r1.append(np.asarray(mb.batch_nodes[1][:valid]))
+    assert len(seen_r1) == 3
+    # each step trains rank-1's full 32-node chunk (a cycle), never a
+    # strict repeat of only the first batch subset
+    for batch in seen_r1:
+        np.testing.assert_array_equal(np.sort(batch),
+                                      np.sort(chunks[1]))
