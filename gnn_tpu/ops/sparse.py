@@ -122,16 +122,27 @@ def pack_coo(
     nrows_pad: int,
     ncols_pad: int,
     nnz_pad: Optional[int] = None,
+    compress: bool = False,
 ) -> COOAdj:
-    """Pack host COO arrays into a padded :class:`COOAdj` (numpy, no jax)."""
+    """Pack host COO arrays into a padded :class:`COOAdj` (numpy, no jax).
+
+    ``compress=True`` ships int16 indices (when the padded shape fits) and
+    bfloat16 values, halving the per-step host->device payload — the
+    static-pad generalization of the reference's int16 colidx trick
+    (`sampler.py:136`), minus its hard 32767-node cap (larger pads simply
+    fall back to int32). The device side upcasts before aggregating.
+    """
     nnz = len(rows)
     if nnz_pad is None:
         nnz_pad = max(_round_up(max(nnz, 1), 512), 512)
     if nnz > nnz_pad:
         raise ValueError(f"nnz {nnz} exceeds pad {nnz_pad}")
-    r = np.empty(nnz_pad, np.int32)
-    c = np.empty(nnz_pad, np.int32)
-    v = np.empty(nnz_pad, np.float32)
+    ridx = np.int16 if (compress and nrows_pad <= 32768) else np.int32
+    cidx = np.int16 if (compress and ncols_pad <= 32768) else np.int32
+    vdt = jnp.bfloat16 if compress else np.float32
+    r = np.empty(nnz_pad, ridx)
+    c = np.empty(nnz_pad, cidx)
+    v = np.empty(nnz_pad, vdt)
     r[:nnz] = rows
     c[:nnz] = cols
     v[:nnz] = vals
@@ -228,8 +239,12 @@ def _coo_aggregate(rows, cols, vals, x, nrows):
     """y[r] = sum_e vals[e] * x[cols[e]] for edges with rows[e]==r.
 
     Edges are processed in fixed-size chunks under ``lax.scan`` so peak
-    memory is [chunk, F] regardless of nnz.
+    memory is [chunk, F] regardless of nnz. Compressed (int16/bf16)
+    operands are upcast on device — a fused elementwise op, so the H2D
+    savings are free.
     """
+    rows = rows.astype(jnp.int32)
+    cols = cols.astype(jnp.int32)
     nnz = rows.shape[0]
     if nnz <= _COO_CHUNK:
         gathered = jnp.take(x, cols, axis=0)  # [nnz, F]
@@ -271,7 +286,9 @@ def to_dense(adj) -> jnp.ndarray:
     """Materialize the padded adjacency densely (tests / small problems)."""
     if isinstance(adj, COOAdj):
         d = jnp.zeros((adj.nrows, adj.ncols), jnp.float32)
-        return d.at[adj.rows, adj.cols].add(adj.vals)
+        return d.at[adj.rows.astype(jnp.int32),
+                    adj.cols.astype(jnp.int32)].add(
+                        adj.vals.astype(jnp.float32))
     n_rt = adj.block_cols.shape[0]
     n_tc = adj.ncols // adj.bk
     d = jnp.zeros((n_rt, n_tc, adj.bm, adj.bk), jnp.float32)

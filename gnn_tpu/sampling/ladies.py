@@ -97,6 +97,10 @@ class SamplerConfig:
     bm: int = 128
     bk: int = 128
     node_pad_multiple: int = 128
+    # ship COO layers as int16 indices + bf16 values (halves the H2D
+    # payload; device upcasts). Indices silently widen to int32 when a
+    # layer's padded shape exceeds the int16 range.
+    compress: bool = True
 
     def layer_caps(self) -> List[int]:
         """Static per-level node-count caps, bottom-up.
@@ -201,7 +205,8 @@ def _pack_adj(cfg: SamplerConfig, rows, cols, vals, n_rows, n_cols,
             bm=cfg.bm, bk=cfg.bk)
     nnz_pad = bucket_size(max(len(rows), 1))
     return sparse_ops.pack_coo(rows, cols, vals, n_rows, n_cols,
-                               r_cap, c_cap, nnz_pad)
+                               r_cap, c_cap, nnz_pad,
+                               compress=cfg.compress)
 
 
 def _layer_probability(U: sp.csr_matrix, skew_nodes, scale_factor):

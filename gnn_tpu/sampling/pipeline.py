@@ -38,9 +38,9 @@ def _repad_coo(adj: sparse_ops.COOAdj, nnz_pad: int) -> sparse_ops.COOAdj:
     pad = nnz_pad - cur
     return dataclasses.replace(
         adj,
-        rows=np.concatenate([adj.rows, np.zeros(pad, np.int32)]),
-        cols=np.concatenate([adj.cols, np.zeros(pad, np.int32)]),
-        vals=np.concatenate([adj.vals, np.zeros(pad, np.float32)]),
+        rows=np.concatenate([adj.rows, np.zeros(pad, adj.rows.dtype)]),
+        cols=np.concatenate([adj.cols, np.zeros(pad, adj.cols.dtype)]),
+        vals=np.concatenate([adj.vals, np.zeros(pad, adj.vals.dtype)]),
     )
 
 

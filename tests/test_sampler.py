@@ -132,3 +132,33 @@ def test_bucket_size_monotone():
     assert bucket_size(1024) == 1024
     b1, b2 = bucket_size(3000), bucket_size(3001)
     assert b1 >= 3000 and b2 >= 3001 and b2 >= b1
+
+
+def test_compressed_payload_half(small_graph):
+    """compress=True ships int16 indices + bf16 values -> COO payload
+    bytes halve vs the uncompressed format, with identical edge sets."""
+    import dataclasses
+    from gnn_tpu.utils.normalize import build_laplacian
+
+    lap = build_laplacian(small_graph.adj_full, "graphsage")
+    kw = dict(batch_size=64, samp_num=256, orders=(1, 1),
+              num_nodes=small_graph.adj_full.shape[0],
+              num_classes=small_graph.num_classes)
+    cfg_c = SamplerConfig(compress=True, **kw)
+    cfg_u = SamplerConfig(compress=False, **kw)
+    mb_c = ladies_sample(cfg_c, 7, small_graph.train_nodes[:64], lap,
+                         small_graph.labels)
+    mb_u = ladies_sample(cfg_u, 7, small_graph.train_nodes[:64], lap,
+                         small_graph.labels)
+
+    def payload(mb):
+        return sum(a.rows.nbytes + a.cols.nbytes + a.vals.nbytes
+                   for a in mb.adjs if a is not None)
+
+    assert payload(mb_c) * 2 == payload(mb_u)
+    for ac, au in zip(mb_c.adjs, mb_u.adjs):
+        assert ac.rows.dtype == np.int16 and ac.cols.dtype == np.int16
+        np.testing.assert_array_equal(ac.rows.astype(np.int32), au.rows)
+        np.testing.assert_array_equal(ac.cols.astype(np.int32), au.cols)
+        np.testing.assert_allclose(ac.vals.astype(np.float32), au.vals,
+                                   rtol=5e-3)
