@@ -62,8 +62,15 @@ def build_parser() -> argparse.ArgumentParser:
     # --- TPU-native extensions ---
     p.add_argument("--n_devices", type=int, default=0,
                    help="mesh size (0 = all available devices)")
-    p.add_argument("--adj_format", type=str, default="coo",
-                   choices=["coo", "blocked"])
+    p.add_argument("--adj_format", type=str, default="hot",
+                   choices=["coo", "blocked", "hot"],
+                   help="'hot' = resident hot-subgraph dense block + cold "
+                        "COO residual (fastest device path); 'coo' = "
+                        "portable chunked segment-sum; 'blocked' = Pallas "
+                        "tile stream")
+    p.add_argument("--hot_k", type=int, default=16384,
+                   help="hot-subgraph size (top-K nodes by sample_prob) "
+                        "for --adj_format hot")
     p.add_argument("--feature_cache", action="store_true",
                    help="use the placement-driven sharded HBM cache "
                         "instead of a replicated feature table")
@@ -138,10 +145,22 @@ def main(argv=None) -> int:
         if scale_factor <= 1.0:
             scale_factor = 1.0  # tuner may raise it during training
 
+    hot_spec = None
+    hot_dense = None
+    if args.adj_format == "hot":
+        from gnn_tpu.ops.hotdense import HotSpec, build_hot_dense
+        from gnn_tpu.placement.engine import compute_sample_prob
+        prob = compute_sample_prob(lap, graph.train_nodes, sum(orders))
+        hot_spec = HotSpec.from_sample_prob(prob, args.hot_k)
+        hot_dense = build_hot_dense(lap, hot_spec)
+        print(f"hot block: K={hot_spec.k} "
+              f"({hot_dense.nbytes / 2**20:.0f} MiB resident)", flush=True)
+
     cfg = SamplerConfig(
         batch_size=args.batch_size, samp_num=args.samp_num, orders=orders,
         num_nodes=n, num_classes=graph.num_classes, sampler=args.sampler,
-        scale_factor=scale_factor, adj_format=args.adj_format)
+        scale_factor=scale_factor, adj_format=args.adj_format,
+        hot_spec=hot_spec)
     pipe = BatchPipeline(cfg, lap, graph.labels, world_size=n_devices,
                          pool_num=args.pool_num,
                          skewed_sampling_nodes=skew,
@@ -154,7 +173,8 @@ def main(argv=None) -> int:
         source = ReplicatedFeatures(graph.feats)
     trainer = Trainer(net, pipe, graph.feats, mesh=make_mesh(n_devices),
                       lr=args.lr, sigmoid_loss=args.sigmoid_loss,
-                      seed=args.seed, feature_source=source)
+                      seed=args.seed, feature_source=source,
+                      hot_dense=hot_dense)
 
     rank_chunks = None
     if args.local_shuffle and args.pagraph:

@@ -284,6 +284,16 @@ def _blocked_aggregate_jnp(block_cols, block_vals, x, bm, bk):
 
 def to_dense(adj) -> jnp.ndarray:
     """Materialize the padded adjacency densely (tests / small problems)."""
+    from gnn_tpu.ops import hotdense as _hot
+    if isinstance(adj, _hot.HotDenseAdj):
+        assert adj.dense is not None, "bind_dense first"
+        d = jnp.zeros((adj.nrows, adj.ncols), jnp.float32)
+        d = d.at[adj.rows.astype(jnp.int32),
+                 adj.cols.astype(jnp.int32)].add(
+                     adj.vals.astype(jnp.float32))
+        hot = adj.dense.astype(jnp.float32) * adj.nfh[None, :]
+        return d.at[adj.rowpos[:, None], adj.colpos[None, :]].add(
+            hot, mode="drop")
     if isinstance(adj, COOAdj):
         d = jnp.zeros((adj.nrows, adj.ncols), jnp.float32)
         return d.at[adj.rows.astype(jnp.int32),
@@ -320,6 +330,9 @@ def _use_pallas() -> bool:
 
 
 def _forward(adj, x):
+    from gnn_tpu.ops import hotdense as _hot
+    if isinstance(adj, _hot.HotDenseAdj):
+        return _hot.hot_forward(adj, x)
     if isinstance(adj, COOAdj):
         return _coo_aggregate(adj.rows, adj.cols, adj.vals, x, adj.nrows)
     if isinstance(adj, BlockedAdj):
@@ -333,6 +346,9 @@ def _forward(adj, x):
 
 
 def _transpose_forward(adj, g):
+    from gnn_tpu.ops import hotdense as _hot
+    if isinstance(adj, _hot.HotDenseAdj):
+        return _hot.hot_transpose(adj, g)
     if isinstance(adj, COOAdj):
         # A^T aggregation reuses the same COO with roles swapped.
         return _coo_aggregate(adj.cols, adj.rows, adj.vals, g, adj.ncols)

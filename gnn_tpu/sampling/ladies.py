@@ -93,7 +93,11 @@ class SamplerConfig:
     num_classes: int
     sampler: str = "ladies"        # 'ladies' | 'subgraph'
     scale_factor: float = 1.0
-    adj_format: str = "coo"        # 'coo' | 'blocked'
+    adj_format: str = "coo"        # 'coo' | 'blocked' | 'hot'
+    # 'hot' splits each layer into a device-resident dense hot-block part
+    # + a small shipped cold COO residual (gnn_tpu.ops.hotdense)
+    hot_spec: Optional[object] = dataclasses.field(
+        default=None, repr=False, compare=False)
     bm: int = 128
     bk: int = 128
     node_pad_multiple: int = 128
@@ -197,12 +201,25 @@ def _slice_cols_to_coo(U: sp.csr_matrix, after: np.ndarray,
 
 
 def _pack_adj(cfg: SamplerConfig, rows, cols, vals, n_rows, n_cols,
-              r_cap, c_cap):
+              r_cap, c_cap, prev=None, after=None, normfact=None):
     if cfg.adj_format == "blocked":
         # bucket max_blk so shapes are stable-ish across steps
         return sparse_ops.pack_blocked(
             rows, cols, vals, n_rows, n_cols, r_cap, c_cap,
             bm=cfg.bm, bk=cfg.bk)
+    if cfg.adj_format == "hot":
+        if cfg.hot_spec is None:
+            raise ValueError("adj_format='hot' needs SamplerConfig."
+                             "hot_spec (see gnn_tpu.ops.hotdense.HotSpec)")
+        from gnn_tpu.ops.hotdense import pack_hotdense
+        prev_slots = cfg.hot_spec.slot_of_node[prev]
+        after_slots = cfg.hot_spec.slot_of_node[after]
+        n_cold = int(np.count_nonzero(
+            (prev_slots[rows] < 0) | (after_slots[cols] < 0)))
+        return pack_hotdense(
+            cfg.hot_spec, rows, cols, vals, prev, after, normfact,
+            n_rows, n_cols, r_cap, c_cap,
+            nnz_pad=bucket_size(max(n_cold, 1)), compress=cfg.compress)
     nnz_pad = bucket_size(max(len(rows), 1))
     return sparse_ops.pack_coo(rows, cols, vals, n_rows, n_cols,
                                r_cap, c_cap, nnz_pad,
@@ -263,7 +280,8 @@ def ladies_sample(
                 np.float32)
             rows, cols, vals = _slice_cols_to_coo(U, after, normfact)
         adjs.append(_pack_adj(cfg, rows, cols, vals, len(prev), len(after),
-                              r_cap, c_cap))
+                              r_cap, c_cap, prev=prev, after=after,
+                              normfact=normfact))
         s = np.searchsorted(after, prev).astype(np.int32)
         s_pad = np.zeros(r_cap, np.int32)
         s_pad[: len(s)] = s
@@ -322,7 +340,9 @@ def subgraph_sample(
         else:
             rows, cols, vals = _slice_cols_to_coo(U, after, normfact)
             adjs.append(_pack_adj(cfg, rows, cols, vals, len(prev),
-                                  len(after), r_cap, cap_bottom))
+                                  len(after), r_cap, cap_bottom,
+                                  prev=prev, after=after,
+                                  normfact=normfact))
             s = np.searchsorted(after, prev).astype(np.int32)
             s_pad = np.zeros(r_cap, np.int32)
             s_pad[: len(s)] = s
@@ -334,7 +354,8 @@ def subgraph_sample(
         Usq = lap_matrix[after, :]
         rows, cols, vals = _slice_cols_to_coo(Usq, after, normfact)
         adjs.append(_pack_adj(cfg, rows, cols, vals, len(after), len(after),
-                              r_cap, cap_bottom))
+                              r_cap, cap_bottom, prev=after, after=after,
+                              normfact=normfact))
         # deeper layers' rows ARE the shared node set, so sampled_nodes is
         # the identity on valid rows; padded rows point at input 0 (same
         # convention as the LADIES path — the loss masks them)

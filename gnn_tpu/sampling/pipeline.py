@@ -95,7 +95,10 @@ def stack_minibatches(mbs: Sequence[MiniBatch]) -> MiniBatch:
             adjs.append(None)
             continue
         layer = [mb.adjs[l] for mb in mbs]
-        if isinstance(layer[0], sparse_ops.COOAdj):
+        from gnn_tpu.ops.hotdense import HotDenseAdj
+        if isinstance(layer[0], (sparse_ops.COOAdj, HotDenseAdj)):
+            # HotDenseAdj shares the COO cold-residual fields; its other
+            # leaves are fixed-shape and stack directly
             nnz = bucket_size(max(a.rows.shape[0] for a in layer))
             layer = [_repad_coo(a, nnz) for a in layer]
         else:

@@ -53,6 +53,17 @@ def _squeeze_batch(batch):
     return jax.tree_util.tree_map(lambda a: a[0], batch)
 
 
+def bind_agg_state(adjs, agg_state):
+    """Bind resident aggregation state (the hot-subgraph dense block,
+    `gnn_tpu.ops.hotdense`) into the batch's adjacency list — done inside
+    the jitted step so the block never rides the per-step H2D payload.
+    ``agg_state`` is ``()`` (nothing resident) or a 1-tuple ``(D,)``."""
+    if agg_state:
+        from gnn_tpu.ops.hotdense import bind_dense
+        return bind_dense(list(adjs), agg_state[0])
+    return list(adjs)
+
+
 @dataclasses.dataclass
 class TrainStepFns:
     train_step: Callable
@@ -67,20 +78,23 @@ def build_step_fns(net, optimizer, sigmoid_loss: bool, mesh,
     replicated HBM table or the placement-driven sharded cache with
     all-to-all halo exchange (`gnn_tpu.parallel.feature_cache`)."""
 
-    def per_device_loss(params, feat_state, plan, batch: DeviceBatch, rng):
+    def per_device_loss(params, feat_state, agg_state, plan,
+                        batch: DeviceBatch, rng):
         x = feature_source.gather(feat_state, plan, batch.input_nodes,
                                   batch.input_mask)
-        out = net.apply(params, x, list(batch.adjs),
+        adjs = bind_agg_state(batch.adjs, agg_state)
+        out = net.apply(params, x, adjs,
                         list(batch.sampled_nodes),
                         deterministic=False, rngs={"dropout": rng})
         return masked_loss(out, batch.labels, batch.label_mask,
                            sigmoid_loss)
 
-    def _sharded_step(params, opt_state, feat_state, batch, plan, rng):
+    def _sharded_step(params, opt_state, feat_state, agg_state, batch,
+                      plan, rng):
         batch = _squeeze_batch(batch)
         my_rng = jax.random.fold_in(rng, jax.lax.axis_index(DATA_AXIS))
         loss, grads = jax.value_and_grad(per_device_loss)(
-            params, feat_state, plan, batch, my_rng)
+            params, feat_state, agg_state, plan, batch, my_rng)
         grads = clip_by_global_norm(grads, grad_clip)
         # reference sums gradients across replicas without dividing
         # (`main.py:159`)
@@ -93,16 +107,17 @@ def build_step_fns(net, optimizer, sigmoid_loss: bool, mesh,
     batch_spec = P(DATA_AXIS)
     step = jax.jit(jax.shard_map(
         _sharded_step, mesh=mesh,
-        in_specs=(P(), P(), feature_source.state_spec(), batch_spec,
+        in_specs=(P(), P(), feature_source.state_spec(), P(), batch_spec,
                   batch_spec, P()),
         out_specs=(P(), P(), P()),
         check_vma=False,
     ))
 
     @jax.jit
-    def eval_forward(params, x, batch):
+    def eval_forward(params, x, agg_state, batch):
         batch = _squeeze_batch(batch)
-        out = net.apply(params, x, list(batch.adjs),
+        adjs = bind_agg_state(batch.adjs, agg_state)
+        out = net.apply(params, x, adjs,
                         list(batch.sampled_nodes),
                         deterministic=True)
         return out, masked_loss(out, batch.labels, batch.label_mask,
@@ -141,7 +156,7 @@ class Trainer:
 
     def __init__(self, net, pipeline, feats: np.ndarray, mesh=None,
                  lr: float = 0.01, sigmoid_loss: bool = True,
-                 seed: int = 0, feature_source=None):
+                 seed: int = 0, feature_source=None, hot_dense=None):
         self.net = net
         self.pipeline = pipeline
         self.mesh = mesh if mesh is not None else make_mesh(
@@ -157,6 +172,12 @@ class Trainer:
         self.feat_state = jax.device_put(
             self.feature_source.state(),
             NamedSharding(self.mesh, self.feature_source.state_spec()))
+        # resident hot-subgraph dense block (adj_format='hot'), replicated
+        # across the mesh once at setup — never re-shipped per step
+        self.agg_state = ()
+        if hot_dense is not None:
+            self.agg_state = (jax.device_put(
+                jnp.asarray(hot_dense), NamedSharding(self.mesh, P())),)
         self.n_feats = feats.shape[1]
         self.params = None
         self.opt_state = None
@@ -169,7 +190,8 @@ class Trainer:
         x = jnp.asarray(np.zeros(
             (one.input_nodes.shape[0], self.n_feats), np.float32))
         self.params = self.net.init(jax.random.PRNGKey(0), x,
-                                    list(one.adjs),
+                                    bind_agg_state(one.adjs,
+                                                   self.agg_state),
                                     list(one.sampled_nodes))
         self.opt_state = self.optimizer.init(self.params)
         self.params = put_replicated(self.mesh, self.params)
@@ -195,8 +217,8 @@ class Trainer:
             t_move += t2 - t1
             self.rng, step_rng = jax.random.split(self.rng)
             self.params, self.opt_state, loss = self.fns.train_step(
-                self.params, self.opt_state, self.feat_state, dev_batch,
-                dev_plan, step_rng)
+                self.params, self.opt_state, self.feat_state,
+                self.agg_state, dev_batch, dev_plan, step_rng)
             losses.append(loss)
             t0 = time.perf_counter()
             t_exec += t0 - t2
@@ -225,7 +247,7 @@ class Trainer:
             x = self.feature_source.host_gather(mb.input_nodes[0],
                                                 mb.input_mask[0])
             out, loss = self.fns.eval_forward(self.params, jnp.asarray(x),
-                                              batch)
+                                              self.agg_state, batch)
             labels = mb.labels[0]
             mask = mb.label_mask[0].astype(bool)
             proba = np.asarray(predict_proba(out, self.sigmoid_loss))

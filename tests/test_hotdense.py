@@ -1,0 +1,128 @@
+"""Hot-subgraph dense aggregation: correctness vs the COO oracle."""
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from gnn_tpu.ops import sparse as sparse_ops
+from gnn_tpu.ops.hotdense import (HotSpec, bind_dense, build_hot_dense,
+                                  pack_hotdense)
+from gnn_tpu.placement.engine import compute_sample_prob
+from gnn_tpu.sampling.ladies import SamplerConfig, ladies_sample
+from gnn_tpu.utils.normalize import build_laplacian
+
+
+def _setup(small_graph, k=256, compress=False, orders=(1, 1)):
+    lap = build_laplacian(small_graph.adj_full, "graphsage")
+    prob = compute_sample_prob(lap, small_graph.train_nodes, sum(orders))
+    spec = HotSpec.from_sample_prob(prob, k)
+    dense = jnp.asarray(build_hot_dense(lap, spec))
+    kw = dict(batch_size=64, samp_num=256, orders=orders,
+              num_nodes=small_graph.adj_full.shape[0],
+              num_classes=small_graph.num_classes, compress=compress)
+    cfg_hot = SamplerConfig(adj_format="hot", hot_spec=spec, **kw)
+    cfg_coo = SamplerConfig(adj_format="coo", **kw)
+    mb_hot = ladies_sample(cfg_hot, 3, small_graph.train_nodes[:64], lap,
+                           small_graph.labels)
+    mb_coo = ladies_sample(cfg_coo, 3, small_graph.train_nodes[:64], lap,
+                           small_graph.labels)
+    return lap, spec, dense, mb_hot, mb_coo
+
+
+def test_hot_split_is_exact(small_graph):
+    """to_dense(hot) == to_dense(coo): the hot/cold decomposition loses
+    nothing and double-counts nothing."""
+    _, spec, dense, mb_hot, mb_coo = _setup(small_graph)
+    for ah, ac in zip(mb_hot.adjs, mb_coo.adjs):
+        ah = dataclasses.replace(
+            jax.tree_util.tree_map(jnp.asarray, ah), dense=dense)
+        dh = np.asarray(sparse_ops.to_dense(ah))
+        dc = np.asarray(sparse_ops.to_dense(
+            jax.tree_util.tree_map(jnp.asarray, ac)))
+        np.testing.assert_allclose(dh, dc, rtol=1e-6, atol=1e-7)
+
+
+def test_hot_cold_residual_smaller(small_graph):
+    """The shipped cold COO must hold strictly fewer edges than the full
+    layer (the hot block absorbs the heavy hitters)."""
+    _, spec, dense, mb_hot, mb_coo = _setup(small_graph)
+    total_cold = sum(int((a.vals != 0).sum()) for a in mb_hot.adjs)
+    total_full = sum(int((a.vals != 0).sum()) for a in mb_coo.adjs)
+    assert 0 < total_cold < total_full
+    # hot fraction should be substantial at K=256 on the 2000-node graph
+    assert total_cold < 0.9 * total_full
+
+
+def test_hot_forward_matches_coo(small_graph):
+    _, spec, dense, mb_hot, mb_coo = _setup(small_graph)
+    rng = np.random.default_rng(0)
+    for ah, ac in zip(mb_hot.adjs, mb_coo.adjs):
+        x = jnp.asarray(rng.normal(size=(ac.ncols, 16)).astype(np.float32))
+        ah = dataclasses.replace(
+            jax.tree_util.tree_map(jnp.asarray, ah), dense=dense)
+        ac = jax.tree_util.tree_map(jnp.asarray, ac)
+        y_hot = sparse_ops.spmm(ah, x)
+        y_coo = sparse_ops.spmm(ac, x)
+        np.testing.assert_allclose(np.asarray(y_hot), np.asarray(y_coo),
+                                   rtol=1e-4, atol=1e-5)
+
+
+def test_hot_backward_matches_coo(small_graph):
+    _, spec, dense, mb_hot, mb_coo = _setup(small_graph)
+    rng = np.random.default_rng(1)
+    for ah, ac in zip(mb_hot.adjs, mb_coo.adjs):
+        x = jnp.asarray(rng.normal(size=(ac.ncols, 8)).astype(np.float32))
+        ah = dataclasses.replace(
+            jax.tree_util.tree_map(jnp.asarray, ah), dense=dense)
+        ac = jax.tree_util.tree_map(jnp.asarray, ac)
+
+        def loss(fmt_adj, z):
+            return jnp.sum(jnp.sin(sparse_ops.spmm(fmt_adj, z)))
+
+        gh = jax.grad(loss, argnums=1)(ah, x)
+        gc = jax.grad(loss, argnums=1)(ac, x)
+        np.testing.assert_allclose(np.asarray(gh), np.asarray(gc),
+                                   rtol=1e-4, atol=1e-5)
+
+
+def test_hot_e2e_training(small_graph):
+    """Full Trainer epoch on adj_format='hot': loss finite and decreasing
+    over a few epochs, matching the COO path's learning signal."""
+    from gnn_tpu.models.gnn import build_model
+    from gnn_tpu.sampling.pipeline import BatchPipeline
+    from gnn_tpu.train.trainer import Trainer
+
+    lap = build_laplacian(small_graph.adj_full, "graphsage")
+    prob = compute_sample_prob(lap, small_graph.train_nodes, 2)
+    spec = HotSpec.from_sample_prob(prob, 256)
+    hot_dense = build_hot_dense(lap, spec)
+    cfg = SamplerConfig(batch_size=64, samp_num=128, orders=(1, 1),
+                        num_nodes=small_graph.adj_full.shape[0],
+                        num_classes=small_graph.num_classes,
+                        adj_format="hot", hot_spec=spec)
+    net = build_model("graphsage", 32, (1, 1),
+                      small_graph.num_classes)
+    pipe = BatchPipeline(cfg, lap, small_graph.labels, world_size=2,
+                         pool_num=2)
+    tr = Trainer(net, pipe, small_graph.feats, lr=0.05,
+                 sigmoid_loss=False, hot_dense=hot_dense)
+    m0 = tr.train_epoch(small_graph.train_nodes, 0)
+    m1 = tr.train_epoch(small_graph.train_nodes, 1)
+    m2 = tr.train_epoch(small_graph.train_nodes, 2)
+    assert np.isfinite(m0.train_loss)
+    assert m2.train_loss < m0.train_loss
+    f1, vloss = tr.evaluate(small_graph.valid_nodes, 64)
+    assert np.isfinite(vloss)
+    assert f1 > 0.2  # well above 1/7 chance
+
+
+def test_hot_k_exceeding_n_clamps(small_graph):
+    lap = build_laplacian(small_graph.adj_full, "graphsage")
+    n = lap.shape[0]
+    prob = compute_sample_prob(lap, small_graph.train_nodes, 2)
+    spec = HotSpec.from_sample_prob(prob, n + 999)
+    assert len(spec.hot_nodes) == n
+    d = build_hot_dense(lap, spec)
+    assert d.shape[0] % 128 == 0 and d.shape[0] >= n
