@@ -1,15 +1,36 @@
 #!/usr/bin/env python
-"""Headline benchmark: SpMM edges/s/chip on the canonical Reddit-scale
-LADIES minibatch (BASELINE.json metric #1).
+"""Headline benchmark: SpMM fwd+bwd edges/s/chip on the canonical
+Reddit-scale LADIES minibatch (BASELINE.json metric #1).
 
 Prints ONE JSON line:
   {"metric": "spmm_edges_per_s_per_chip", "value": N, "unit": "edges/s",
-   "vs_baseline": r}
+   "vs_baseline": r, ...extra diagnostics}
 
-``vs_baseline`` is measured throughput relative to the per-chip HBM
-memory roofline for the same sparse operation (nnz*(idx+val bytes) +
-dense operand + output traffic at 819 GB/s on v5e). 1.0 == at roofline;
-the north-star target (within 1.2x of roofline) corresponds to >= 0.83.
+Per layer we time the forward aggregation ``y = A @ x`` AND the backward
+``dx = A^T @ g`` (the reference hot path runs both per layer,
+`custom_sparse_ops.py:31-37`), for every device strategy:
+
+  coo        XLA gather+segment-sum (portable path)
+  pallas     occupied-tile streaming kernel (fwd stream + packed A^T)
+  dense      densified MXU matmul, f32 stored
+  dense_bf16 densified MXU matmul, bf16-stored A and x (f32 accum)
+  hot        persistent hot-block (resident dense top-K) + cold COO
+             residual — the only strategy that is ALSO e2e-feasible
+             (dense/dense_bf16 need a per-step densification that costs
+             10x more than the matmul; see benchmarks/RESULTS.md)
+
+``vs_baseline`` is total algorithmic speed-of-light over total measured
+best time, where the per-direction SoL is the dense-equivalent bound
+``max(2*R*C*F / MXU_peak, HBM bytes / BW)`` — 1.0 means the chip cannot
+run the chosen algorithm any faster. The north-star (within 1.2x of
+roofline) corresponds to >= 0.83.
+
+Timing: chained on-device iterations with two-point calibration
+(`benchmarks/timing.py`) because the relay's dispatch wall-clock is
+bogus; additionally the chain harness's own per-iteration cost (a
+[C, F] perturbation + [R, F] reduction) is measured via a null-op chain
+and subtracted, since at ~0.15 ms/iter it would mask 5-8%% of a
+2.6 ms matmul.
 
 All diagnostics go to stderr; stdout carries exactly the one JSON line.
 """
@@ -24,30 +45,100 @@ def log(*a):
     print(*a, file=sys.stderr, flush=True)
 
 
-HBM_GBPS = 819e9   # TPU v5e
+HBM_GBPS = 819e9    # TPU v5e
 MXU_FLOPS = 197e12  # TPU v5e bf16 peak
+K_HOT = 16384       # resident hot-block slots for the 'hot' strategy
+
+
+def _generate_cache(path):
+    import numpy as np
+    from gnn_tpu.data.synthetic import make_powerlaw_graph
+    from gnn_tpu.placement.engine import compute_sample_prob
+    from gnn_tpu.sampling.ladies import SamplerConfig, ladies_sample
+    from gnn_tpu.utils.normalize import build_laplacian
+
+    n_nodes, avg_deg = 232965, 100
+    log("generating Reddit-scale synthetic graph...")
+    g = make_powerlaw_graph(n_nodes, avg_deg, 8, 41, seed=0)
+    lap = build_laplacian(g.adj_full, "graphsage")
+    cfg = SamplerConfig(batch_size=512, samp_num=8192, orders=(1, 1, 1),
+                        num_nodes=n_nodes, num_classes=41,
+                        compress=False)
+    log("sampling LADIES minibatch (samp 8192, batch 512, 3 layers)...")
+    mb = ladies_sample(cfg, 0, g.train_nodes[:512], lap, g.labels)
+
+    # reconstruct each layer's global row/col node sets bottom-up:
+    # level 0 = input_nodes; level l+1 = rows of layer l
+    levels = [np.asarray(mb.input_nodes[: mb.n_input], np.int64)]
+    payload = {"n_layers": len(mb.adjs)}
+    prev_nodes = levels[0]
+    for i, adj in enumerate(mb.adjs):
+        after = prev_nodes
+        n_rows = int(adj.n_valid_rows)
+        prev = np.asarray(
+            after[np.asarray(mb.sampled_nodes[i][:n_rows], np.int64)])
+        # normfact per local col: vals = lap_val * normfact[col]; recover
+        # by dividing one edge per col (vals/lap data ratio)
+        U = lap[prev, :][:, after].tocoo()
+        order = np.argsort(U.row * len(after) + U.col, kind="stable")
+        rows = np.asarray(adj.rows)
+        cols = np.asarray(adj.cols)
+        vals = np.asarray(adj.vals)
+        live = vals != 0
+        nf = np.zeros(len(after), np.float64)
+        lr, lc, lv = rows[live], cols[live], vals[live]
+        o2 = np.argsort(lr.astype(np.int64) * len(after) + lc,
+                        kind="stable")
+        np.testing.assert_array_equal(U.row[order], lr[o2])
+        nf[lc[o2]] = lv[o2] / U.data[order]
+        payload.update({
+            f"R{i}": adj.shape[0], f"C{i}": adj.shape[1],
+            f"rows{i}": lr, f"cols{i}": lc, f"vals{i}": lv,
+            f"prev{i}": prev, f"after{i}": after,
+            f"normfact{i}": nf.astype(np.float32)})
+        prev_nodes = prev
+    prob = compute_sample_prob(lap, g.train_nodes, 3)
+    hot_order = np.argsort(-prob, kind="stable")[:K_HOT].astype(np.int64)
+    sub = lap[hot_order, :][:, hot_order].tocoo()
+    payload.update({"sample_prob_n": lap.shape[0], "hot_order": hot_order,
+                    "hs_r": sub.row.astype(np.int32),
+                    "hs_c": sub.col.astype(np.int32),
+                    "hs_v": sub.data.astype(np.float32)})
+    import os
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    np.savez_compressed(path, **payload)
+    log(f"cache written: {os.path.getsize(path) / 2**20:.0f} MiB")
+    return np.load(path)
+
+
+def _chain_time_cal(fn, x, args, n, null_fn=None):
+    """chain_time with the harness's own per-iteration cost subtracted."""
+    from benchmarks.timing import chain_time
+    t = chain_time(fn, x, n=n, args=args)
+    if null_fn is None:
+        return t
+    t0 = chain_time(null_fn, x, n=n, args=())
+    return max(t - t0, 1e-9)
 
 
 def main():
+    import os
+
     import jax
     import jax.numpy as jnp
     import numpy as np
 
     sys.path.insert(0, "/root/repo")
-    from benchmarks.timing import chain_time
-    from gnn_tpu.data.synthetic import make_powerlaw_graph
     from gnn_tpu.ops import sparse as sops
+    from gnn_tpu.ops.hotdense import HotSpec, pack_hotdense, bind_dense
     from gnn_tpu.ops.pallas_spmm import pack_stream, stream_spmm
-    from gnn_tpu.sampling.ladies import SamplerConfig, ladies_sample
-    from gnn_tpu.utils.normalize import build_laplacian
 
     try:
-        import os as _os
         jax.config.update(
             "jax_compilation_cache_dir",
-            _os.environ.get("JAX_COMPILATION_CACHE_DIR",
-                            _os.path.join(_os.path.expanduser("~"),
-                                          ".cache", "jax_comp_cache")))
+            os.environ.get("JAX_COMPILATION_CACHE_DIR",
+                           os.path.join(os.path.expanduser("~"),
+                                        ".cache", "jax_comp_cache")))
         jax.config.update("jax_persistent_cache_min_compile_time_secs",
                           1.0)
     except Exception:
@@ -55,97 +146,182 @@ def main():
     on_tpu = jax.default_backend() == "tpu"
     log(f"backend: {jax.default_backend()}")
 
-    n_nodes, avg_deg, n_feats = 232965, 100, 602
-    import os
-    cache = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                         "bench_cache", "minibatch.npz")
-    layers = None
-    if os.path.exists(cache):
-        log("loading cached minibatch layers...")
-        z = np.load(cache)
-        n_layers = int(z["n_layers"])
-        layers = [(int(z[f"R{i}"]), int(z[f"C{i}"]), z[f"rows{i}"],
-                   z[f"cols{i}"], z[f"vals{i}"]) for i in range(n_layers)]
-    if layers is None:
-        log("generating Reddit-scale synthetic graph...")
-        g = make_powerlaw_graph(n_nodes, avg_deg, 8, 41, seed=0)
-        lap = build_laplacian(g.adj_full, "graphsage")
-        cfg = SamplerConfig(batch_size=512, samp_num=8192,
-                            orders=(1, 1, 1), num_nodes=n_nodes,
-                            num_classes=41)
-        log("sampling LADIES minibatch (samp 8192, batch 512, 3 layers)...")
-        mb = ladies_sample(cfg, 0, g.train_nodes[:512], lap, g.labels)
-        layers = [(adj.shape[0], adj.shape[1], np.asarray(adj.rows),
-                   np.asarray(adj.cols), np.asarray(adj.vals))
-                  for adj in mb.adjs]
-        os.makedirs(os.path.dirname(cache), exist_ok=True)
-        payload = {"n_layers": len(layers)}
-        for i, (R, C, r, c, v) in enumerate(layers):
-            payload.update({f"R{i}": R, f"C{i}": C, f"rows{i}": r,
-                            f"cols{i}": c, f"vals{i}": v})
-        np.savez_compressed(cache, **payload)
+    n_feats = 602
+    here = os.path.dirname(os.path.abspath(__file__))
+    cache = os.path.join(here, "bench_cache", "minibatch_v2.npz")
+    z = np.load(cache) if os.path.exists(cache) else _generate_cache(cache)
+    n_layers = int(z["n_layers"])
+
+    # hot-block setup (resident; built once — mirrors e2e setup cost)
+    hot_order = z["hot_order"]
+    n_nodes = int(z["sample_prob_n"])
+    k_pad = ((len(hot_order) + 127) // 128) * 128
+    slot = np.full(n_nodes, -1, np.int32)
+    slot[hot_order] = np.arange(len(hot_order), dtype=np.int32)
+    spec = HotSpec(hot_nodes=hot_order, slot_of_node=slot, k=k_pad)
+    D = np.zeros((k_pad, k_pad), np.float32)
+    D[z["hs_r"], z["hs_c"]] = z["hs_v"]
+    ddt = jnp.bfloat16 if on_tpu else jnp.float32
+    D_dev = jnp.asarray(D, ddt)
+    DT_dev = jnp.asarray(np.ascontiguousarray(D.T), ddt)
+    log(f"hot block: K={k_pad}, nnz={len(z['hs_v'])}, "
+        f"{2 * D_dev.size * D_dev.dtype.itemsize / 2**20:.0f} MiB "
+        f"resident incl. transpose")
 
     rng = np.random.RandomState(0)
-    total_nnz = 0
+    total_nnz = 0.0
     total_time = 0.0
     total_roof = 0.0
-    for li, (R, C, rows, cols, vals) in enumerate(layers):
-        live = vals != 0
-        nnz = int(live.sum())
+    hot_total = 0.0
+    results = {}
+    for li in range(n_layers):
+        R, C = int(z[f"R{li}"]), int(z[f"C{li}"])
+        rows, cols, vals = z[f"rows{li}"], z[f"cols{li}"], z[f"vals{li}"]
+        prev, after = z[f"prev{li}"], z[f"after{li}"]
+        normfact = z[f"normfact{li}"]
+        nnz = len(vals)
         x = jnp.asarray(rng.randn(C, n_feats).astype(np.float32))
+        gy = jnp.asarray(rng.randn(R, n_feats).astype(np.float32))
 
-        candidates = {}
-        # XLA gather+segment-sum COO path (portable)
+        # candidates: name -> (fwd_fn, fwd_args, bwd_fn, bwd_args, floor)
+        # `floor` is the per-direction physical lower bound of THAT
+        # algorithm (max of MXU-compute and HBM-traffic time): relay
+        # noise occasionally makes the two-point calibration read
+        # impossibly low, and an unclamped fluke would inflate the
+        # headline dishonestly.
+        def mem_t(nbytes):
+            return nbytes / HBM_GBPS
+
+        cand = {}
         coo = jax.tree_util.tree_map(
-            jnp.asarray, sops.pack_coo(rows, cols, vals, R, C, R, C))
-        candidates["coo"] = (lambda z, c: sops.spmm(c, z), (coo,))
+            jnp.asarray, sops.pack_coo(rows, cols, vals, R, C, R, C,
+                                       compress=True))
+        coo_floor = mem_t(nnz * (2 + 2 + 2) + nnz * n_feats * 4 * 2)
+        cand["coo"] = ((lambda u, a: sops.spmm(a, u)), (coo,),
+                       (lambda u, a: sops.spmm_transpose(a, u)), (coo,),
+                       coo_floor)
+
+        hot = pack_hotdense(spec, rows, cols, vals, prev, after, normfact,
+                            R, C, R, C, compress=True)
+        hot = jax.tree_util.tree_map(jnp.asarray, hot)
+        n_cold = int((np.asarray(hot.vals) != 0).sum())
+        rh_pad = hot.present_row_slots.shape[0]
+        ch_pad = hot.present_col_slots.shape[0]
+        log(f"  layer {li} [{R}x{C}] nnz={nnz} "
+            f"cold={n_cold} ({100 * n_cold / max(nnz, 1):.0f}%) "
+            f"present hot rows/cols {rh_pad}/{ch_pad}")
+        hot_floor = (2.0 * max(rh_pad, ch_pad) * k_pad * n_feats
+                     / MXU_FLOPS
+                     + mem_t(n_cold * n_feats * 4 * 2))
+        cand["hot"] = (
+            (lambda u, a, d, dt: sops.spmm(
+                bind_dense([a], d, dt)[0], u)),
+            (hot, D_dev, DT_dev),
+            (lambda u, a, d, dt: sops.spmm_transpose(
+                bind_dense([a], d, dt)[0], u)),
+            (hot, D_dev, DT_dev),
+            hot_floor)
+
         if on_tpu:
+            live = vals != 0
             st = pack_stream(rows[live], cols[live], vals[live], R, C,
                              bm=256, bk=512)
-            if st.blk_rc.shape[0] <= 240000:
+            st_t = pack_stream(cols[live], rows[live], vals[live], C, R,
+                               bm=256, bk=512)
+            if st.blk_rc.shape[0] <= 240000 and \
+                    st_t.blk_rc.shape[0] <= 240000:
+                nb = max(st.blk_rc.shape[0], st_t.blk_rc.shape[0])
+                st_floor = 2.0 * nb * 256 * 512 * n_feats / MXU_FLOPS
                 st = jax.tree_util.tree_map(jnp.asarray, st)
-                candidates["pallas256x512"] = (
-                    lambda z, s_: stream_spmm(s_, z, precision="default"),
-                    (st,))
+                st_t = jax.tree_util.tree_map(jnp.asarray, st_t)
+                cand["pallas256x512"] = (
+                    (lambda u, s_: stream_spmm(s_, u,
+                                               precision="default")),
+                    (st,),
+                    (lambda u, s_: stream_spmm(s_, u,
+                                               precision="default")),
+                    (st_t,),
+                    st_floor)
             dense = np.zeros((R, C), np.float32)
             dense[rows[live], cols[live]] = vals[live]
+            d_floor32 = max(2.0 * R * C * n_feats / MXU_FLOPS,
+                            mem_t(R * C * 4 + (C + R) * n_feats * 4))
+            d_floor16 = max(2.0 * R * C * n_feats / MXU_FLOPS,
+                            mem_t(R * C * 2 + (C + R) * n_feats * 2))
             dj = jnp.asarray(dense)
-            candidates["dense"] = (lambda z, a: a @ z, (dj,))
+            cand["dense"] = (
+                (lambda u, a: a @ u), (dj,),
+                (lambda u, a: jnp.einsum("rc,rf->cf", a, u)), (dj,),
+                d_floor32)
+            db = jnp.asarray(dense, jnp.bfloat16)
+            xb = x.astype(jnp.bfloat16)
+            gb = gy.astype(jnp.bfloat16)
+            cand["dense_bf16"] = (
+                (lambda u, a: jnp.dot(
+                    a, u, preferred_element_type=jnp.float32)), (db,),
+                (lambda u, a: jnp.einsum(
+                    "rc,rf->cf", a, u,
+                    preferred_element_type=jnp.float32)), (db,),
+                d_floor16)
 
+        n_iter = 16 if R * C < 2e8 else 8
+        null_fwd = lambda u: u[:1, :1]
         best_name, best_t = None, float("inf")
-        for name, (fn, cargs) in candidates.items():
+        layer_res = {}
+        for name, (ffn, fargs, bfn, bargs, floor) in cand.items():
             try:
-                # clamp to a 50us floor: sub-noise measurements on tiny
-                # layers would otherwise read as ~0 and skew the total
-                t = max(chain_time(fn, x, n=8, args=cargs), 50e-6)
+                xin = xb if name == "dense_bf16" else x
+                gin = gb if name == "dense_bf16" else gy
+                tf = _chain_time_cal(ffn, xin, fargs, n_iter,
+                                     null_fn=null_fwd if on_tpu else None)
+                tb = _chain_time_cal(bfn, gin, bargs, n_iter,
+                                     null_fn=null_fwd if on_tpu else None)
             except Exception as e:
-                log(f"  layer {li} {name}: failed {str(e)[:80]}")
+                log(f"  layer {li} {name}: failed {str(e)[:100]}")
                 continue
-            log(f"  layer {li} [{R}x{C}] nnz={nnz} {name}: "
-                f"{t*1e3:.3f} ms ({nnz/t/1e9:.2f} Gedge/s)")
+            # clamp to the candidate's physical floor (and a 50us noise
+            # floor): two-point calibration through the relay can read
+            # impossibly low under host scheduling noise
+            lo = max(floor, 50e-6)
+            if tf < lo or tb < lo:
+                log(f"  layer {li} {name}: clamped to physical floor "
+                    f"({tf * 1e3:.3f}/{tb * 1e3:.3f} -> {lo * 1e3:.3f} ms)")
+            tf, tb = max(tf, lo), max(tb, lo)
+            t = tf + tb
+            log(f"  layer {li} {name}: fwd {tf * 1e3:.3f} ms, "
+                f"bwd {tb * 1e3:.3f} ms "
+                f"({2 * nnz / t / 1e9:.2f} Gedge/s fwd+bwd)")
+            layer_res[name] = (tf, tb)
             if t < best_t:
                 best_name, best_t = name, t
-        # per-chip speed-of-light for the chosen (densified-MXU) algorithm:
-        # max(compute bound at bf16 peak, HBM bound); the pure-sparse
-        # memory roofline is also logged for reference.
-        roof_mem = (nnz * 12 + (C + R) * n_feats * 4) / HBM_GBPS
-        roof_alg = max(2.0 * R * C * n_feats / MXU_FLOPS,
-                       (R * C * 4 + (C + R) * n_feats * 4) / HBM_GBPS)
-        log(f"  layer {li}: best={best_name} {best_t*1e3:.3f} ms "
-            f"(algorithmic SoL {roof_alg*1e3:.3f} ms, sparse-mem roofline "
-            f"{roof_mem*1e3:.3f} ms)")
-        total_nnz += nnz
+        # per-direction dense-equivalent algorithmic speed of light
+        roof_dir = max(2.0 * R * C * n_feats / MXU_FLOPS,
+                       (R * C * 2 + (C + R) * n_feats * 4) / HBM_GBPS)
+        log(f"  layer {li}: best={best_name} {best_t * 1e3:.3f} ms "
+            f"(fwd+bwd SoL {2 * roof_dir * 1e3:.3f} ms)")
+        total_nnz += 2 * nnz
         total_time += best_t
-        total_roof += roof_alg
+        total_roof += 2 * roof_dir
+        if "hot" in layer_res:
+            hot_total += sum(layer_res["hot"])
+        results[f"layer{li}"] = {
+            k: [round(v[0] * 1e6), round(v[1] * 1e6)]
+            for k, v in layer_res.items()}
 
     edges_per_s = total_nnz / total_time
     vs = total_roof / total_time
-    print(json.dumps({
+    out = {
         "metric": "spmm_edges_per_s_per_chip",
         "value": round(edges_per_s, 1),
         "unit": "edges/s",
         "vs_baseline": round(vs, 4),
-    }), flush=True)
+        "includes_backward": True,
+        "hot_path_edges_per_s": round(total_nnz / hot_total, 1)
+        if hot_total else None,
+    }
+    log(f"per-candidate times (us, [fwd, bwd]): "
+        f"{json.dumps(results)}")
+    print(json.dumps(out), flush=True)
 
 
 if __name__ == "__main__":

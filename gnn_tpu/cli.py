@@ -80,6 +80,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--profile_dir", type=str, default="",
                    help="write a jax.profiler trace of epoch 1 here")
+    p.add_argument("--op_timing", action="store_true", default=True,
+                   help="estimate spmm fwd/bwd + communication buckets "
+                        "per epoch (reference main.py:196 line)")
+    p.add_argument("--no_op_timing", dest="op_timing",
+                   action="store_false")
     return p
 
 
@@ -154,7 +159,8 @@ def main(argv=None) -> int:
         hot_spec = HotSpec.from_sample_prob(prob, args.hot_k)
         hot_dense = build_hot_dense(lap, hot_spec)
         print(f"hot block: K={hot_spec.k} "
-              f"({hot_dense.nbytes / 2**20:.0f} MiB resident)", flush=True)
+              f"({2 * hot_dense[0].nbytes / 2**20:.0f} MiB resident "
+              f"incl. transpose)", flush=True)
 
     cfg = SamplerConfig(
         batch_size=args.batch_size, samp_num=args.samp_num, orders=orders,
@@ -186,7 +192,8 @@ def main(argv=None) -> int:
     trainer.fit(graph.train_nodes, graph.valid_nodes, args.epoch_num,
                 rank_chunks=rank_chunks, checkpoint_dir=args.save_dir,
                 locality_tuner=args.locality_sampling, metrics=metrics,
-                profile_dir=args.profile_dir or None)
+                profile_dir=args.profile_dir or None,
+                op_timing=args.op_timing)
 
     if args.test:
         f1 = trainer.test(graph.test_nodes, batch_size=128)

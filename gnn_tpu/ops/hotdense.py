@@ -10,38 +10,45 @@ extremely skewed), applied to the *adjacency*:
   occupied — so a densified MXU matmul is the per-op speed of light
   (measured 93% of bf16 peak, benchmarks/RESULTS.md). But the dense
   operand can neither be shipped per step (~850 MB/layer) nor scattered
-  on device (XLA scatter measured 10x too slow).
+  on device (XLA scatter measured ~13 ns/edge).
 
 * LADIES samples nodes by probability, so edges concentrate on the hot
-  nodes: the top-K nodes by ``sample_prob`` cover 73/82/88% of minibatch
-  edges at K = 8K/16K/32K (measured). So keep ``D = lap[H][:, H]`` — the
-  dense adjacency among the K hottest nodes — **resident in HBM**,
+  nodes: the top-K nodes by ``sample_prob`` cover ~70-85% of minibatch
+  edges at K = 16K (measured on the canonical Reddit-scale config). So
+  keep ``D = lap[H][:, H]`` — the dense adjacency among the K hottest
+  nodes — **resident in HBM** (plus its transpose for the backward),
   refreshed never (it depends only on the graph), and decompose each
   sampled layer as::
 
-      y = D-part + cold-part
-      D-part:  xh[s]  = x[colpos[s]] * nf[colpos[s]]   (gather to hot slots)
-               yh     = D @ xh                          (one MXU matmul)
-               y     += yh[row_slot[r]] for hot rows r  (gather back)
-      cold:    COO segment-sum over the 12-27% residual edges
+      y  = D-part + cold-part
+      D-part: xh[s] = x[colpos[s]] * nf[colpos[s]]     (gather to slots)
+              yh_c  = D[present_row_slots] @ xh        (row-compacted MXU
+                                                        matmul: only hot
+                                                        rows present in
+                                                        this batch)
+              y[r] += yh_c[row_cmp_idx[r]]             (gather back)
+      cold:   row-sorted COO segment-sum over the residual edges
+              (sorted indices measured ~1.6x faster than unsorted
+              scatter on v5e; the transpose direction ships its own
+              col-sorted copy so the backward is sorted too)
 
-  The per-step H2D payload is only the cold COO + four tiny index/weight
-  vectors; the LADIES edge weight ``lap_val(row, col) * normfact[col]``
-  factorizes exactly as ``D[sr, sc] * nfh[sc]`` because the row factor
+  Only ~30-40%% of hot slots appear in a given batch, so row compaction
+  cuts the matmul FLOPs ~3x below the naive [K, K] product. The
+  per-batch LADIES edge weight ``lap_val(row, col) * normfact[col]``
+  factorizes exactly as ``D[sr, sc] * nf[sc]`` because the row factor
   (1/deg_full, `cuda_spmm.cu:800`) lives in the laplacian data already.
 
-* Backward is symmetric: ``dx = D^T-part + cold^T-part`` with the roles
-  of ``rowpos``/``colpos`` swapped — no transpose of D is materialized
-  (``dot_general`` contracts the other dimension).
+* Backward is symmetric with roles swapped: ``dx[c] = nf_col[c] *
+  (D^T[present_col_slots] @ gh)[col_cmp_idx[c]] + cold^T-part``.
 
-The resident block is NOT a leaf of the shipped batch: it is bound into
-the adjacency pytree *inside* the jitted step (:func:`bind_dense`), so
-``device_put`` of a minibatch never touches it.
+The resident blocks are NOT leaves of the shipped batch: they are bound
+into the adjacency pytree *inside* the jitted step (:func:`bind_dense`),
+so ``device_put`` of a minibatch never touches them.
 """
 from __future__ import annotations
 
 import dataclasses
-from typing import List, Optional
+from typing import List, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -81,16 +88,17 @@ class HotSpec:
 
 
 def build_hot_dense(lap: sp.csr_matrix, spec: HotSpec,
-                    dtype=np.float32) -> np.ndarray:
-    """Materialize the resident ``[k, k]`` dense block ``lap[H][:, H]``.
+                    dtype=np.float32) -> Tuple[np.ndarray, np.ndarray]:
+    """Materialize the resident ``[k, k]`` dense block ``lap[H][:, H]``
+    and its transpose (for the backward's compacted row gather).
 
-    Computed once at setup (the laplacian never changes); ~1 GB f32 at
-    K = 16384 — well within a v5e's 16 GB HBM next to the model.
+    Computed once at setup (the laplacian never changes); 2 x ~512 MB
+    bf16 at K = 16384 — well within a v5e's 16 GB HBM next to the model.
     """
     sub = lap[spec.hot_nodes, :][:, spec.hot_nodes].tocoo()
     d = np.zeros((spec.k, spec.k), dtype)
     d[sub.row, sub.col] = sub.data.astype(dtype)
-    return d
+    return d, np.ascontiguousarray(d.T)
 
 
 @struct.dataclass
@@ -99,23 +107,33 @@ class HotDenseAdj:
 
     Local index spaces match :class:`~gnn_tpu.ops.sparse.COOAdj`: rows
     index the layer's output set (``prev``), cols its input set
-    (``after``). ``dense`` is ``None`` on the host and bound to the
-    resident block inside the jitted step (:func:`bind_dense`).
+    (``after``). ``dense``/``dense_t`` are ``None`` on the host and
+    bound to the resident blocks inside the jitted step
+    (:func:`bind_dense`).
     """
 
-    # cold residual COO (compressed dtypes; zero-val padding)
-    rows: jnp.ndarray          # int16/int32 [nnz_pad]
+    # cold residual, row-sorted (fwd) and col-sorted (bwd) copies —
+    # sorted segment ids are measurably faster than scatter on TPU
+    rows: jnp.ndarray          # int16/int32 [nnz_pad] (sorted)
     cols: jnp.ndarray          # int16/int32 [nnz_pad]
     vals: jnp.ndarray          # bf16/f32 [nnz_pad]
+    rows_t: jnp.ndarray        # int16/int32 [nnz_pad]
+    cols_t: jnp.ndarray        # int16/int32 [nnz_pad] (sorted)
+    vals_t: jnp.ndarray        # bf16/f32 [nnz_pad]
     # hot-slot plumbing
     colpos: jnp.ndarray        # int32 [k]; local col of slot, ncols if absent
     nfh: jnp.ndarray           # f32 [k]; normfact at that col (0 if absent)
     rowpos: jnp.ndarray        # int32 [k]; local row of slot, nrows if absent
-    row_slot: jnp.ndarray      # int32 [nrows]; slot of local row (0 pad)
-    row_hot: jnp.ndarray       # f32 [nrows]; 1 where local row is hot
+    nf_col: jnp.ndarray        # f32 [ncols]; normfact where col is hot else 0
+    # batch-present compaction (only hot slots actually sampled)
+    present_row_slots: jnp.ndarray  # int32 [rh_pad]
+    row_cmp_idx: jnp.ndarray        # int32 [nrows]; rh_pad = absent
+    present_col_slots: jnp.ndarray  # int32 [ch_pad]
+    col_cmp_idx: jnp.ndarray        # int32 [ncols]; ch_pad = absent
     n_valid_rows: jnp.ndarray  # int32 scalar
     n_valid_cols: jnp.ndarray  # int32 scalar
-    dense: Optional[jnp.ndarray]  # f32/bf16 [k, k] resident block (bound)
+    dense: Optional[jnp.ndarray]    # [k, k] resident block (bound)
+    dense_t: Optional[jnp.ndarray]  # [k, k] resident transpose (bound)
     nrows: int = struct.field(pytree_node=False)
     ncols: int = struct.field(pytree_node=False)
     k: int = struct.field(pytree_node=False)
@@ -123,6 +141,16 @@ class HotDenseAdj:
     @property
     def shape(self):
         return (self.nrows, self.ncols)
+
+
+def _pad_sorted_coo(r, c, v, nnz_pad, pad_row, ridx, cidx, vdt):
+    rr = np.full(nnz_pad, pad_row, ridx)
+    cc = np.zeros(nnz_pad, cidx)
+    vv = np.zeros(nnz_pad, vdt)
+    rr[: len(r)] = r
+    cc[: len(c)] = c
+    vv[: len(v)] = v
+    return rr, cc, vv
 
 
 def pack_hotdense(
@@ -145,6 +173,8 @@ def pack_hotdense(
     ``rows``/``cols`` are local indices into ``prev``/``after``; ``vals``
     already carry ``lap_val * normfact[col]`` (the full edge weight).
     """
+    from gnn_tpu.sampling.ladies import bucket_size
+
     prev_slots = spec.slot_of_node[prev]            # [n_rows], -1 cold
     after_slots = spec.slot_of_node[after]          # [n_cols]
 
@@ -153,47 +183,69 @@ def pack_hotdense(
     hot_c = np.flatnonzero(after_slots >= 0)
     colpos[after_slots[hot_c]] = hot_c
     nfh[after_slots[hot_c]] = normfact[hot_c]
+    nf_col = np.zeros(ncols_pad, np.float32)
+    nf_col[hot_c] = normfact[hot_c]
 
     rowpos = np.full(spec.k, nrows_pad, np.int32)
     hot_r = np.flatnonzero(prev_slots >= 0)
     rowpos[prev_slots[hot_r]] = hot_r
-    row_slot = np.zeros(nrows_pad, np.int32)
-    row_hot = np.zeros(nrows_pad, np.float32)
-    row_slot[hot_r] = prev_slots[hot_r]
-    row_hot[hot_r] = 1.0
+
+    # batch-present compaction maps (hot_r/hot_c are ascending local
+    # ids). The absent-sentinel is a fixed far-out-of-bounds constant —
+    # NOT the pad length — so stacking/re-bucketing across replicas
+    # can widen the present arrays without invalidating the maps
+    # (jnp.take mode='fill' drops any OOB index).
+    sentinel = np.int32(1 << 30)
+    rh_pad = bucket_size(max(len(hot_r), 1), 128)
+    present_row_slots = np.zeros(rh_pad, np.int32)
+    present_row_slots[: len(hot_r)] = prev_slots[hot_r]
+    row_cmp_idx = np.full(nrows_pad, sentinel, np.int32)
+    row_cmp_idx[hot_r] = np.arange(len(hot_r), dtype=np.int32)
+    ch_pad = bucket_size(max(len(hot_c), 1), 128)
+    present_col_slots = np.zeros(ch_pad, np.int32)
+    present_col_slots[: len(hot_c)] = after_slots[hot_c]
+    col_cmp_idx = np.full(ncols_pad, sentinel, np.int32)
+    col_cmp_idx[hot_c] = np.arange(len(hot_c), dtype=np.int32)
 
     hot_edge = (prev_slots[rows] >= 0) & (after_slots[cols] >= 0)
     cold = ~hot_edge
-    cold_coo = sparse_ops.pack_coo(
-        rows[cold], cols[cold], vals[cold], n_valid_rows, n_valid_cols,
-        nrows_pad, ncols_pad, nnz_pad, compress=compress)
+    cr, cc, cv = rows[cold], cols[cold], vals[cold]
+    if nnz_pad is None:
+        nnz_pad = bucket_size(max(len(cr), 1))
+    ridx = np.int16 if (compress and nrows_pad <= 32768) else np.int32
+    cidx = np.int16 if (compress and ncols_pad <= 32768) else np.int32
+    vdt = jnp.bfloat16 if compress else np.float32
+    o_r = np.argsort(cr, kind="stable")
+    o_c = np.argsort(cc, kind="stable")
+    rr, ccol, vv = _pad_sorted_coo(cr[o_r], cc[o_r], cv[o_r], nnz_pad,
+                                   nrows_pad - 1, ridx, cidx, vdt)
+    # pad the transpose copy's segment ids (cols) at the top end too
+    ct, rt, vt = _pad_sorted_coo(cc[o_c], cr[o_c], cv[o_c], nnz_pad,
+                                 ncols_pad - 1, cidx, ridx, vdt)
 
     return HotDenseAdj(
-        rows=cold_coo.rows, cols=cold_coo.cols, vals=cold_coo.vals,
-        colpos=colpos, nfh=nfh, rowpos=rowpos,
-        row_slot=row_slot, row_hot=row_hot,
+        rows=rr, cols=ccol, vals=vv,
+        rows_t=rt, cols_t=ct, vals_t=vt,
+        colpos=colpos, nfh=nfh, rowpos=rowpos, nf_col=nf_col,
+        present_row_slots=present_row_slots, row_cmp_idx=row_cmp_idx,
+        present_col_slots=present_col_slots, col_cmp_idx=col_cmp_idx,
         n_valid_rows=np.int32(n_valid_rows),
         n_valid_cols=np.int32(n_valid_cols),
-        dense=None, nrows=int(nrows_pad), ncols=int(ncols_pad),
-        k=spec.k)
+        dense=None, dense_t=None,
+        nrows=int(nrows_pad), ncols=int(ncols_pad), k=spec.k)
 
 
-def bind_dense(adjs: List[object], dense) -> List[object]:
-    """Bind the resident block into every hot layer of a batch's adj list
-    (called *inside* the jitted step so the block never ships)."""
+def bind_dense(adjs: List[object], dense, dense_t) -> List[object]:
+    """Bind the resident blocks into every hot layer of a batch's adj list
+    (called *inside* the jitted step so the blocks never ship)."""
     out = []
     for a in adjs:
         if isinstance(a, HotDenseAdj):
-            out.append(dataclasses.replace(a, dense=dense))
+            out.append(dataclasses.replace(a, dense=dense,
+                                           dense_t=dense_t))
         else:
             out.append(a)
     return out
-
-
-def _hot_matmul(dense, xh, precision=None):
-    return jnp.dot(dense, xh.astype(dense.dtype),
-                   preferred_element_type=jnp.float32,
-                   precision=precision)
 
 
 def hot_forward(adj: HotDenseAdj, x: jnp.ndarray) -> jnp.ndarray:
@@ -201,27 +253,31 @@ def hot_forward(adj: HotDenseAdj, x: jnp.ndarray) -> jnp.ndarray:
     assert adj.dense is not None, (
         "HotDenseAdj.dense unbound — wrap the adj list with bind_dense() "
         "inside the jitted step")
-    # cold residual (chunked segment-sum, bounded memory)
+    # cold residual (row-sorted segment-sum)
     y = sparse_ops._coo_aggregate(adj.rows, adj.cols, adj.vals, x,
-                                  adj.nrows)
-    # hot block: gather cols into slot space, one MXU matmul, gather back
+                                  adj.nrows, sorted_rows=True)
+    # hot block: gather cols to slot space, row-compacted MXU matmul,
+    # gather back through the compaction map
     xh = jnp.take(x, adj.colpos, axis=0, mode="fill", fill_value=0)
     xh = xh * adj.nfh[:, None].astype(x.dtype)
-    yh = _hot_matmul(adj.dense, xh)
-    return y + jnp.take(yh, adj.row_slot, axis=0).astype(x.dtype) \
-        * adj.row_hot[:, None].astype(x.dtype)
+    d_rows = jnp.take(adj.dense, adj.present_row_slots, axis=0)
+    yh_c = jnp.dot(d_rows, xh.astype(adj.dense.dtype),
+                   preferred_element_type=jnp.float32)
+    y_hot = jnp.take(yh_c, adj.row_cmp_idx, axis=0, mode="fill",
+                     fill_value=0)
+    return y + y_hot.astype(x.dtype)
 
 
 def hot_transpose(adj: HotDenseAdj, g: jnp.ndarray) -> jnp.ndarray:
-    """``dx = A^T @ g`` — the VJP's backward aggregation."""
-    assert adj.dense is not None
-    dx = sparse_ops._coo_aggregate(adj.cols, adj.rows, adj.vals, g,
-                                   adj.ncols)
+    """``dx = A^T @ g`` — the VJP's backward aggregation (symmetric,
+    using the resident transpose block and the col-sorted cold copy)."""
+    assert adj.dense_t is not None
+    dx = sparse_ops._coo_aggregate(adj.cols_t, adj.rows_t, adj.vals_t, g,
+                                   adj.ncols, sorted_rows=True)
     gh = jnp.take(g, adj.rowpos, axis=0, mode="fill", fill_value=0)
-    # D^T @ gh without materializing the transpose
-    dh = jax.lax.dot_general(
-        adj.dense, gh.astype(adj.dense.dtype),
-        dimension_numbers=(((0,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32)
-    dh = dh * adj.nfh[:, None]
-    return dx.at[adj.colpos].add(dh.astype(g.dtype), mode="drop")
+    dt_rows = jnp.take(adj.dense_t, adj.present_col_slots, axis=0)
+    dh_c = jnp.dot(dt_rows, gh.astype(adj.dense_t.dtype),
+                   preferred_element_type=jnp.float32)
+    dx_hot = jnp.take(dh_c, adj.col_cmp_idx, axis=0, mode="fill",
+                      fill_value=0)
+    return dx + (dx_hot * adj.nf_col[:, None]).astype(g.dtype)

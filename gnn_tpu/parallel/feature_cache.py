@@ -30,7 +30,7 @@ node id) is the fast path when the feature table fits per-chip.
 """
 from __future__ import annotations
 
-from typing import List
+from typing import List, Optional
 
 import jax
 import jax.numpy as jnp
@@ -85,13 +85,29 @@ class GatherPlan:
 
 
 class CachedFeatures:
-    """Placement-driven sharded HBM cache + host fallback."""
+    """Placement-driven sharded HBM cache + host fallback.
+
+    2-D composition (the reference's actual deployment shape — feature
+    placement *under* data-parallel training, `main.py:291-297` +
+    `preprocess.py:397-399`): on a ``('data', 'part')`` hybrid mesh the
+    buffer stack is sharded over ``axis='part'`` (one placement shard per
+    chip within an ICI domain) and *replicated* over ``data`` (each DP
+    group holds a full copy of the sharded cache), so the heavy per-step
+    all_to_all rides ICI and never crosses the DCN data axis. Pass the
+    total ``world_size`` (= dp * part ranks); placement ``num_devs``
+    must equal the part-axis size, and global rank r maps to part index
+    ``r % num_devs`` (row-major mesh order, matching ``put_batch``)."""
 
     def __init__(self, feats: np.ndarray, placement: Placement,
-                 remote_bucket_min: int = 256):
+                 remote_bucket_min: int = 256, axis: str = DATA_AXIS,
+                 world_size: Optional[int] = None):
         self.feats = np.asarray(feats, np.float32)
         self.placement = placement
         self.num_devs = placement.num_devs
+        self.axis = axis
+        self.world_size = world_size or self.num_devs
+        assert self.world_size % self.num_devs == 0, \
+            (self.world_size, self.num_devs)
         per_dev = max(len(b) for b in placement.buffers)
         self.per_dev = per_dev
         stack = np.zeros((self.num_devs, per_dev, self.feats.shape[1]),
@@ -106,27 +122,38 @@ class CachedFeatures:
 
     def state_spec(self):
         from jax.sharding import PartitionSpec as P
-        return P(DATA_AXIS)
+        return P(self.axis)
 
     def plan(self, mb: MiniBatch) -> GatherPlan:
-        """Build the padded gather plan on the host (numpy)."""
+        """Build the padded gather plan on the host (numpy).
+
+        Plan leaves carry a leading ``world_size`` axis (sharded like the
+        batch); rank ``r = d * part + p`` serves/receives only within its
+        DP group ``d``, so each group's sub-plan is an independent copy
+        of the 1-D construction."""
         D = self.num_devs
-        nodes = np.asarray(mb.input_nodes)      # [D, C]
-        masks = np.asarray(mb.input_mask)       # [D, C]
+        ws = np.asarray(mb.input_nodes).shape[0]
+        assert ws == self.world_size, (ws, self.world_size)
+        dp = ws // D
+        nodes = np.asarray(mb.input_nodes)      # [ws, C]
+        masks = np.asarray(mb.input_mask)       # [ws, C]
         C = nodes.shape[1]
 
-        slots_rolist: List[List[np.ndarray]] = [[None] * D for _ in range(D)]
-        pos_rolist: List[List[np.ndarray]] = [[None] * D for _ in range(D)]
+        slots_rolist: List[List[np.ndarray]] = [[None] * D
+                                                for _ in range(ws)]
+        pos_rolist: List[List[np.ndarray]] = [[None] * D
+                                              for _ in range(ws)]
         host_rows_list: List[np.ndarray] = []
         host_pos_list: List[np.ndarray] = []
         max_remote = 1
         max_host = 1
-        for r in range(D):
+        for r in range(ws):
+            p_req = r % D
             valid = masks[r] > 0
             ids = nodes[r]
-            owner = np.where(valid,
-                             self.placement.device_id_of_nodes[r, ids], -2)
-            slot = self.placement.idx_of_nodes_on_device[r, ids]
+            owner = np.where(
+                valid, self.placement.device_id_of_nodes[p_req, ids], -2)
+            slot = self.placement.idx_of_nodes_on_device[p_req, ids]
             for o in range(D):
                 sel = np.flatnonzero(owner == o)
                 slots_rolist[r][o] = slot[sel].astype(np.int32)
@@ -139,14 +166,16 @@ class CachedFeatures:
 
         R = bucket_size(max_remote, self.remote_bucket_min)
         H = bucket_size(max_host, self.remote_bucket_min)
-        slot_by_owner = np.zeros((D, D, R), np.int32)
-        pos_by_rank = np.full((D, D, R), C, np.int32)  # C == dropped
-        host_rows = np.zeros((D, H, self.feats.shape[1]), np.float32)
-        host_pos = np.full((D, H), C, np.int32)
-        for r in range(D):
+        slot_by_owner = np.zeros((ws, D, R), np.int32)
+        pos_by_rank = np.full((ws, D, R), C, np.int32)  # C == dropped
+        host_rows = np.zeros((ws, H, self.feats.shape[1]), np.float32)
+        host_pos = np.full((ws, H), C, np.int32)
+        for r in range(ws):
+            d_grp, p_req = r // D, r % D
             for o in range(D):
                 s = slots_rolist[r][o]
-                slot_by_owner[o, r, : len(s)] = s
+                # rank (d_grp, o) serves rank (d_grp, p_req)'s request
+                slot_by_owner[d_grp * D + o, p_req, : len(s)] = s
                 pos_by_rank[r, o, : len(s)] = pos_rolist[r][o]
             hr = host_rows_list[r]
             host_rows[r, : len(hr)] = hr
@@ -157,13 +186,14 @@ class CachedFeatures:
 
     def gather(self, state, plan: GatherPlan, input_nodes, input_mask):
         """Inside shard_map: state [1, per_dev, F] local slice; plan leaves
-        squeezed to [D, R] / [H, F] locals. Returns x [C, F]."""
+        squeezed to [D, R] / [H, F] locals. Returns x [C, F]. The
+        all_to_all spans only ``self.axis`` (the part group)."""
         local_buf = state[0]                       # [per_dev, F]
         slot_req = plan.slot_by_owner[0]           # [D, R] others' requests
         served = jnp.take(local_buf, slot_req.reshape(-1), axis=0)
         served = served.reshape(slot_req.shape[0], slot_req.shape[1], -1)
         # deliver: after all_to_all, recv[o] = rows owner o fetched for me
-        recv = jax.lax.all_to_all(served, DATA_AXIS, split_axis=0,
+        recv = jax.lax.all_to_all(served, self.axis, split_axis=0,
                                   concat_axis=0, tiled=True)
         C = input_nodes.shape[0]
         F = recv.shape[-1]

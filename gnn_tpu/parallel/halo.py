@@ -143,12 +143,16 @@ def build_halo_plan(adj: sp.csr_matrix, num_devs: int,
     return plan, owner
 
 
-def halo_spmm_local(plan_local, x_local: jnp.ndarray) -> jnp.ndarray:
+def halo_spmm_local(plan_local, x_local: jnp.ndarray,
+                    axis=DATA_AXIS) -> jnp.ndarray:
     """One chip's view (inside shard_map): exchange halo rows, then
     aggregate. ``plan_local`` leaves are the [1, ...] shards.
 
     The all-to-all is issued before the intra matmul so XLA can overlap
-    the ICI transfer with local compute.
+    the ICI transfer with local compute. ``axis`` may be a tuple of mesh
+    axis names — on a hybrid ('data', 'part') mesh the partition spans
+    both (row-major), so intra-host peers exchange over ICI and only the
+    partition boundary that crosses hosts touches DCN.
     """
     send_idx = plan_local.send_idx[0]           # [D, H]
     send_mask = plan_local.send_mask[0]         # [D, H]
@@ -156,7 +160,7 @@ def halo_spmm_local(plan_local, x_local: jnp.ndarray) -> jnp.ndarray:
     served = served.reshape(send_idx.shape[0], send_idx.shape[1], -1)
     served = served * send_mask[..., None]
     # recv[o] = rows owner o sent to me
-    halo_x = jax.lax.all_to_all(served, DATA_AXIS, split_axis=0,
+    halo_x = jax.lax.all_to_all(served, axis, split_axis=0,
                                 concat_axis=0, tiled=True)
     halo_x = halo_x.reshape(-1, x_local.shape[-1])   # [D*H, F]
 

@@ -32,8 +32,10 @@ def replicated(mesh: Mesh) -> NamedSharding:
 
 
 def data_sharded(mesh: Mesh) -> NamedSharding:
-    """Shard the leading (device) axis of stacked minibatch leaves."""
-    return NamedSharding(mesh, P(DATA_AXIS))
+    """Shard the leading (device) axis of stacked minibatch leaves over
+    ALL mesh axes (row-major): on a 1-D ('data',) mesh this is plain DP;
+    on a 2-D ('data', 'part') hybrid mesh, global rank r = d*part + p."""
+    return NamedSharding(mesh, P(tuple(mesh.axis_names)))
 
 
 def put_batch(mesh: Mesh, batch_pytree):

@@ -31,17 +31,31 @@ from gnn_tpu.sampling.ladies import (MiniBatch, SamplerConfig, SAMPLERS,
                                      bucket_size)
 
 
-def _repad_coo(adj: sparse_ops.COOAdj, nnz_pad: int) -> sparse_ops.COOAdj:
+def _repad_coo(adj, nnz_pad: int):
+    """Re-pad the cold/COO edge arrays to a common bucket. Pad rows sit
+    at the LAST row (zero-valued) so row-sorted streams stay sorted;
+    same for the transpose copy's cols."""
     cur = adj.rows.shape[0]
     if cur == nnz_pad:
         return adj
     pad = nnz_pad - cur
-    return dataclasses.replace(
-        adj,
-        rows=np.concatenate([adj.rows, np.zeros(pad, adj.rows.dtype)]),
-        cols=np.concatenate([adj.cols, np.zeros(pad, adj.cols.dtype)]),
-        vals=np.concatenate([adj.vals, np.zeros(pad, adj.vals.dtype)]),
+
+    def ext(a, fill=0):
+        return np.concatenate(
+            [a, np.full(pad, fill, a.dtype)])
+
+    fields = dict(
+        rows=ext(adj.rows, adj.nrows - 1),
+        cols=ext(adj.cols),
+        vals=ext(adj.vals),
     )
+    if hasattr(adj, "rows_t"):
+        fields.update(
+            rows_t=ext(adj.rows_t),
+            cols_t=ext(adj.cols_t, adj.ncols - 1),
+            vals_t=ext(adj.vals_t),
+        )
+    return dataclasses.replace(adj, **fields)
 
 
 def _repad_blocked(adj: sparse_ops.BlockedAdj, max_blk: int,
@@ -98,9 +112,21 @@ def stack_minibatches(mbs: Sequence[MiniBatch]) -> MiniBatch:
         from gnn_tpu.ops.hotdense import HotDenseAdj
         if isinstance(layer[0], (sparse_ops.COOAdj, HotDenseAdj)):
             # HotDenseAdj shares the COO cold-residual fields; its other
-            # leaves are fixed-shape and stack directly
+            # leaves are fixed-shape except the batch-present compaction
+            # arrays, which re-bucket to the group max (pad slots gather
+            # nothing — the cmp-idx sentinels are fixed OOB constants)
             nnz = bucket_size(max(a.rows.shape[0] for a in layer))
             layer = [_repad_coo(a, nnz) for a in layer]
+            if isinstance(layer[0], HotDenseAdj):
+                rh = max(a.present_row_slots.shape[0] for a in layer)
+                ch = max(a.present_col_slots.shape[0] for a in layer)
+                pad1 = lambda a, m: np.concatenate(
+                    [a, np.zeros(m - a.shape[0], a.dtype)])
+                layer = [dataclasses.replace(
+                    a,
+                    present_row_slots=pad1(a.present_row_slots, rh),
+                    present_col_slots=pad1(a.present_col_slots, ch))
+                    for a in layer]
         else:
             mb_max = bucket_size(max(a.block_cols.shape[1] for a in layer),
                                  minimum=8)

@@ -57,11 +57,11 @@ def _gcn_layer_local(p, x, aggregate, order: int):
 
 
 def fullgraph_forward_local(params, plan_local, x_local,
-                            orders: Sequence[int]):
+                            orders: Sequence[int], axis=DATA_AXIS):
     """One chip's forward over its node partition (inside shard_map)."""
     h = x_local
     for i, order in enumerate(orders):
-        agg = lambda z: halo_spmm_local(plan_local, z)
+        agg = lambda z: halo_spmm_local(plan_local, z, axis=axis)
         h = _gcn_layer_local(params[f"gcs_{i}"], h, agg, order)
     norm = jnp.sqrt(jnp.sum(h * h, axis=1, keepdims=True) + 1e-24)
     h = h / jnp.maximum(norm, 1e-12)
@@ -83,9 +83,16 @@ class FullGraphTrainer:
     lr: float = 0.01
     sigmoid_loss: bool = False
     seed: int = 0
+    # optional externally-built mesh; a multi-axis ('data', 'part') hybrid
+    # mesh partitions the graph over the row-major flattened axes, so the
+    # halo all_to_all's intra-host legs ride ICI and only cross-partition
+    # boundaries that straddle hosts touch DCN (SURVEY.md §5.8)
+    mesh: object = None
 
     def __post_init__(self):
-        self.mesh = make_mesh(self.n_devices or None)
+        if self.mesh is None:
+            self.mesh = make_mesh(self.n_devices or None)
+        self.axes = tuple(self.mesh.axis_names)
         D = self.mesh.devices.size
         self.plan, self.owner = build_halo_plan(self.adj, D)
         nl = self.plan.n_local
@@ -98,7 +105,7 @@ class FullGraphTrainer:
             m[d, : len(mine)] = self.train_mask[mine].astype(np.float32)
         self.mask = m
 
-        sh = NamedSharding(self.mesh, P(DATA_AXIS))
+        sh = NamedSharding(self.mesh, P(self.axes))
         put = lambda a: jax.device_put(jnp.asarray(a), sh)
         self.plan_dev = jax.tree_util.tree_map(
             lambda a: put(a) if hasattr(a, "ndim") else a, self.plan)
@@ -116,11 +123,13 @@ class FullGraphTrainer:
         orders = tuple(self.orders)
         sigmoid = self.sigmoid_loss
         optimizer = self.optimizer
+        axes = self.axes
 
         def local_loss(params, plan_d, x, y, mask):
-            out = fullgraph_forward_local(params, plan_d, x[0], orders)
+            out = fullgraph_forward_local(params, plan_d, x[0], orders,
+                                          axis=axes)
             # global mean over train nodes: sum local, divide by psum count
-            n_valid = jax.lax.psum(jnp.sum(mask[0]), DATA_AXIS)
+            n_valid = jax.lax.psum(jnp.sum(mask[0]), axes)
             w = mask[0] / jnp.maximum(n_valid, 1.0)
             if sigmoid:
                 per = (jnp.maximum(out, 0) - out * y[0]
@@ -138,16 +147,16 @@ class FullGraphTrainer:
         def step(params, opt_state, plan_d, x, y, mask):
             loss, grads = jax.value_and_grad(local_loss)(
                 params, plan_d, x, y, mask)
-            grads = jax.lax.psum(grads, DATA_AXIS)
-            loss = jax.lax.psum(loss, DATA_AXIS)
+            grads = jax.lax.psum(grads, axes)
+            loss = jax.lax.psum(loss, axes)
             grads = clip_by_global_norm(grads, 5.0)
             updates, opt_state = optimizer.update(grads, opt_state, params)
             return optax.apply_updates(params, updates), opt_state, loss
 
+        sh = P(self.axes)
         return jax.jit(jax.shard_map(
             step, mesh=self.mesh,
-            in_specs=(P(), P(), P(DATA_AXIS), P(DATA_AXIS), P(DATA_AXIS),
-                      P(DATA_AXIS)),
+            in_specs=(P(), P(), sh, sh, sh, sh),
             out_specs=(P(), P(), P()),
             check_vma=False))
 
@@ -162,15 +171,17 @@ class FullGraphTrainer:
 
     def predict(self):
         orders = tuple(self.orders)
+        axes = self.axes
 
         def f(params, plan_d, x):
             return fullgraph_forward_local(params, plan_d, x[0],
-                                           orders)[None]
+                                           orders, axis=axes)[None]
 
+        sh = P(self.axes)
         fwd = jax.jit(jax.shard_map(
             f, mesh=self.mesh,
-            in_specs=(P(), P(DATA_AXIS), P(DATA_AXIS)),
-            out_specs=P(DATA_AXIS), check_vma=False))
+            in_specs=(P(), sh, sh),
+            out_specs=sh, check_vma=False))
         out = np.asarray(fwd(self.params, self.plan_dev, self.x_dev))
         # un-partition back to node order
         D, nl, C = out.shape

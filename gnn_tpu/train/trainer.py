@@ -57,10 +57,10 @@ def bind_agg_state(adjs, agg_state):
     """Bind resident aggregation state (the hot-subgraph dense block,
     `gnn_tpu.ops.hotdense`) into the batch's adjacency list — done inside
     the jitted step so the block never rides the per-step H2D payload.
-    ``agg_state`` is ``()`` (nothing resident) or a 1-tuple ``(D,)``."""
+    ``agg_state`` is ``()`` (nothing resident) or ``(D, D^T)``."""
     if agg_state:
         from gnn_tpu.ops.hotdense import bind_dense
-        return bind_dense(list(adjs), agg_state[0])
+        return bind_dense(list(adjs), agg_state[0], agg_state[1])
     return list(adjs)
 
 
@@ -89,22 +89,28 @@ def build_step_fns(net, optimizer, sigmoid_loss: bool, mesh,
         return masked_loss(out, batch.labels, batch.label_mask,
                            sigmoid_loss)
 
+    axes = tuple(mesh.axis_names)
+
     def _sharded_step(params, opt_state, feat_state, agg_state, batch,
                       plan, rng):
         batch = _squeeze_batch(batch)
-        my_rng = jax.random.fold_in(rng, jax.lax.axis_index(DATA_AXIS))
+        # global replica index across all mesh axes (row-major)
+        idx = jax.lax.axis_index(axes[0])
+        for ax in axes[1:]:
+            idx = idx * mesh.shape[ax] + jax.lax.axis_index(ax)
+        my_rng = jax.random.fold_in(rng, idx)
         loss, grads = jax.value_and_grad(per_device_loss)(
             params, feat_state, agg_state, plan, batch, my_rng)
         grads = clip_by_global_norm(grads, grad_clip)
         # reference sums gradients across replicas without dividing
-        # (`main.py:159`)
-        grads = jax.lax.psum(grads, DATA_AXIS)
-        mean_loss = jax.lax.pmean(loss, DATA_AXIS)
+        # (`main.py:159`); on a hybrid mesh the sum spans both axes
+        grads = jax.lax.psum(grads, axes)
+        mean_loss = jax.lax.pmean(loss, axes)
         updates, opt_state = optimizer.update(grads, opt_state, params)
         params = optax.apply_updates(params, updates)
         return params, opt_state, mean_loss
 
-    batch_spec = P(DATA_AXIS)
+    batch_spec = P(axes)
     step = jax.jit(jax.shard_map(
         _sharded_step, mesh=mesh,
         in_specs=(P(), P(), feature_source.state_spec(), P(), batch_spec,
@@ -128,7 +134,16 @@ def build_step_fns(net, optimizer, sigmoid_loss: bool, mesh,
 
 @dataclasses.dataclass
 class EpochMetrics:
-    """The reference's per-epoch timing line (`main.py:196`)."""
+    """The reference's per-epoch timing line (`main.py:196`), carrying all
+    of its buckets: spmm fwd/bwd time (`custom_sparse_ops.py:11-12`),
+    data-movement, communication, and execution time.
+
+    ``spmm_*`` and ``communication_time`` are isolated-op estimates:
+    everything inside one jitted program can't be bracketed the way the
+    reference brackets eager torch calls, so the per-layer aggregation
+    ops and the gradient psum / cache all_to_all are timed standalone on
+    the epoch's final batch and scaled by the step count (XLA may overlap
+    them in the real program, so these are upper bounds on their cost)."""
 
     epoch: int
     train_loss: float
@@ -137,13 +152,21 @@ class EpochMetrics:
     data_movement_time: float
     execution_time: float
     sample_wait_time: float
+    spmm_fwd_time: float = float("nan")
+    spmm_bwd_time: float = float("nan")
+    communication_time: float = float("nan")
 
     def format(self, scale_factor: float = 1.0) -> str:
         ratio = (self.data_movement_time / self.execution_time
                  if self.execution_time else 0.0)
+        buckets = ""
+        if np.isfinite(self.spmm_fwd_time):
+            buckets = (f"(spmm {self.spmm_fwd_time:.2f}s/"
+                       f"{self.spmm_bwd_time:.2f}s)"
+                       f"(comm {self.communication_time:.2f}s)")
         return (f"Epoch: {self.epoch} ({self.sample_wait_time:.2f}s)"
                 f"({self.data_movement_time:.2f}s)"
-                f"({self.execution_time:.2f}s) "
+                f"({self.execution_time:.2f}s) {buckets}"
                 f"Train Loss: {self.train_loss:.2f}    "
                 f"Valid Loss: {self.valid_loss:.2f} "
                 f"Valid F1: {self.valid_f1:.3f}    "
@@ -172,12 +195,15 @@ class Trainer:
         self.feat_state = jax.device_put(
             self.feature_source.state(),
             NamedSharding(self.mesh, self.feature_source.state_spec()))
-        # resident hot-subgraph dense block (adj_format='hot'), replicated
-        # across the mesh once at setup — never re-shipped per step
+        # resident hot-subgraph dense blocks (D, D^T) for
+        # adj_format='hot', replicated across the mesh once at setup —
+        # never re-shipped per step
         self.agg_state = ()
         if hot_dense is not None:
-            self.agg_state = (jax.device_put(
-                jnp.asarray(hot_dense), NamedSharding(self.mesh, P())),)
+            d, dt = hot_dense
+            rep = NamedSharding(self.mesh, P())
+            self.agg_state = (jax.device_put(jnp.asarray(d), rep),
+                              jax.device_put(jnp.asarray(dt), rep))
         self.n_feats = feats.shape[1]
         self.params = None
         self.opt_state = None
@@ -203,6 +229,7 @@ class Trainer:
         t_move = 0.0
         t_exec = 0.0
         losses = []
+        n_steps = 0
         t0 = time.perf_counter()
         for mb in self.pipeline.train_epoch(train_nodes, rank_chunks):
             batch = to_device_batch(mb)
@@ -220,8 +247,11 @@ class Trainer:
                 self.params, self.opt_state, self.feat_state,
                 self.agg_state, dev_batch, dev_plan, step_rng)
             losses.append(loss)
+            n_steps += 1
+            self._last_dev_batch, self._last_plan = dev_batch, dev_plan
             t0 = time.perf_counter()
             t_exec += t0 - t2
+        self._last_epoch_steps = n_steps
         # sync once per epoch for honest timing
         jax.block_until_ready(self.params)
         train_loss = float(np.mean([float(l) for l in losses])) if losses \
@@ -232,6 +262,98 @@ class Trainer:
                             data_movement_time=t_move,
                             execution_time=t_exec,
                             sample_wait_time=t_sample)
+
+    def _layer_widths(self):
+        """Per-layer input feature widths of the encoder stack (for
+        representative spmm operands)."""
+        enc = self.net.encoder
+        orders = list(getattr(enc, "orders", []))
+        widths = [self.n_feats]
+        for i in range(1, len(orders)):
+            if type(enc).__name__ == "GraphSage":
+                # reference `models.py:36`: layer i input width
+                widths.append((1 + orders[i - 1]) * enc.nhid)
+            else:
+                widths.append(enc.nhid)
+        return widths
+
+    def measure_op_buckets(self):
+        """Per-step spmm-fwd / spmm-bwd / communication seconds, estimated
+        by timing the isolated jitted ops on the epoch's last batch (the
+        reference brackets its eager calls the same way conceptually,
+        `custom_sparse_ops.py:21-27`, `main.py:150-168`). Cached — static
+        shapes make the cost epoch-invariant."""
+        if getattr(self, "_op_buckets", None) is not None:
+            return self._op_buckets
+        if getattr(self, "_last_dev_batch", None) is None:
+            return (float("nan"),) * 3
+        from gnn_tpu.ops.sparse import spmm, spmm_transpose
+
+        one = jax.tree_util.tree_map(lambda a: a[0], self._last_dev_batch)
+        adjs = bind_agg_state(one.adjs, self.agg_state)
+        widths = self._layer_widths()
+        on_tpu = jax.default_backend() == "tpu"
+
+        def timeit(fn, *args):
+            if on_tpu:
+                from benchmarks.timing import chain_time
+                return chain_time(fn, args[0], n=8, args=args[1:])
+            f = jax.jit(fn)
+            jax.block_until_ready(f(*args))
+            t0 = time.perf_counter()
+            for _ in range(3):
+                jax.block_until_ready(f(*args))
+            return (time.perf_counter() - t0) / 3
+
+        t_fwd = t_bwd = 0.0
+        rng = np.random.default_rng(0)
+        for l, adj in enumerate(adjs):
+            if adj is None:
+                continue
+            w = widths[l] if l < len(widths) else widths[-1]
+            x = jnp.asarray(rng.normal(size=(adj.ncols, w)).astype(
+                np.float32))
+            g = jnp.asarray(rng.normal(size=(adj.nrows, w)).astype(
+                np.float32))
+            t_fwd += timeit(lambda u, a=adj: spmm(a, u), x)
+            t_bwd += timeit(lambda u, a=adj: spmm_transpose(a, u), g)
+
+        # communication: the gradient psum (`main.py:149-168`'s manual
+        # all-reduce, which also flattens grads into one vector) + the
+        # feature cache's all_to_all gather, if any
+        t_comm = 0.0
+        if self.params is not None:
+            flat = jnp.concatenate(
+                [jnp.ravel(p) for p in
+                 jax.tree_util.tree_leaves(self.params)])
+            axes = tuple(self.mesh.axis_names)
+            psum_fn = jax.shard_map(
+                lambda g: jax.lax.psum(g, axes), mesh=self.mesh,
+                in_specs=P(), out_specs=P(), check_vma=False)
+            t_comm = timeit(psum_fn, flat)
+        if hasattr(self.feature_source, "plan") and \
+                self._last_plan not in ((), None):
+            b_spec = P(tuple(self.mesh.axis_names))
+            gather_fn = jax.jit(jax.shard_map(
+                lambda fs, pl, bat: self.feature_source.gather(
+                    fs, pl, bat.input_nodes[0], bat.input_mask[0]),
+                mesh=self.mesh,
+                in_specs=(self.feature_source.state_spec(), b_spec,
+                          b_spec),
+                out_specs=b_spec, check_vma=False))
+            try:
+                jax.block_until_ready(gather_fn(
+                    self.feat_state, self._last_plan,
+                    self._last_dev_batch))
+                t0 = time.perf_counter()
+                jax.block_until_ready(gather_fn(
+                    self.feat_state, self._last_plan,
+                    self._last_dev_batch))
+                t_comm += time.perf_counter() - t0
+            except Exception:
+                pass
+        self._op_buckets = (t_fwd, t_bwd, t_comm)
+        return self._op_buckets
 
     def evaluate(self, target_nodes, batch_size: int = 128,
                  mode: str = "val"):
@@ -265,7 +387,8 @@ class Trainer:
             rank_chunks=None, log: bool = True,
             checkpoint_dir: Optional[str] = None,
             locality_tuner: bool = False,
-            metrics=None, profile_dir: Optional[str] = None):
+            metrics=None, profile_dir: Optional[str] = None,
+            op_timing: bool = False):
         tuner = None
         if locality_tuner:
             from gnn_tpu.train.metrics import ScaleFactorTuner
@@ -277,6 +400,12 @@ class Trainer:
             m = self.train_epoch(train_nodes, epoch, rank_chunks)
             if profile_dir is not None and epoch == 1:
                 jax.profiler.stop_trace()
+            if op_timing:
+                fwd, bwd, comm = self.measure_op_buckets()
+                steps = getattr(self, "_last_epoch_steps", 0)
+                m.spmm_fwd_time = fwd * steps
+                m.spmm_bwd_time = bwd * steps
+                m.communication_time = comm * steps
             f1, vloss = self.evaluate(valid_nodes, 128, "val")
             m.valid_f1, m.valid_loss = f1, vloss
             self.history.append(m)
@@ -289,6 +418,9 @@ class Trainer:
                             sample_wait_s=m.sample_wait_time,
                             data_movement_s=m.data_movement_time,
                             execution_s=m.execution_time,
+                            spmm_fwd_s=m.spmm_fwd_time,
+                            spmm_bwd_s=m.spmm_bwd_time,
+                            communication_s=m.communication_time,
                             scale_factor=self.pipeline.cfg.scale_factor,
                             device_memory=device_memory_stats())
             # live scale-factor controller (the reference left this

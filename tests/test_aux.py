@@ -104,3 +104,32 @@ def test_loss_matches_torch_formulas():
     got2 = float(masked_loss(preds, labels, mask2, sigmoid_loss=True))
     expected2 = (bce[:2] / 2).sum()
     np.testing.assert_allclose(got2, expected2, rtol=1e-6)
+
+
+def test_op_timing_buckets(small_graph):
+    """measure_op_buckets returns finite per-step spmm fwd/bwd + comm
+    estimates after an epoch, and fit(op_timing=True) surfaces them on
+    the metrics line (reference main.py:196 buckets)."""
+    import numpy as np
+    from gnn_tpu.models.gnn import build_model
+    from gnn_tpu.sampling.ladies import SamplerConfig
+    from gnn_tpu.sampling.pipeline import BatchPipeline
+    from gnn_tpu.train.trainer import Trainer
+    from gnn_tpu.utils.normalize import build_laplacian
+
+    lap = build_laplacian(small_graph.adj_full, "graphsage")
+    cfg = SamplerConfig(batch_size=64, samp_num=128, orders=(1, 1),
+                        num_nodes=small_graph.adj_full.shape[0],
+                        num_classes=small_graph.num_classes)
+    net = build_model("graphsage", 32, (1, 1), small_graph.num_classes)
+    pipe = BatchPipeline(cfg, lap, small_graph.labels, world_size=2,
+                         pool_num=2)
+    tr = Trainer(net, pipe, small_graph.feats, lr=0.05,
+                 sigmoid_loss=False)
+    hist = tr.fit(small_graph.train_nodes, small_graph.valid_nodes, 1,
+                  log=False, op_timing=True)
+    m = hist[0]
+    assert np.isfinite(m.spmm_fwd_time) and m.spmm_fwd_time > 0
+    assert np.isfinite(m.spmm_bwd_time) and m.spmm_bwd_time > 0
+    assert np.isfinite(m.communication_time)
+    assert "spmm" in m.format() and "comm" in m.format()

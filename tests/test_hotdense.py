@@ -18,7 +18,8 @@ def _setup(small_graph, k=256, compress=False, orders=(1, 1)):
     lap = build_laplacian(small_graph.adj_full, "graphsage")
     prob = compute_sample_prob(lap, small_graph.train_nodes, sum(orders))
     spec = HotSpec.from_sample_prob(prob, k)
-    dense = jnp.asarray(build_hot_dense(lap, spec))
+    d, dt = build_hot_dense(lap, spec)
+    dense = (jnp.asarray(d), jnp.asarray(dt))
     kw = dict(batch_size=64, samp_num=256, orders=orders,
               num_nodes=small_graph.adj_full.shape[0],
               num_classes=small_graph.num_classes, compress=compress)
@@ -37,7 +38,8 @@ def test_hot_split_is_exact(small_graph):
     _, spec, dense, mb_hot, mb_coo = _setup(small_graph)
     for ah, ac in zip(mb_hot.adjs, mb_coo.adjs):
         ah = dataclasses.replace(
-            jax.tree_util.tree_map(jnp.asarray, ah), dense=dense)
+            jax.tree_util.tree_map(jnp.asarray, ah), dense=dense[0],
+            dense_t=dense[1])
         dh = np.asarray(sparse_ops.to_dense(ah))
         dc = np.asarray(sparse_ops.to_dense(
             jax.tree_util.tree_map(jnp.asarray, ac)))
@@ -61,7 +63,8 @@ def test_hot_forward_matches_coo(small_graph):
     for ah, ac in zip(mb_hot.adjs, mb_coo.adjs):
         x = jnp.asarray(rng.normal(size=(ac.ncols, 16)).astype(np.float32))
         ah = dataclasses.replace(
-            jax.tree_util.tree_map(jnp.asarray, ah), dense=dense)
+            jax.tree_util.tree_map(jnp.asarray, ah), dense=dense[0],
+            dense_t=dense[1])
         ac = jax.tree_util.tree_map(jnp.asarray, ac)
         y_hot = sparse_ops.spmm(ah, x)
         y_coo = sparse_ops.spmm(ac, x)
@@ -75,7 +78,8 @@ def test_hot_backward_matches_coo(small_graph):
     for ah, ac in zip(mb_hot.adjs, mb_coo.adjs):
         x = jnp.asarray(rng.normal(size=(ac.ncols, 8)).astype(np.float32))
         ah = dataclasses.replace(
-            jax.tree_util.tree_map(jnp.asarray, ah), dense=dense)
+            jax.tree_util.tree_map(jnp.asarray, ah), dense=dense[0],
+            dense_t=dense[1])
         ac = jax.tree_util.tree_map(jnp.asarray, ac)
 
         def loss(fmt_adj, z):
@@ -124,5 +128,6 @@ def test_hot_k_exceeding_n_clamps(small_graph):
     prob = compute_sample_prob(lap, small_graph.train_nodes, 2)
     spec = HotSpec.from_sample_prob(prob, n + 999)
     assert len(spec.hot_nodes) == n
-    d = build_hot_dense(lap, spec)
+    d, dt = build_hot_dense(lap, spec)
     assert d.shape[0] % 128 == 0 and d.shape[0] >= n
+    np.testing.assert_array_equal(dt, d.T)
