@@ -119,7 +119,7 @@ def main(argv=None) -> int:
         ReplicatedFeatures
     from gnn_tpu.parallel.mesh import make_mesh
     from gnn_tpu.placement.engine import create_placement, \
-        get_skewed_sampled_nodes
+        get_per_rank_skewed_nodes
     from gnn_tpu.sampling.ladies import SamplerConfig
     from gnn_tpu.sampling.pipeline import BatchPipeline
     from gnn_tpu.train.trainer import Trainer
@@ -142,11 +142,13 @@ def main(argv=None) -> int:
         num_conv_layers=sum(orders), alpha=args.alpha, strategy=strategy,
         cache_dir=args.save_dir, dataset=args.dataset.replace("/", "_"))
 
-    skew = None
+    per_rank_skew = None
     scale_factor = args.scale_factor
     if args.locality_sampling:
-        skew = get_skewed_sampled_nodes(
-            graph.adj_full + sp.eye(n), placement.buffers, orders)
+        # each rank skews toward ITS OWN resident nodes
+        # (`sampler.py:23-25,119-121`), not the union of all buffers
+        per_rank_skew = get_per_rank_skewed_nodes(
+            graph.adj_full + sp.eye(n), placement, orders)
         if scale_factor <= 1.0:
             scale_factor = 1.0  # tuner may raise it during training
 
@@ -169,7 +171,7 @@ def main(argv=None) -> int:
         hot_spec=hot_spec)
     pipe = BatchPipeline(cfg, lap, graph.labels, world_size=n_devices,
                          pool_num=args.pool_num,
-                         skewed_sampling_nodes=skew,
+                         per_rank_skew=per_rank_skew,
                          local_shuffle=args.local_shuffle, seed=args.seed)
     net = build_model(args.model, args.nhid, orders, graph.num_classes)
 

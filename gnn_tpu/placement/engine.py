@@ -233,6 +233,30 @@ def get_skewed_sampled_nodes(adj_with_self: sp.csr_matrix,
     return sets
 
 
+def get_per_rank_skewed_nodes(adj_with_self: sp.csr_matrix,
+                              placement: Placement,
+                              orders: Sequence[int],
+                              top_k: int = 8192) -> List[List[np.ndarray]]:
+    """Per-RANK per-layer skew sets: each rank skews toward the nodes
+    resident in ITS OWN buffer (`sampler.py:23-25,119-121` uses
+    ``device_id_of_nodes == device`` — the union-of-all-buffers variant
+    would skew every rank toward the same global set and defeat the
+    point of per-device placement). Deeper layers push the rank's own
+    resident indicator through A^i, mirroring `preprocess.py:417-422`."""
+    out: List[List[np.ndarray]] = []
+    n_layers = len(list(orders))
+    for d in range(placement.num_devs):
+        own = np.flatnonzero(placement.device_id_of_nodes[d] == d)
+        sets = [own.astype(np.int64)]
+        v = np.zeros(adj_with_self.shape[1])
+        v[own] = 1.0
+        for _ in range(1, n_layers):
+            v = np.asarray(v * adj_with_self).ravel()
+            sets.append(np.argsort(-v, kind="stable")[:top_k])
+        out.append(sets)
+    return out
+
+
 def create_placement(
     lap: sp.csr_matrix,
     train_nodes: np.ndarray,

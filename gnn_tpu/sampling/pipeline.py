@@ -171,7 +171,12 @@ class BatchPipeline:
                  world_size: int = 1, pool_num: int = 4,
                  queue_depth: int = 8,
                  skewed_sampling_nodes: Optional[List[np.ndarray]] = None,
+                 per_rank_skew: Optional[List[List[np.ndarray]]] = None,
                  local_shuffle: bool = False, seed: int = 0):
+        """``skewed_sampling_nodes`` — one per-layer skew list shared by
+        all ranks; ``per_rank_skew`` — per-rank per-layer lists (each
+        rank skews toward ITS resident nodes, `sampler.py:23-25`;
+        takes precedence when both are given)."""
         self.cfg = cfg
         self.lap = lap_matrix
         self.labels = labels_full
@@ -179,8 +184,13 @@ class BatchPipeline:
         self.pool = ThreadPoolExecutor(max_workers=pool_num)
         self.queue_depth = queue_depth
         self.skew = skewed_sampling_nodes
+        self.per_rank_skew = per_rank_skew
+        if per_rank_skew is not None:
+            assert len(per_rank_skew) == world_size, \
+                (len(per_rank_skew), world_size)
         self.local_shuffle = local_shuffle
         self._sampler = SAMPLERS[cfg.sampler]
+        self._seed = seed
         self._rng = np.random.default_rng(seed)
         self._epoch = 0
         # tune native OpenMP width so pool x OMP ~= 2x cores (measured
@@ -196,18 +206,29 @@ class BatchPipeline:
         except Exception:
             pass
 
-    def _sample_one(self, seed, batch_nodes, cfg=None):
+    def _sample_one(self, seed, batch_nodes, cfg=None, rank=0):
+        skew = self.skew
+        if self.per_rank_skew is not None:
+            skew = self.per_rank_skew[rank % len(self.per_rank_skew)]
         return self._sampler(cfg or self.cfg, seed, batch_nodes, self.lap,
-                             self.labels, self.skew)
+                             self.labels, skew)
 
     def train_epoch(self, target_nodes: np.ndarray,
                     rank_chunks: Optional[List[np.ndarray]] = None,
+                    epoch: Optional[int] = None,
                     ) -> Iterator[MiniBatch]:
         """Yield stacked minibatches (leading axis = world_size) for one
         epoch. ``rank_chunks`` overrides the chunking (used with PaGraph
         local-shuffle where ranks own explicit train-node sets,
-        `main.py:280-282`)."""
-        self._epoch += 1
+        `main.py:280-282`). Passing ``epoch`` pins this epoch's shuffle
+        AND sampling randomness to a function of (seed, epoch) — the
+        property checkpoint resume needs to reproduce an uninterrupted
+        run exactly."""
+        if epoch is not None:
+            self._epoch = epoch + 1
+            self._rng = np.random.default_rng((self._seed, epoch))
+        else:
+            self._epoch += 1
         ws, bs = self.world_size, self.cfg.batch_size
         if rank_chunks is None:
             n = len(target_nodes)
@@ -251,7 +272,8 @@ class BatchPipeline:
                     idx = np.arange(j * bs, j * bs + bs) % max(nr, 1)
                     chunk = per_rank[r][idx]
                 seed = int(self._rng.integers(2 ** 31 - 1))
-                group.append(self.pool.submit(self._sample_one, seed, chunk))
+                group.append(self.pool.submit(self._sample_one, seed,
+                                              chunk, None, r))
             return group
 
         # shallow prefetch: once `depth` steps are ready the workers
@@ -293,3 +315,33 @@ class BatchPipeline:
             for j in range(n_batches)]
         for f in futs:
             yield stack_minibatches([f.result()])
+
+    def eval_batches_sharded(self, target_nodes: np.ndarray,
+                             batch_size: int) -> Iterator[MiniBatch]:
+        """Full-sweep evaluation sharded over the mesh: each yielded
+        stack carries ``world_size`` eval minibatches (one per device),
+        so the test sweep runs ws batches per dispatch and the sharded
+        feature-cache gather serves eval exactly like training (the
+        reference evaluates on rank 0 only, `main.py:178` — this is the
+        scale-out upgrade). A short final group is padded by repeating
+        the last batch with its label/input masks zeroed, so padded
+        replicas contribute nothing."""
+        cfg = self.cfg
+        if batch_size > cfg.batch_size:
+            cfg = dataclasses.replace(cfg, batch_size=batch_size)
+        ws = self.world_size
+        n_batches = int(np.ceil(len(target_nodes) / batch_size))
+        futs = [self.pool.submit(
+            self._sample_one, int(self._rng.integers(2 ** 31 - 1)),
+            target_nodes[j * batch_size:(j + 1) * batch_size], cfg, j % ws)
+            for j in range(n_batches)]
+        for g in range(0, n_batches, ws):
+            group = [f.result() for f in futs[g: g + ws]]
+            while len(group) < ws:
+                filler = group[-1]
+                filler = dataclasses.replace(
+                    filler,
+                    label_mask=np.zeros_like(filler.label_mask),
+                    input_mask=np.zeros_like(filler.input_mask))
+                group.append(filler)
+            yield stack_minibatches(group)

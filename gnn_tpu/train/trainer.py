@@ -68,6 +68,7 @@ def bind_agg_state(adjs, agg_state):
 class TrainStepFns:
     train_step: Callable
     eval_forward: Callable
+    eval_step: Callable = None  # sharded eval over the mesh
 
 
 def build_step_fns(net, optimizer, sigmoid_loss: bool, mesh,
@@ -129,7 +130,26 @@ def build_step_fns(net, optimizer, sigmoid_loss: bool, mesh,
         return out, masked_loss(out, batch.labels, batch.label_mask,
                                 sigmoid_loss)
 
-    return TrainStepFns(train_step=step, eval_forward=eval_forward)
+    def _sharded_eval(params, feat_state, agg_state, batch, plan):
+        b = _squeeze_batch(batch)
+        x = feature_source.gather(feat_state, plan, b.input_nodes,
+                                  b.input_mask)
+        adjs = bind_agg_state(b.adjs, agg_state)
+        out = net.apply(params, x, adjs, list(b.sampled_nodes),
+                        deterministic=True)
+        loss = masked_loss(out, b.labels, b.label_mask, sigmoid_loss)
+        return out[None], loss[None]
+
+    eval_step = jax.jit(jax.shard_map(
+        _sharded_eval, mesh=mesh,
+        in_specs=(P(), feature_source.state_spec(), P(), batch_spec,
+                  batch_spec),
+        out_specs=(batch_spec, batch_spec),
+        check_vma=False,
+    ))
+
+    return TrainStepFns(train_step=step, eval_forward=eval_forward,
+                        eval_step=eval_step)
 
 
 @dataclasses.dataclass
@@ -190,6 +210,7 @@ class Trainer:
         self.fns = build_step_fns(net, self.optimizer, sigmoid_loss,
                                   self.mesh, self.feature_source)
         self.sigmoid_loss = sigmoid_loss
+        self._seed = seed
         self.rng = jax.random.PRNGKey(seed)
         from jax.sharding import NamedSharding
         self.feat_state = jax.device_put(
@@ -225,13 +246,19 @@ class Trainer:
 
     def train_epoch(self, train_nodes, epoch: int,
                     rank_chunks=None) -> EpochMetrics:
+        # epoch-deterministic randomness (sampling seeds, dropout): a
+        # resumed run replays exactly the epochs an uninterrupted run
+        # would have executed
+        self.rng = jax.random.fold_in(jax.random.PRNGKey(self._seed),
+                                      epoch)
         t_sample = 0.0
         t_move = 0.0
         t_exec = 0.0
         losses = []
         n_steps = 0
         t0 = time.perf_counter()
-        for mb in self.pipeline.train_epoch(train_nodes, rank_chunks):
+        for mb in self.pipeline.train_epoch(train_nodes, rank_chunks,
+                                            epoch=epoch):
             batch = to_device_batch(mb)
             plan = self.feature_source.plan(mb)
             t1 = time.perf_counter()
@@ -358,7 +385,12 @@ class Trainer:
     def evaluate(self, target_nodes, batch_size: int = 128,
                  mode: str = "val"):
         """Micro-F1 + loss over eval batches (reference
-        `main.py:178-199, 217-241`)."""
+        `main.py:178-199, 217-241`). Full-sweep test evaluation on a
+        multi-device mesh runs sharded — ws batches per dispatch through
+        the same feature-cache gather as training."""
+        if mode == "test" and self.pipeline.world_size > 1 and \
+                self.params is not None:
+            return self._evaluate_sharded(target_nodes, batch_size)
         total_f1 = 0.0
         total_n = 0
         total_loss = 0.0
@@ -383,17 +415,72 @@ class Trainer:
         return (total_f1 / max(total_n, 1),
                 total_loss / max(n_batches, 1))
 
+    def _evaluate_sharded(self, target_nodes, batch_size: int):
+        """Mesh-sharded full sweep: each dispatch evaluates world_size
+        batches (cache gather + forward inside shard_map); F1 weighting
+        matches the reference's per-batch weighted average
+        (`main.py:226-241`)."""
+        total_f1 = 0.0
+        total_n = 0
+        total_loss = 0.0
+        n_batches = 0
+        for mb in self.pipeline.eval_batches_sharded(target_nodes,
+                                                     batch_size):
+            batch = to_device_batch(mb)
+            plan = self.feature_source.plan(mb)
+            dev_batch = put_batch(self.mesh, batch)
+            dev_plan = put_batch(self.mesh, plan)
+            outs, losses = self.fns.eval_step(
+                self.params, self.feat_state, self.agg_state, dev_batch,
+                dev_plan)
+            outs = np.asarray(outs)
+            losses = np.asarray(losses)
+            for r in range(outs.shape[0]):
+                labels = mb.labels[r]
+                mask = mb.label_mask[r].astype(bool)
+                if not mask.any():  # padded filler replica
+                    continue
+                proba = np.asarray(predict_proba(outs[r],
+                                                 self.sigmoid_loss))
+                f1_mic, _ = calc_f1(labels[mask],
+                                    proba[: labels.shape[0]][mask],
+                                    self.sigmoid_loss)
+                n = int(mask.sum())
+                total_f1 += f1_mic * n
+                total_n += n
+                total_loss += float(losses[r])
+                n_batches += 1
+        return (total_f1 / max(total_n, 1),
+                total_loss / max(n_batches, 1))
+
     def fit(self, train_nodes, valid_nodes, epochs: int,
             rank_chunks=None, log: bool = True,
             checkpoint_dir: Optional[str] = None,
             locality_tuner: bool = False,
             metrics=None, profile_dir: Optional[str] = None,
-            op_timing: bool = False):
+            op_timing: bool = False, resume: bool = False):
+        """Train for ``epochs`` epochs. ``resume=True`` picks up from the
+        ``latest`` checkpoint in ``checkpoint_dir`` (params + optimizer
+        state + next epoch + best-F1 watermark) and, because every
+        epoch's randomness derives from (seed, epoch), replays exactly
+        the remaining epochs of the uninterrupted run — the recovery
+        story the reference lacks entirely (SURVEY.md §5.4)."""
+        import os
+
         tuner = None
         if locality_tuner:
             from gnn_tpu.train.metrics import ScaleFactorTuner
             tuner = ScaleFactorTuner(self.pipeline.cfg.scale_factor)
-        for epoch in range(epochs):
+        start_epoch = 0
+        if resume and checkpoint_dir is not None and os.path.exists(
+                os.path.join(checkpoint_dir, "latest_model.msgpack")):
+            if self.params is None:
+                self._init_params(self._peek_batch(train_nodes))
+            start_epoch = self.restore(checkpoint_dir, name="latest")
+            print(f"resumed from {checkpoint_dir} at epoch "
+                  f"{start_epoch} (best val F1 {self.best_val:.3f})",
+                  flush=True)
+        for epoch in range(start_epoch, epochs):
             if profile_dir is not None and epoch == 1:
                 # profile the second epoch (first is dominated by compiles)
                 jax.profiler.start_trace(profile_dir)
@@ -439,8 +526,28 @@ class Trainer:
                 if checkpoint_dir is not None:
                     from gnn_tpu.train.checkpoint import save_checkpoint
                     save_checkpoint(checkpoint_dir, self.best_params,
-                                    step=epoch)
+                                    step=epoch,
+                                    opt_state=self.opt_state,
+                                    best_val=self.best_val)
+            if checkpoint_dir is not None:
+                # rolling crash-recovery checkpoint: params + optimizer
+                # + next epoch (atomic write)
+                from gnn_tpu.train.checkpoint import save_checkpoint
+                save_checkpoint(checkpoint_dir, self.params,
+                                step=epoch + 1,
+                                opt_state=self.opt_state, name="latest",
+                                best_val=self.best_val)
         return self.history
+
+    def _peek_batch(self, train_nodes):
+        """Sample one stacked minibatch to shape parameter init (used by
+        resume before any training step has run)."""
+        from gnn_tpu.sampling.pipeline import stack_minibatches
+        ws = self.pipeline.world_size
+        bs = self.pipeline.cfg.batch_size
+        mbs = [self.pipeline._sample_one(0, train_nodes[:bs], rank=r)
+               for r in range(ws)]
+        return to_device_batch(stack_minibatches(mbs))
 
     def save(self, ckpt_dir: str, step: int = 0, name: str = "latest"):
         """Full training-state checkpoint (params + optimizer + step) —
@@ -461,11 +568,13 @@ class Trainer:
             self._init_params(batch)
         host_params = jax.tree_util.tree_map(np.asarray, self.params)
         host_opt = jax.tree_util.tree_map(np.asarray, self.opt_state)
-        params, step, opt_state = load_checkpoint(ckpt_dir, host_params,
-                                                  host_opt, name=name)
+        params, step, opt_state, best_val = load_checkpoint(
+            ckpt_dir, host_params, host_opt, name=name)
         self.params = put_replicated(self.mesh, params)
         if opt_state is not None:
             self.opt_state = put_replicated(self.mesh, opt_state)
+        if best_val > self.best_val:
+            self.best_val = best_val
         return step
 
     def test(self, test_nodes, batch_size: int = 128,

@@ -133,3 +133,32 @@ def test_op_timing_buckets(small_graph):
     assert np.isfinite(m.spmm_bwd_time) and m.spmm_bwd_time > 0
     assert np.isfinite(m.communication_time)
     assert "spmm" in m.format() and "comm" in m.format()
+
+
+def test_kill_and_resume_reproduces_loss_curve(small_graph, tmp_path):
+    """Crash recovery: train 4 epochs uninterrupted vs train 2 epochs,
+    'crash', build a FRESH trainer and fit(resume=True) — the resumed
+    epochs must reproduce the uninterrupted loss curve exactly (epoch-
+    deterministic sampling + dropout + restored optimizer state)."""
+    from tests.test_train_e2e import _make_trainer
+
+    tr_full = _make_trainer(small_graph, world_size=2)
+    hist_full = tr_full.fit(small_graph.train_nodes,
+                            small_graph.valid_nodes, epochs=4, log=False)
+
+    ck = str(tmp_path / "resume_ck")
+    tr_a = _make_trainer(small_graph, world_size=2)
+    tr_a.fit(small_graph.train_nodes, small_graph.valid_nodes, epochs=2,
+             log=False, checkpoint_dir=ck)
+    del tr_a  # the "crash"
+
+    tr_b = _make_trainer(small_graph, world_size=2)
+    hist_b = tr_b.fit(small_graph.train_nodes, small_graph.valid_nodes,
+                      epochs=4, log=False, checkpoint_dir=ck,
+                      resume=True)
+    assert [m.epoch for m in hist_b] == [2, 3]
+    for m_resumed in hist_b:
+        m_ref = hist_full[m_resumed.epoch]
+        np.testing.assert_allclose(m_resumed.train_loss,
+                                   m_ref.train_loss, rtol=1e-5)
+    assert tr_b.best_val >= 0  # watermark restored/updated

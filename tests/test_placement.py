@@ -105,3 +105,51 @@ def test_placement_cache_roundtrip(tmp_path, small_graph):
                                   p2.device_id_of_nodes)
     for b1, b2 in zip(p1.buffers, p2.buffers):
         np.testing.assert_array_equal(b1, b2)
+
+
+def test_per_rank_skew_differs(small_graph):
+    """Two ranks with disjoint buffers must skew sampling toward their
+    OWN resident nodes (`sampler.py:23-25`): with a strong scale factor,
+    each rank's sampled set overlaps its own buffer more than the other
+    rank's buffer."""
+    import scipy.sparse as sp
+
+    from gnn_tpu.placement.engine import (Placement,
+                                          get_per_rank_skewed_nodes)
+    from gnn_tpu.sampling.ladies import SamplerConfig, ladies_sample
+    from gnn_tpu.sampling.pipeline import BatchPipeline
+    from gnn_tpu.utils.normalize import build_laplacian
+
+    lap = build_laplacian(small_graph.adj_full, "graphsage")
+    n = lap.shape[0]
+    # hand-built disjoint placement: rank 0 owns even nodes, rank 1 odd
+    buffers = [np.arange(0, n, 2), np.arange(1, n, 2)]
+    device_id = np.full((2, n), -1, np.int32)
+    slot = np.zeros((2, n), np.int64)
+    for d, b in enumerate(buffers):
+        device_id[:, b] = d
+        slot[:, b] = np.arange(len(b))
+    placement = Placement(device_id, slot, [b.copy() for b in buffers])
+
+    skews = get_per_rank_skewed_nodes(
+        small_graph.adj_full + sp.eye(n), placement, (1, 1))
+    np.testing.assert_array_equal(skews[0][0], buffers[0])
+    np.testing.assert_array_equal(skews[1][0], buffers[1])
+
+    cfg = SamplerConfig(batch_size=32, samp_num=128, orders=(1, 1),
+                        num_nodes=n,
+                        num_classes=small_graph.num_classes,
+                        scale_factor=20.0)
+    pipe = BatchPipeline(cfg, lap, small_graph.labels, world_size=2,
+                        pool_num=2, per_rank_skew=skews)
+    batch = small_graph.train_nodes[:32]
+    mb0 = pipe._sample_one(7, batch, rank=0)
+    mb1 = pipe._sample_one(7, batch, rank=1)
+    in0 = np.asarray(mb0.input_nodes[: mb0.n_input])
+    in1 = np.asarray(mb1.input_nodes[: mb1.n_input])
+    own0 = np.isin(in0, buffers[0]).mean()
+    own1 = np.isin(in1, buffers[1]).mean()
+    # same seed, different skew sets -> different samples, each biased
+    # toward its own buffer
+    assert not np.array_equal(np.sort(in0), np.sort(in1))
+    assert own0 > 0.6 and own1 > 0.6

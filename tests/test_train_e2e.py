@@ -68,3 +68,40 @@ def test_test_sweep_uses_best_params(small_graph):
            log=False)
     f1 = tr.test(small_graph.test_nodes, batch_size=128)
     assert f1 > 0.3
+
+
+def test_sharded_eval_matches_host_eval(small_graph):
+    """Full-sweep test evaluation through the mesh (cache-style sharded
+    eval_step) agrees with the single-replica host-gather path on the
+    same trained parameters (both are full sweeps; LADIES randomness
+    gives a small spread)."""
+    tr = _make_trainer(small_graph, world_size=2, lr=0.05)
+    tr.fit(small_graph.train_nodes, small_graph.valid_nodes, epochs=3,
+           log=False)
+    f1_sharded, loss_sharded = tr._evaluate_sharded(
+        small_graph.test_nodes, 64)
+    assert np.isfinite(loss_sharded)
+    # legacy single-replica host-gather sweep on the same params
+    total_f1 = 0.0
+    total_n = 0
+    for mb in tr.pipeline.eval_batches(small_graph.test_nodes, 64,
+                                       "test"):
+        from gnn_tpu.sampling.ladies import to_device_batch
+        from gnn_tpu.train.loss import calc_f1, predict_proba
+        import jax.numpy as jnp
+        batch = to_device_batch(mb)
+        x = tr.feature_source.host_gather(mb.input_nodes[0],
+                                          mb.input_mask[0])
+        out, _ = tr.fns.eval_forward(tr.params, jnp.asarray(x),
+                                     tr.agg_state, batch)
+        mask = mb.label_mask[0].astype(bool)
+        proba = np.asarray(predict_proba(out, tr.sigmoid_loss))
+        f1_mic, _ = calc_f1(mb.labels[0][mask],
+                            proba[: mb.labels[0].shape[0]][mask],
+                            tr.sigmoid_loss)
+        total_f1 += f1_mic * mask.sum()
+        total_n += int(mask.sum())
+    f1_host = total_f1 / total_n
+    assert f1_sharded > 0.25
+    assert abs(f1_sharded - f1_host) < 0.15
+    # the sharded sweep covered every test node exactly once
