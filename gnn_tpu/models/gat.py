@@ -62,17 +62,95 @@ def masked_tile_softmax(blk_rc, scores, mask, n_rt):
     return shifted / denom
 
 
+# Per-edge chunk width for the scalable attention path: bounds the
+# [chunk, n_out] gather temporaries exactly like ops.sparse._COO_CHUNK.
+_EDGE_CHUNK = 131_072
+
+# Above this many dense-mask floats per layer, the tile-wise route's
+# [n_rt*n_ct, bm, bk] materialization is refused in favor of the
+# O(nnz)-memory per-edge route (~256 MB of f32).
+_TILE_MASK_LIMIT = 64 * 1024 * 1024
+
+
+def edge_attention_aggregate(adj: sparse_ops.COOAdj, q_pad, k, v,
+                             n_heads: int):
+    """Scalable multi-head edge-softmax attention over a padded COO
+    pattern — O(nnz) memory, so GAT trains at samp_num 8192+ where the
+    tile-mask route would materialize gigabytes.
+
+    Three passes, each chunked under ``lax.scan`` so peak memory is
+    [chunk, n_out]:
+      1. edge logits  s[e, h] = (q[row_e, h] . k[col_e, h]) / sqrt(d)
+      2. numerically-stable segment softmax over each output row
+         (segment max/sum on the [nnz, H] score table — cheap)
+      3. aggregation  y[r, h] = sum_e att[e, h] * v[col_e, h]
+    """
+    H = n_heads
+    n_out = k.shape[1]
+    d = n_out // H
+    rows = adj.rows.astype(jnp.int32)
+    cols = adj.cols.astype(jnp.int32)
+    live = (adj.vals != 0)
+    nnz = rows.shape[0]
+    n_chunks = max(-(-nnz // _EDGE_CHUNK), 1)
+    pad = n_chunks * _EDGE_CHUNK - nnz
+    pr = jnp.pad(rows, (0, pad), constant_values=adj.nrows - 1)
+    pc = jnp.pad(cols, (0, pad))
+    pl = jnp.pad(live, (0, pad))
+    rc = pr.reshape(n_chunks, -1)
+    cc = pc.reshape(n_chunks, -1)
+    lc = pl.reshape(n_chunks, -1)
+    scale = 1.0 / jnp.sqrt(jnp.float32(d))
+
+    def score_chunk(_, chunk):
+        r, c, msk = chunk
+        qe = jnp.take(q_pad, r, axis=0).reshape(-1, H, d)
+        ke = jnp.take(k, c, axis=0).reshape(-1, H, d)
+        s = jnp.einsum("ehd,ehd->eh", qe, ke) * scale
+        return None, jnp.where(msk[:, None], s, -jnp.inf)
+
+    _, scores = jax.lax.scan(score_chunk, None, (rc, cc, lc))
+    scores = scores.reshape(-1, H)[:nnz]                 # [nnz, H]
+
+    row_max = jax.ops.segment_max(scores, rows, num_segments=adj.nrows)
+    row_max = jnp.where(jnp.isfinite(row_max), row_max, 0.0)
+    att = jnp.exp(scores - row_max[rows]) * live[:, None]
+    denom = jax.ops.segment_sum(att, rows, num_segments=adj.nrows)
+    att = att / jnp.maximum(denom[rows], 1e-20)          # [nnz, H]
+
+    att_p = jnp.pad(att, ((0, pad), (0, 0))).reshape(n_chunks, -1, H)
+
+    def agg_chunk(acc, chunk):
+        r, c, a = chunk
+        ve = jnp.take(v, c, axis=0).reshape(-1, H, d)
+        contrib = (ve * a[:, :, None]).reshape(-1, n_out)
+        return acc + jax.ops.segment_sum(
+            contrib, r, num_segments=adj.nrows), None
+
+    y0 = jnp.zeros((adj.nrows, n_out), v.dtype)
+    y, _ = jax.lax.scan(agg_chunk, y0, (rc, cc, att_p))
+    return y
+
+
 class GATConv(nn.Module):
     """Multi-head dot-product graph attention over a sampled adjacency.
 
-    Heads are vmapped over the per-head score/softmax/aggregate pipeline
-    and concatenated; ``n_out`` must divide by ``n_heads``.
+    Two device strategies, selected by problem size (or forced via
+    ``impl``):
+
+    * ``'tile'`` — occupied-tile SDDMM + tile softmax + streaming SpMM
+      on the MXU; fastest when the dense tile mask fits (small/medium
+      minibatches).
+    * ``'edge'`` — chunked per-edge gather/segment pipeline with O(nnz)
+      memory; scales to samp_num 8192+ where the tile mask would
+      materialize gigabytes.
     """
 
     n_out: int
     n_heads: int = 1
     bm: int = 128
     bk: int = 128
+    impl: str = "auto"   # 'auto' | 'tile' | 'edge'
 
     @nn.compact
     def __call__(self, x, adj: sparse_ops.COOAdj, sampled_nodes):
@@ -81,27 +159,40 @@ class GATConv(nn.Module):
         q = nn.Dense(self.n_out, name="q")(x)
         k = nn.Dense(self.n_out, name="k")(x)
         v = nn.Dense(self.n_out, name="v")(x)
-        n_rt = adj.nrows // self.bm
-        blk_rc, mask = _coo_to_tilewise(adj, self.bm, self.bk)
         # q rows live in the OUTPUT index space (sampled_nodes maps output
         # rows to their position among inputs)
         q_rows = jnp.take(q, sampled_nodes, axis=0)
         q_pad = jnp.zeros((adj.nrows, self.n_out), q.dtype
                           ).at[: q_rows.shape[0]].set(q_rows)
 
-        def one_head(qh, kh, vh):
-            scores = sddmm_reference(blk_rc, qh, kh, self.bm, self.bk)
-            scores = scores / jnp.sqrt(jnp.float32(d))
-            att = masked_tile_softmax(blk_rc, scores, mask, n_rt)
-            stream = StreamBlocks(blk_rc=blk_rc, vals=att,
-                                  nrows=adj.nrows, ncols=adj.ncols,
-                                  bm=self.bm, bk=self.bk)
-            return _stream_aggregate(stream, vh)
+        impl = self.impl
+        if impl == "auto":
+            n_tiles = (adj.nrows // self.bm) * (adj.ncols // self.bk)
+            mask_floats = n_tiles * self.bm * self.bk
+            impl = "tile" if mask_floats <= _TILE_MASK_LIMIT else "edge"
 
-        split = lambda a: jnp.moveaxis(
-            a.reshape(a.shape[0], self.n_heads, d), 1, 0)
-        heads = jax.vmap(one_head)(split(q_pad), split(k), split(v))
-        agg = jnp.moveaxis(heads, 0, 1).reshape(adj.nrows, self.n_out)
+        if impl == "edge":
+            agg = edge_attention_aggregate(adj, q_pad, k, v,
+                                           self.n_heads)
+        else:
+            n_rt = adj.nrows // self.bm
+            blk_rc, mask = _coo_to_tilewise(adj, self.bm, self.bk)
+
+            def one_head(qh, kh, vh):
+                scores = sddmm_reference(blk_rc, qh, kh, self.bm,
+                                         self.bk)
+                scores = scores / jnp.sqrt(jnp.float32(d))
+                att = masked_tile_softmax(blk_rc, scores, mask, n_rt)
+                stream = StreamBlocks(blk_rc=blk_rc, vals=att,
+                                      nrows=adj.nrows, ncols=adj.ncols,
+                                      bm=self.bm, bk=self.bk)
+                return _stream_aggregate(stream, vh)
+
+            split = lambda a: jnp.moveaxis(
+                a.reshape(a.shape[0], self.n_heads, d), 1, 0)
+            heads = jax.vmap(one_head)(split(q_pad), split(k), split(v))
+            agg = jnp.moveaxis(heads, 0, 1).reshape(adj.nrows,
+                                                    self.n_out)
         return nn.elu(agg + nn.Dense(self.n_out, name="self")(
             jnp.take(x, sampled_nodes, axis=0)))
 
@@ -109,16 +200,16 @@ class GATConv(nn.Module):
 class GATEncoder(nn.Module):
     """Stack of GATConv layers, drop-in alongside GraphSage/GCN.
 
-    Memory note: the tile-wise attention materializes a dense tile mask
-    per layer ([n_rt * n_ct, bm, bk]); suitable for small/medium
-    minibatches (samp_num up to ~2048). Larger scales should use the
-    occupied-tile (pack_stream) route — a round-2 item.
+    Layers auto-select between the MXU tile route (small minibatches)
+    and the O(nnz)-memory per-edge route (samp_num 8192+); force with
+    ``impl``.
     """
 
     nhid: int
     orders: Sequence[int]
     dropout: float = 0.1
     n_heads: int = 1
+    impl: str = "auto"
 
     @property
     def out_dim(self) -> int:
@@ -129,7 +220,7 @@ class GATEncoder(nn.Module):
         for i, order in enumerate(self.orders):
             if order > 0:
                 x = GATConv(self.nhid, n_heads=self.n_heads,
-                            name=f"gcs_{i}")(
+                            impl=self.impl, name=f"gcs_{i}")(
                     x, adjs[i], sampled_nodes[i])
             else:
                 x = nn.elu(nn.Dense(self.nhid, name=f"gcs_{i}")(x))

@@ -129,3 +129,58 @@ def test_multihead_matches_manual_two_head():
     pre = agg + selfp
     expected = np.where(pre > 0, pre, np.expm1(pre))
     np.testing.assert_allclose(out, expected, rtol=3e-4, atol=3e-4)
+
+
+def test_edge_impl_matches_tile_impl():
+    """The scalable per-edge attention path must agree with the tile-wise
+    MXU path (same math, different device strategy)."""
+    rng = np.random.RandomState(3)
+    nr, nc, n_out, heads = 128, 256, 32, 4
+    _, rows, cols = _adj(rng, nr, nc)
+    # coalesce duplicates: sampler-produced COO is always deduplicated,
+    # and the two impls count duplicate edges differently by design
+    m = sp.coo_matrix((np.ones(len(rows), np.float32), (rows, cols)),
+                      shape=(nr, nc)).tocsr().tocoo()
+    adj = sops.pack_coo(m.row.astype(np.int32), m.col.astype(np.int32),
+                        np.ones(len(m.row), np.float32), nr, nc, nr, nc)
+    x = jnp.asarray(rng.randn(nc, 16).astype(np.float32))
+    sampled = jnp.asarray(np.arange(nr, dtype=np.int32))
+    variables = None
+    outs = {}
+    for impl in ("tile", "edge"):
+        conv = GATConv(n_out=n_out, n_heads=heads, impl=impl)
+        if variables is None:
+            variables = conv.init(jax.random.PRNGKey(0), x, adj, sampled)
+        outs[impl] = np.asarray(conv.apply(variables, x, adj, sampled))
+    np.testing.assert_allclose(outs["edge"], outs["tile"], rtol=2e-4,
+                               atol=2e-5)
+
+
+def test_edge_impl_scales_past_tile_limit(small_graph):
+    """GAT trains end-to-end at a size where the tile route's dense mask
+    would be refused (auto-selection picks 'edge'); loss decreases."""
+    from gnn_tpu.models import gat as gat_mod
+    from gnn_tpu.models.gnn import build_model
+    from gnn_tpu.sampling.ladies import SamplerConfig
+    from gnn_tpu.sampling.pipeline import BatchPipeline
+    from gnn_tpu.train.trainer import Trainer
+    from gnn_tpu.utils.normalize import build_laplacian
+
+    old = gat_mod._TILE_MASK_LIMIT
+    gat_mod._TILE_MASK_LIMIT = 1  # force every layer onto the edge path
+    try:
+        lap = build_laplacian(small_graph.adj_full, "graphsage")
+        cfg = SamplerConfig(batch_size=64, samp_num=256, orders=(1, 1),
+                            num_nodes=small_graph.adj_full.shape[0],
+                            num_classes=small_graph.num_classes)
+        net = build_model("gat", 32, (1, 1), small_graph.num_classes)
+        pipe = BatchPipeline(cfg, lap, small_graph.labels, world_size=1,
+                             pool_num=2)
+        tr = Trainer(net, pipe, small_graph.feats, lr=0.05,
+                     sigmoid_loss=False)
+        m0 = tr.train_epoch(small_graph.train_nodes, 0)
+        m1 = tr.train_epoch(small_graph.train_nodes, 1)
+        assert np.isfinite(m0.train_loss)
+        assert m1.train_loss < m0.train_loss + 0.2
+    finally:
+        gat_mod._TILE_MASK_LIMIT = old
