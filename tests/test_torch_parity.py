@@ -185,3 +185,134 @@ def test_loss_parity_with_torch():
     got = float(masked_loss(jnp.asarray(preds), jnp.asarray(onehot),
                             jnp.asarray(mask), sigmoid_loss=False))
     np.testing.assert_allclose(got, expected_ce, rtol=1e-5)
+
+
+class _TorchGNN(torch.nn.Module):
+    """Reference full model (`models.py:27-44,86-97`) against torch ops:
+    GraphSage encoder stack + L2-normalized linear head (dropout 0 for
+    determinism)."""
+
+    def __init__(self, f, h, c, orders):
+        super().__init__()
+        widths = [f] + [(1 + orders[i]) * h for i in range(len(orders))]
+        self.convs = torch.nn.ModuleList(
+            [_TorchSageConv(widths[i], h, orders[i])
+             for i in range(len(orders))])
+        self.head = torch.nn.Linear(widths[-1], c)
+
+    def forward(self, x, adjs_dense, sampled):
+        for conv, a, s in zip(self.convs, adjs_dense, sampled):
+            x = conv(x, a, s)
+        x = torch.nn.functional.normalize(x, p=2, dim=1)
+        return self.head(x)
+
+
+def test_e2e_training_parity_with_torch(small_graph):
+    """END-TO-END accuracy parity: train the reference recipe (torch,
+    dense-adj stand-in for its CUDA spmm) and this framework's model on
+    the SAME LADIES minibatches from the same init with the same
+    optimizer (Adam, clip-5, CE loss) — per-step losses must track and
+    the final val micro-F1 must match closely. This is the strongest
+    in-environment substitute for real-dataset reference runs (no
+    dataset egress here; see BASELINE.md)."""
+    import optax
+
+    from gnn_tpu.sampling.ladies import SamplerConfig, ladies_sample
+    from gnn_tpu.train.loss import calc_f1, predict_proba
+    from gnn_tpu.utils.normalize import build_laplacian
+
+    f = small_graph.feats.shape[1]
+    h, c = 16, small_graph.num_classes
+    orders = (1, 1)
+    lap = build_laplacian(small_graph.adj_full, "graphsage")
+    cfg = SamplerConfig(batch_size=32, samp_num=64, orders=orders,
+                        num_nodes=lap.shape[0], num_classes=c,
+                        compress=False)
+
+    torch.manual_seed(0)
+    tm = _TorchGNN(f, h, c, orders)
+    enc = GraphSage(nhid=h, orders=orders, dropout=0.0)
+    net = GNN(encoder=enc, num_classes=c, dropout=0.0)
+    params = {"params": {
+        "encoder": {
+            f"gcs_{i}": {
+                "linearW": _copy_linear(tm.convs[i].linearW),
+                "linearB": _copy_linear(tm.convs[i].linearB),
+                "scale": jnp.asarray(
+                    tm.convs[i].scale.detach().numpy()),
+                "offset": jnp.asarray(
+                    tm.convs[i].offset.detach().numpy())}
+            for i in range(len(orders))},
+        "linear": _copy_linear(tm.head),
+    }}
+
+    opt = optax.adam(0.01)
+    opt_state = opt.init(params)
+    topt = torch.optim.Adam(tm.parameters(), lr=0.01)
+    feats = small_graph.feats.astype(np.float32)
+
+    def jax_loss(p, x, adjs, sampled, labels, mask):
+        out = net.apply(p, x, adjs, sampled)
+        return masked_loss(out, labels, mask, sigmoid_loss=False)
+
+    from gnn_tpu.train.trainer import clip_by_global_norm
+    grad_fn = jax.jit(jax.value_and_grad(jax_loss))
+
+    losses_j, losses_t = [], []
+    for step in range(10):
+        mb = ladies_sample(cfg, 100 + step,
+                           small_graph.train_nodes[step * 32:
+                                                   (step + 1) * 32],
+                           lap, small_graph.labels)
+        x = feats[mb.input_nodes] * mb.input_mask[:, None]
+        adjs = [jax.tree_util.tree_map(jnp.asarray, a) for a in mb.adjs]
+        sampled = [jnp.asarray(s) for s in mb.sampled_nodes]
+
+        lj, grads = grad_fn(params, jnp.asarray(x), adjs, sampled,
+                            jnp.asarray(mb.labels),
+                            jnp.asarray(mb.label_mask))
+        grads = clip_by_global_norm(grads, 5.0)
+        updates, opt_state = opt.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        losses_j.append(float(lj))
+
+        dense_adjs = [torch.from_numpy(np.asarray(sops.to_dense(a)))
+                      for a in adjs]
+        xt = torch.from_numpy(x)
+        st = [torch.from_numpy(np.asarray(s, np.int64)) for s in sampled]
+        out = tm(xt, dense_adjs, st)
+        msk = torch.from_numpy(mb.label_mask.astype(bool))
+        norm = msk.float() / msk.float().sum()
+        per = torch.nn.CrossEntropyLoss(reduction="none")(
+            out, torch.from_numpy(mb.labels))
+        lt = (norm * per).sum()
+        topt.zero_grad()
+        lt.backward()
+        torch.nn.utils.clip_grad_norm_(tm.parameters(), 5.0)
+        topt.step()
+        losses_t.append(float(lt))
+
+    np.testing.assert_allclose(losses_j, losses_t, rtol=5e-3, atol=5e-3)
+
+    # final val F1 parity on one held-out batch
+    mb = ladies_sample(cfg, 999, small_graph.valid_nodes[:32], lap,
+                       small_graph.labels)
+    x = feats[mb.input_nodes] * mb.input_mask[:, None]
+    adjs = [jax.tree_util.tree_map(jnp.asarray, a) for a in mb.adjs]
+    sampled = [jnp.asarray(s) for s in mb.sampled_nodes]
+    out_j = net.apply(params, jnp.asarray(x), adjs, sampled)
+    with torch.no_grad():
+        out_t = tm(torch.from_numpy(x),
+                   [torch.from_numpy(np.asarray(sops.to_dense(a)))
+                    for a in adjs],
+                   [torch.from_numpy(np.asarray(s, np.int64))
+                    for s in sampled]).numpy()
+    mask = mb.label_mask.astype(bool)
+    f1_j, _ = calc_f1(mb.labels[mask],
+                      np.asarray(predict_proba(out_j, False))[
+                          : mb.labels.shape[0]][mask], False)
+    f1_t, _ = calc_f1(mb.labels[mask],
+                      np.asarray(predict_proba(jnp.asarray(out_t),
+                                               False))[
+                          : mb.labels.shape[0]][mask], False)
+    assert abs(f1_j - f1_t) <= 0.05
