@@ -80,9 +80,14 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--profile_dir", type=str, default="",
                    help="write a jax.profiler trace of epoch 1 here")
-    p.add_argument("--op_timing", action="store_true", default=True,
+    # default mirrors the reference exactly: its spmm timers are dead
+    # code (`custom_sparse_ops.py:21-27` commented out; `main.py:196`
+    # prints zeros), so measuring them is opt-in — on TPU the isolated-op
+    # chains cost several extra compiles on first use
+    p.add_argument("--op_timing", action="store_true", default=False,
                    help="estimate spmm fwd/bwd + communication buckets "
-                        "per epoch (reference main.py:196 line)")
+                        "per epoch (reference main.py:196 buckets; "
+                        "adds one-time compile cost on TPU)")
     p.add_argument("--no_op_timing", dest="op_timing",
                    action="store_false")
     return p

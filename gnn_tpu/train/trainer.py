@@ -342,8 +342,11 @@ class Trainer:
                 np.float32))
             g = jnp.asarray(rng.normal(size=(adj.nrows, w)).astype(
                 np.float32))
-            t_fwd += timeit(lambda u, a=adj: spmm(a, u), x)
-            t_bwd += timeit(lambda u, a=adj: spmm_transpose(a, u), g)
+            # the adjacency MUST ride as an argument, not a closure —
+            # a closure would bake its arrays (including the GB-scale
+            # resident hot blocks) into the timing jit as constants
+            t_fwd += timeit(lambda u, a: spmm(a, u), x, adj)
+            t_bwd += timeit(lambda u, a: spmm_transpose(a, u), g, adj)
 
         # communication: the gradient psum (`main.py:149-168`'s manual
         # all-reduce, which also flattens grads into one vector) + the
