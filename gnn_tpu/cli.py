@@ -157,6 +157,13 @@ def main(argv=None) -> int:
         if scale_factor <= 1.0:
             scale_factor = 1.0  # tuner may raise it during training
 
+    if args.model == "gat" and args.adj_format == "hot":
+        # GAT's attention consumes the raw edge list (per-edge softmax);
+        # the hot decomposition doesn't apply — fall back to COO
+        print("--model gat uses the COO edge list; overriding "
+              "--adj_format hot -> coo", flush=True)
+        args.adj_format = "coo"
+
     hot_spec = None
     hot_dense = None
     if args.adj_format == "hot":
