@@ -28,7 +28,7 @@ def build_parser() -> argparse.ArgumentParser:
                    help="dataset name, GraphSAINT dir, ogbn-*, or "
                         "synthetic:nodes=..,deg=..")
     p.add_argument("--model", type=str, default="graphsage",
-                   choices=["graphsage", "gcn", "gat"])
+                   choices=["graphsage", "gcn", "gat", "gin"])
     p.add_argument("--nhid", type=int, default=512)
     p.add_argument("--epoch_num", type=int, default=4)
     p.add_argument("--pool_num", type=int, default=4)

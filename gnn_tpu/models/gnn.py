@@ -122,6 +122,57 @@ class GCN(nn.Module):
         return x
 
 
+class GINConv(nn.Module):
+    """Graph Isomorphism Network layer (Xu et al., ICLR'19; beyond the
+    reference's model family): ``h = MLP((1 + eps) * x_self + A @ x)``
+    with a learnable ``eps``. Aggregation rides the same spmm op as
+    SAGE/GCN, so every device path (COO / blocked / hot) works
+    unchanged; the per-row LayerNorm keeps padded rows harmless like the
+    other layers. Under the LADIES pipeline the adjacency carries
+    row-normalized + debiased weights (mean- rather than sum-aggregation
+    — the standard minibatch-sampling variant of GIN)."""
+
+    n_out: int
+    order: int
+
+    @nn.compact
+    def __call__(self, x, adj, sampled_nodes):
+        if self.order > 0:
+            agg = spmm(adj, x)
+            x_self = jnp.take(x, sampled_nodes, axis=0)
+            eps = self.param("eps", nn.initializers.zeros, ())
+            feat = (1.0 + eps) * x_self + agg
+        else:
+            feat = x
+        h = nn.Dense(self.n_out, name="mlp1")(feat)
+        h = nn.relu(h)
+        h = nn.Dense(self.n_out, name="mlp2")(h)
+        scale = self.param("scale", nn.initializers.ones, (self.n_out,))
+        offset = self.param("offset", nn.initializers.zeros,
+                            (self.n_out,))
+        return _row_layernorm(h, scale, offset)
+
+
+class GIN(nn.Module):
+    """Stack of GINConv layers, drop-in alongside GraphSage/GCN."""
+
+    nhid: int
+    orders: Sequence[int]
+    dropout: float = 0.1
+
+    @property
+    def out_dim(self) -> int:
+        return self.nhid
+
+    @nn.compact
+    def __call__(self, x, adjs, sampled_nodes, *, deterministic: bool):
+        for i, order in enumerate(self.orders):
+            x = GINConv(self.nhid, order, name=f"gcs_{i}")(
+                x, adjs[i], sampled_nodes[i])
+            x = nn.Dropout(self.dropout, deterministic=deterministic)(x)
+        return x
+
+
 class GNN(nn.Module):
     """Encoder + classification head (reference `models.py:86-97`)."""
 
@@ -151,6 +202,8 @@ def build_model(model: str, nhid: int, orders: Sequence[int],
         encoder = GraphSage(nhid=nhid, orders=tuple(orders), dropout=dropout)
     elif model == "gcn":
         encoder = GCN(nhid=nhid, orders=tuple(orders), dropout=dropout)
+    elif model == "gin":
+        encoder = GIN(nhid=nhid, orders=tuple(orders), dropout=dropout)
     elif model == "gat":
         from gnn_tpu.models.gat import GATEncoder
         encoder = GATEncoder(nhid=nhid, orders=tuple(orders),
