@@ -131,3 +131,38 @@ def test_hot_k_exceeding_n_clamps(small_graph):
     d, dt = build_hot_dense(lap, spec)
     assert d.shape[0] % 128 == 0 and d.shape[0] >= n
     np.testing.assert_array_equal(dt, d.T)
+
+
+def test_subgraph_sampler_hot_matches_coo(small_graph):
+    """The hot decomposition is sampler-agnostic: subgraph-sampled layers
+    split exactly like LADIES layers."""
+    from gnn_tpu.sampling.ladies import subgraph_sample
+
+    lap = build_laplacian(small_graph.adj_full, "graphsage")
+    prob = compute_sample_prob(lap, small_graph.train_nodes, 2)
+    spec = HotSpec.from_sample_prob(prob, 256)
+    d, dt = build_hot_dense(lap, spec)
+    kw = dict(batch_size=64, samp_num=256, orders=(1, 1),
+              num_nodes=small_graph.adj_full.shape[0],
+              num_classes=small_graph.num_classes, compress=False,
+              sampler="subgraph")
+    mb_hot = subgraph_sample(SamplerConfig(adj_format="hot",
+                                           hot_spec=spec, **kw),
+                             11, small_graph.train_nodes[:64], lap,
+                             small_graph.labels)
+    mb_coo = subgraph_sample(SamplerConfig(adj_format="coo", **kw),
+                             11, small_graph.train_nodes[:64], lap,
+                             small_graph.labels)
+    rng = np.random.default_rng(0)
+    for ah, ac in zip(mb_hot.adjs, mb_coo.adjs):
+        x = jnp.asarray(rng.normal(size=(ac.ncols, 8)).astype(np.float32))
+        ah = dataclasses.replace(
+            jax.tree_util.tree_map(jnp.asarray, ah),
+            dense=jnp.asarray(d), dense_t=jnp.asarray(dt))
+        ac = jax.tree_util.tree_map(jnp.asarray, ac)
+        yh = np.asarray(sparse_ops.spmm(ah, x))
+        yc = np.asarray(sparse_ops.spmm(ac, x))
+        # subgraph normfact debias can reach ~1e10, so outputs are huge;
+        # tolerance must be relative to the output scale
+        np.testing.assert_allclose(
+            yh, yc, rtol=2e-4, atol=1e-5 * max(1.0, np.abs(yc).max()))
