@@ -79,6 +79,11 @@ def _declare(lib) -> None:
     lib.prefix_sum.restype = None
     lib.set_threads.argtypes = [ctypes.c_int]
     lib.set_threads.restype = None
+    u8p = ctypes.POINTER(ctypes.c_uint8)
+    lib.hot_split.argtypes = [i32p, i32p, f32p, ctypes.c_int64, u8p, u8p,
+                              ctypes.c_int64, i32p, i32p, f32p, i32p,
+                              i32p, f32p]
+    lib.hot_split.restype = ctypes.c_int64
 
 
 def _ptr(a: np.ndarray, ct):
@@ -93,6 +98,50 @@ class NativeCSR:
         self.indices = np.ascontiguousarray(csr.indices, np.int32)
         self.data = np.ascontiguousarray(csr.data, np.float32)
         self.shape = csr.shape
+
+
+_SPLIT_BUFS = threading.local()
+
+
+def _split_buffers(nnz: int):
+    """Per-thread reusable output buffers for hot_split: fresh np.empty
+    allocations page-fault ~10x the C kernel's own cost at minibatch
+    scale (measured 165 vs 15 ms), and pipeline workers call this every
+    layer. The returned views are copied into padded arrays by the
+    caller before its next call, so reuse is safe."""
+    cur = getattr(_SPLIT_BUFS, "bufs", None)
+    if cur is None or cur[0].shape[0] < nnz:
+        cap = max(int(nnz * 1.25), 1 << 16)
+        cur = (np.empty(cap, np.int32), np.empty(cap, np.int32),
+               np.empty(cap, np.float32), np.empty(cap, np.int32),
+               np.empty(cap, np.int32), np.empty(cap, np.float32))
+        _SPLIT_BUFS.bufs = cur
+    return cur
+
+
+def hot_split_native(lib, rows: np.ndarray, cols: np.ndarray,
+                     vals: np.ndarray, hot_row: np.ndarray,
+                     hot_col: np.ndarray, n_cols: int):
+    """Cold-edge extraction (row order preserved) + col-sorted transpose
+    copy in one native call; see `sampler_core.cpp::hot_split`."""
+    nnz = len(rows)
+    rows = np.ascontiguousarray(rows, np.int32)
+    cols = np.ascontiguousarray(cols, np.int32)
+    vals = np.ascontiguousarray(vals, np.float32)
+    hot_row = np.ascontiguousarray(hot_row, np.uint8)
+    hot_col = np.ascontiguousarray(hot_col, np.uint8)
+    cr, cc, cv, crt, cct, cvt = _split_buffers(nnz)
+    u8 = ctypes.c_uint8
+    n_cold = lib.hot_split(
+        _ptr(rows, ctypes.c_int32), _ptr(cols, ctypes.c_int32),
+        _ptr(vals, ctypes.c_float), ctypes.c_int64(nnz),
+        _ptr(hot_row, u8), _ptr(hot_col, u8), ctypes.c_int64(n_cols),
+        _ptr(cr, ctypes.c_int32), _ptr(cc, ctypes.c_int32),
+        _ptr(cv, ctypes.c_float), _ptr(crt, ctypes.c_int32),
+        _ptr(cct, ctypes.c_int32), _ptr(cvt, ctypes.c_float))
+    n_cold = int(n_cold)
+    return (cr[:n_cold], cc[:n_cold], cv[:n_cold],
+            crt[:n_cold], cct[:n_cold], cvt[:n_cold])
 
 
 def ladies_layer_native(lib, graph: NativeCSR, prev: np.ndarray,

@@ -187,4 +187,70 @@ void prefix_sum(const int64_t* in, int64_t n, int64_t* out) {
   out[n] = acc;
 }
 
+// Hot/cold split for the persistent hot-subgraph aggregation
+// (gnn_tpu/ops/hotdense.py): from a row-sorted COO layer, extract the
+// cold edges (row or col not hot) preserving row order, and also emit a
+// col-sorted copy (counting sort) for the backward direction. Plays the
+// role the reference's device-side COO build plays
+// (`cuda_spmm.cu:787-827`) for the residual part. Returns n_cold;
+// caller provides nnz-sized output buffers and slices to the count.
+int64_t hot_split(const int32_t* rows, const int32_t* cols,
+                  const float* vals, int64_t nnz, const uint8_t* hot_row,
+                  const uint8_t* hot_col, int64_t n_cols, int32_t* cr,
+                  int32_t* cc, float* cv, int32_t* crt, int32_t* cct,
+                  float* cvt) {
+  const int nt = eff_threads();
+  // pass 1: per-chunk cold counts (parallel), then stable compaction
+  std::vector<int64_t> chunk_count(nt + 1, 0);
+  const int64_t chunk = (nnz + nt - 1) / std::max(nt, 1);
+#ifdef _OPENMP
+#pragma omp parallel num_threads(nt)
+#endif
+  {
+#ifdef _OPENMP
+    const int t = omp_get_thread_num();
+#else
+    const int t = 0;
+#endif
+    const int64_t lo = t * chunk, hi = std::min(nnz, lo + chunk);
+    int64_t c = 0;
+    for (int64_t i = lo; i < hi; ++i)
+      c += !(hot_row[rows[i]] && hot_col[cols[i]]);
+    chunk_count[t + 1] = c;
+  }
+  for (int t = 0; t < nt; ++t) chunk_count[t + 1] += chunk_count[t];
+  const int64_t n_cold = chunk_count[nt];
+#ifdef _OPENMP
+#pragma omp parallel num_threads(nt)
+#endif
+  {
+#ifdef _OPENMP
+    const int t = omp_get_thread_num();
+#else
+    const int t = 0;
+#endif
+    const int64_t lo = t * chunk, hi = std::min(nnz, lo + chunk);
+    int64_t w = chunk_count[t];
+    for (int64_t i = lo; i < hi; ++i) {
+      if (!(hot_row[rows[i]] && hot_col[cols[i]])) {
+        cr[w] = rows[i];
+        cc[w] = cols[i];
+        cv[w] = vals[i];
+        ++w;
+      }
+    }
+  }
+  // pass 2: counting sort by column for the transpose copy (stable)
+  std::vector<int64_t> cnt(n_cols + 1, 0);
+  for (int64_t i = 0; i < n_cold; ++i) cnt[cc[i] + 1]++;
+  for (int64_t c = 0; c < n_cols; ++c) cnt[c + 1] += cnt[c];
+  for (int64_t i = 0; i < n_cold; ++i) {
+    const int64_t w = cnt[cc[i]]++;
+    cct[w] = cc[i];
+    crt[w] = cr[i];
+    cvt[w] = cv[i];
+  }
+  return n_cold;
+}
+
 }  // extern "C"

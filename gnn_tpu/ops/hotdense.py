@@ -207,33 +207,44 @@ def pack_hotdense(
     col_cmp_idx = np.full(ncols_pad, sentinel, np.int32)
     col_cmp_idx[hot_c] = np.arange(len(hot_c), dtype=np.int32)
 
-    # per-edge hotness via byte-wide lookups (4x less traffic than
-    # gathering the int32 slot ids per edge)
-    hot_edge = ((prev_slots >= 0)[rows]) & ((after_slots >= 0)[cols])
-    cold = np.flatnonzero(~hot_edge)
-    cr, cc, cv = rows[cold], cols[cold], vals[cold]
+    # The sampler emits CSR-ordered (row-sorted) edges and subsetting
+    # preserves order, so the cold extraction never sorts rows; the
+    # col-sorted transpose copy is a counting sort. The native core does
+    # both in one OpenMP pass (`sampler_core.cpp::hot_split`); the numpy
+    # fallback uses byte-wide hotness lookups + scipy's COO->CSC
+    # conversion (also a C counting sort).
+    hot_r_flag = prev_slots >= 0
+    hot_c_flag = after_slots >= 0
+    lib = None
+    if np.asarray(vals).dtype == np.float32:
+        from gnn_tpu import native as _native
+        lib = _native.get_lib()
+    if lib is not None:
+        from gnn_tpu.native import hot_split_native
+        cr, cc, cv, cr_s, cc_s, cv_s = hot_split_native(
+            lib, rows, cols, vals, hot_r_flag, hot_c_flag, ncols_pad)
+    else:
+        hot_edge = hot_r_flag[rows] & hot_c_flag[cols]
+        cold = np.flatnonzero(~hot_edge)
+        cr, cc, cv = rows[cold], cols[cold], vals[cold]
+        if len(cr):
+            csc = sp.csc_matrix(
+                (cv, (cr.astype(np.int64), cc.astype(np.int64))),
+                shape=(nrows_pad, ncols_pad))
+            cc_s = np.repeat(np.arange(ncols_pad, dtype=np.int64),
+                             np.diff(csc.indptr))
+            cr_s, cv_s = csc.indices, csc.data
+        else:
+            cc_s = cr_s = cv_s = np.zeros(0, np.int64)
+    assert len(cr) == 0 or np.all(np.diff(cr) >= 0), \
+        "pack_hotdense expects row-sorted input edges"
     if nnz_pad is None:
         nnz_pad = bucket_size(max(len(cr), 1))
     ridx = np.int16 if (compress and nrows_pad <= 32768) else np.int32
     cidx = np.int16 if (compress and ncols_pad <= 32768) else np.int32
     vdt = jnp.bfloat16 if compress else np.float32
-    # the sampler emits CSR-ordered (row-sorted) edges, and subsetting
-    # preserves order — no row sort needed. The col-sorted transpose
-    # copy is exactly a COO->CSC conversion (C-speed counting sort),
-    # ~25x cheaper than np.argsort at minibatch scale.
-    assert len(cr) == 0 or np.all(np.diff(cr) >= 0), \
-        "pack_hotdense expects row-sorted input edges"
     rr, ccol, vv = _pad_sorted_coo(cr, cc, cv, nnz_pad,
                                    nrows_pad - 1, ridx, cidx, vdt)
-    if len(cr):
-        csc = sp.csc_matrix(
-            (cv, (cr.astype(np.int64), cc.astype(np.int64))),
-            shape=(nrows_pad, ncols_pad))
-        cc_s = np.repeat(np.arange(ncols_pad, dtype=np.int64),
-                         np.diff(csc.indptr))
-        cr_s, cv_s = csc.indices, csc.data
-    else:
-        cc_s = cr_s = cv_s = np.zeros(0, np.int64)
     # pad the transpose copy's segment ids (cols) at the top end too
     ct, rt, vt = _pad_sorted_coo(cc_s, cr_s, cv_s, nnz_pad,
                                  ncols_pad - 1, cidx, ridx, vdt)

@@ -212,14 +212,9 @@ def _pack_adj(cfg: SamplerConfig, rows, cols, vals, n_rows, n_cols,
             raise ValueError("adj_format='hot' needs SamplerConfig."
                              "hot_spec (see gnn_tpu.ops.hotdense.HotSpec)")
         from gnn_tpu.ops.hotdense import pack_hotdense
-        prev_slots = cfg.hot_spec.slot_of_node[prev]
-        after_slots = cfg.hot_spec.slot_of_node[after]
-        n_cold = int(np.count_nonzero(
-            (prev_slots[rows] < 0) | (after_slots[cols] < 0)))
         return pack_hotdense(
             cfg.hot_spec, rows, cols, vals, prev, after, normfact,
-            n_rows, n_cols, r_cap, c_cap,
-            nnz_pad=bucket_size(max(n_cold, 1)), compress=cfg.compress)
+            n_rows, n_cols, r_cap, c_cap, compress=cfg.compress)
     nnz_pad = bucket_size(max(len(rows), 1))
     return sparse_ops.pack_coo(rows, cols, vals, n_rows, n_cols,
                                r_cap, c_cap, nnz_pad,
