@@ -166,3 +166,38 @@ def test_subgraph_sampler_hot_matches_coo(small_graph):
         # tolerance must be relative to the output scale
         np.testing.assert_allclose(
             yh, yc, rtol=2e-4, atol=1e-5 * max(1.0, np.abs(yc).max()))
+
+
+def test_native_hot_split_matches_numpy(small_graph):
+    """The C hot_split must produce exactly the numpy fallback's cold
+    set (row order preserved) and col-sorted transpose copy."""
+    from gnn_tpu import native as native_mod
+
+    lib = native_mod.get_lib()
+    if lib is None:
+        pytest.skip("native core unavailable")
+    rng = np.random.default_rng(0)
+    n_rows, n_cols, nnz = 300, 400, 5000
+    # row-sorted synthetic edges
+    rows = np.sort(rng.integers(0, n_rows, nnz)).astype(np.int32)
+    cols = rng.integers(0, n_cols, nnz).astype(np.int32)
+    vals = rng.normal(size=nnz).astype(np.float32)
+    hot_r = (rng.random(n_rows) < 0.5)
+    hot_c = (rng.random(n_cols) < 0.5)
+
+    cr, cc, cv, crt, cct, cvt = native_mod.hot_split_native(
+        lib, rows, cols, vals, hot_r, hot_c, n_cols)
+
+    cold = np.flatnonzero(~(hot_r[rows] & hot_c[cols]))
+    np.testing.assert_array_equal(cr, rows[cold])
+    np.testing.assert_array_equal(cc, cols[cold])
+    np.testing.assert_array_equal(cv, vals[cold])
+    # transpose copy: col-sorted permutation of the same cold edges
+    o = np.argsort(cols[cold], kind="stable")
+    np.testing.assert_array_equal(cct, cols[cold][o])
+    assert np.all(np.diff(cct) >= 0)
+    # same multiset of (row, col, val) triples
+    key = lambda r, c, v: np.lexsort((v, r, c))
+    k1, k2 = key(crt, cct, cvt), key(rows[cold], cols[cold], vals[cold])
+    np.testing.assert_array_equal(crt[k1], rows[cold][k2])
+    np.testing.assert_array_equal(cvt[k1], vals[cold][k2])
