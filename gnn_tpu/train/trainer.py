@@ -23,6 +23,7 @@ TPU-native replacement for the reference's `train()` thread body
 from __future__ import annotations
 
 import dataclasses
+import sys
 import time
 from typing import Callable, List, Optional
 
@@ -210,6 +211,10 @@ class Trainer:
         self.fns = build_step_fns(net, self.optimizer, sigmoid_loss,
                                   self.mesh, self.feature_source)
         self.sigmoid_loss = sigmoid_loss
+        # optional per-step progress to stderr (diagnosing slow runs
+        # through the relay): GNN_TPU_STEP_LOG=<N> prints every N steps
+        import os as _os
+        self._step_log = int(_os.environ.get("GNN_TPU_STEP_LOG", "0"))
         self._seed = seed
         self.rng = jax.random.PRNGKey(seed)
         from jax.sharding import NamedSharding
@@ -278,6 +283,10 @@ class Trainer:
             self._last_dev_batch, self._last_plan = dev_batch, dev_plan
             t0 = time.perf_counter()
             t_exec += t0 - t2
+            if self._step_log and n_steps % self._step_log == 0:
+                print(f"  step {n_steps}: sample {t_sample:.1f}s "
+                      f"move {t_move:.1f}s exec {t_exec:.1f}s",
+                      file=sys.stderr, flush=True)
         self._last_epoch_steps = n_steps
         # sync once per epoch for honest timing
         jax.block_until_ready(self.params)
