@@ -71,6 +71,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--hot_k", type=int, default=16384,
                    help="hot-subgraph size (top-K nodes by sample_prob) "
                         "for --adj_format hot")
+    p.add_argument("--hot_dtype", type=str, default="float32",
+                   choices=["float32", "bfloat16"],
+                   help="resident hot-block dtype; bfloat16 halves HBM "
+                        "(2 x K^2 bytes) so K can double for the same "
+                        "budget, at ~0.4%% relative weight rounding")
     p.add_argument("--feature_cache", action="store_true",
                    help="use the placement-driven sharded HBM cache "
                         "instead of a replicated feature table")
@@ -170,8 +175,13 @@ def main(argv=None) -> int:
         from gnn_tpu.ops.hotdense import HotSpec, build_hot_dense
         from gnn_tpu.placement.engine import compute_sample_prob
         prob = compute_sample_prob(lap, graph.train_nodes, sum(orders))
+        import jax.numpy as jnp
+        import numpy as np
         hot_spec = HotSpec.from_sample_prob(prob, args.hot_k)
-        hot_dense = build_hot_dense(lap, hot_spec)
+        hot_dense = build_hot_dense(
+            lap, hot_spec,
+            dtype=jnp.bfloat16 if args.hot_dtype == "bfloat16"
+            else np.float32)
         print(f"hot block: K={hot_spec.k} "
               f"({2 * hot_dense[0].nbytes / 2**20:.0f} MiB resident "
               f"incl. transpose)", flush=True)
