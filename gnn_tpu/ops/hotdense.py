@@ -127,9 +127,9 @@ class HotDenseAdj:
     nf_col: jnp.ndarray        # f32 [ncols]; normfact where col is hot else 0
     # batch-present compaction (only hot slots actually sampled)
     present_row_slots: jnp.ndarray  # int32 [rh_pad]
-    row_cmp_idx: jnp.ndarray        # int32 [nrows]; rh_pad = absent
+    row_cmp_idx: jnp.ndarray        # int32 [nrows]; OOB sentinel = absent
     present_col_slots: jnp.ndarray  # int32 [ch_pad]
-    col_cmp_idx: jnp.ndarray        # int32 [ncols]; ch_pad = absent
+    col_cmp_idx: jnp.ndarray        # int32 [ncols]; OOB sentinel = absent
     n_valid_rows: jnp.ndarray  # int32 scalar
     n_valid_cols: jnp.ndarray  # int32 scalar
     dense: Optional[jnp.ndarray]    # [k, k] resident block (bound)
