@@ -20,7 +20,7 @@ from flax import linen as nn
 
 from gnn_tpu.ops.pallas_spmm import StreamBlocks, stream_spmm
 from gnn_tpu.ops import sparse as sparse_ops
-from gnn_tpu.ops.pallas_sddmm import sddmm_reference, stream_sddmm
+from gnn_tpu.ops.pallas_sddmm import sddmm_reference
 
 
 def _coo_to_tilewise(adj: sparse_ops.COOAdj, bm: int = 128,

@@ -34,8 +34,7 @@ import optax
 from jax.sharding import PartitionSpec as P
 
 from gnn_tpu.parallel.feature_cache import ReplicatedFeatures
-from gnn_tpu.parallel.mesh import DATA_AXIS, make_mesh, put_batch, \
-    put_replicated
+from gnn_tpu.parallel.mesh import make_mesh, put_batch, put_replicated
 from gnn_tpu.sampling.ladies import DeviceBatch, to_device_batch
 from gnn_tpu.train.loss import calc_f1, masked_loss, predict_proba
 
