@@ -201,3 +201,30 @@ def test_native_hot_split_matches_numpy(small_graph):
     k1, k2 = key(crt, cct, cvt), key(rows[cold], cols[cold], vals[cold])
     np.testing.assert_array_equal(crt[k1], rows[cold][k2])
     np.testing.assert_array_equal(cvt[k1], vals[cold][k2])
+
+
+def test_hot_with_order0_layers(small_graph):
+    """orders containing 0 (dense layers, adj=None — reference
+    `sampler.py:107-111`) compose with adj_format='hot'."""
+    from gnn_tpu.models.gnn import build_model
+    from gnn_tpu.sampling.pipeline import BatchPipeline
+    from gnn_tpu.train.trainer import Trainer
+
+    lap = build_laplacian(small_graph.adj_full, "graphsage")
+    prob = compute_sample_prob(lap, small_graph.train_nodes, 2)
+    spec = HotSpec.from_sample_prob(prob, 256)
+    hot_dense = build_hot_dense(lap, spec)
+    cfg = SamplerConfig(batch_size=64, samp_num=128, orders=(1, 0, 1),
+                        num_nodes=small_graph.adj_full.shape[0],
+                        num_classes=small_graph.num_classes,
+                        adj_format="hot", hot_spec=spec)
+    net = build_model("graphsage", 16, (1, 0, 1),
+                      small_graph.num_classes)
+    pipe = BatchPipeline(cfg, lap, small_graph.labels, world_size=1,
+                         pool_num=2)
+    tr = Trainer(net, pipe, small_graph.feats, lr=0.05,
+                 sigmoid_loss=False, hot_dense=hot_dense)
+    m0 = tr.train_epoch(small_graph.train_nodes, 0)
+    m1 = tr.train_epoch(small_graph.train_nodes, 1)
+    assert np.isfinite(m0.train_loss)
+    assert m1.train_loss < m0.train_loss + 0.2
