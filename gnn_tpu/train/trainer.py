@@ -112,13 +112,16 @@ def build_step_fns(net, optimizer, sigmoid_loss: bool, mesh,
         return params, opt_state, mean_loss
 
     batch_spec = P(axes)
+    # donate params/opt_state: they are consumed and re-emitted every
+    # step, so donation lets XLA update in place instead of holding two
+    # copies of model + optimizer memory across the step boundary
     step = jax.jit(jax.shard_map(
         _sharded_step, mesh=mesh,
         in_specs=(P(), P(), feature_source.state_spec(), P(), batch_spec,
                   batch_spec, P()),
         out_specs=(P(), P(), P()),
         check_vma=False,
-    ))
+    ), donate_argnums=(0, 1))
 
     @jax.jit
     def eval_forward(params, x, agg_state, batch):
