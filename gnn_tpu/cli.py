@@ -76,6 +76,11 @@ def build_parser() -> argparse.ArgumentParser:
                    help="resident hot-block dtype; bfloat16 halves HBM "
                         "(2 x K^2 bytes) so K can double for the same "
                         "budget, at ~0.4%% relative weight rounding")
+    p.add_argument("--steps_per_dispatch", type=int, default=1,
+                   help="train steps per host dispatch (>1 ships G "
+                        "stacked batches and runs a jitted lax.scan of G "
+                        "optimizer steps — amortizes per-call host/relay "
+                        "latency; numerically identical to per-step)")
     p.add_argument("--feature_cache", action="store_true",
                    help="use the placement-driven sharded HBM cache "
                         "instead of a replicated feature table")
@@ -204,7 +209,8 @@ def main(argv=None) -> int:
     trainer = Trainer(net, pipe, graph.feats, mesh=make_mesh(n_devices),
                       lr=args.lr, sigmoid_loss=args.sigmoid_loss,
                       seed=args.seed, feature_source=source,
-                      hot_dense=hot_dense)
+                      hot_dense=hot_dense,
+                      steps_per_dispatch=args.steps_per_dispatch)
 
     rank_chunks = None
     if args.local_shuffle and args.pagraph:

@@ -84,6 +84,43 @@ class GatherPlan:
     host_pos: jnp.ndarray        # int32 [D, H]
 
 
+def stack_gather_plans(plans: List["GatherPlan"], input_cap: int):
+    """Stack per-step :class:`GatherPlan`s along a new leading (group)
+    axis for multi-step-per-dispatch training. Steps may have landed in
+    different remote/host buckets; pad to the group max first (pad slots
+    read buffer row 0 and land at position ``input_cap`` — one past the
+    input tensor's end, dropped by XLA scatter, exactly like the in-plan
+    padding)."""
+    if not plans or plans[0] == ():
+        return ()
+
+    def pad_last(a, m, fill):
+        if a.shape[-1] == m:
+            return a
+        widths = [(0, 0)] * (a.ndim - 1) + [(0, m - a.shape[-1])]
+        return np.pad(a, widths, constant_values=fill)
+
+    R = max(p.slot_by_owner.shape[-1] for p in plans)
+    H = max(p.host_pos.shape[-1] for p in plans)
+
+    def pad_rows(hr, m):
+        if hr.shape[1] == m:
+            return hr
+        return np.pad(hr, [(0, 0), (0, m - hr.shape[1]), (0, 0)])
+
+    return GatherPlan(
+        slot_by_owner=np.stack(
+            [pad_last(np.asarray(p.slot_by_owner), R, 0) for p in plans]),
+        pos_by_rank=np.stack(
+            [pad_last(np.asarray(p.pos_by_rank), R, input_cap)
+             for p in plans]),
+        host_rows=np.stack(
+            [pad_rows(np.asarray(p.host_rows), H) for p in plans]),
+        host_pos=np.stack(
+            [pad_last(np.asarray(p.host_pos), H, input_cap) for p in plans]),
+    )
+
+
 class CachedFeatures:
     """Placement-driven sharded HBM cache + host fallback.
 

@@ -46,6 +46,15 @@ def put_batch(mesh: Mesh, batch_pytree):
         lambda a: jax.device_put(a, sh), batch_pytree)
 
 
+def put_grouped_batch(mesh: Mesh, batch_pytree):
+    """Device-put a multi-step batch whose leaves are ``[group, ws, ...]``:
+    the group axis stays whole (scanned over on device), the device axis
+    is sharded over the mesh."""
+    sh = NamedSharding(mesh, P(None, tuple(mesh.axis_names)))
+    return jax.tree_util.tree_map(
+        lambda a: jax.device_put(a, sh), batch_pytree)
+
+
 def put_replicated(mesh: Mesh, pytree):
     sh = replicated(mesh)
     return jax.tree_util.tree_map(lambda a: jax.device_put(a, sh), pytree)

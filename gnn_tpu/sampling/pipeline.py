@@ -156,6 +156,33 @@ def stack_minibatches(mbs: Sequence[MiniBatch]) -> MiniBatch:
     )
 
 
+def regroup_minibatch(mb: MiniBatch, group: int) -> MiniBatch:
+    """Reshape a stacked minibatch's ``[group*ws, ...]`` leaves to
+    ``[group, ws, ...]`` — the layout of a multi-step-per-dispatch batch
+    (`gnn_tpu.train.trainer`: one jitted `lax.scan` runs ``group`` train
+    steps per host dispatch, amortizing the per-call host/relay latency
+    that otherwise floors the step time)."""
+
+    def rs(a):
+        return a.reshape(group, a.shape[0] // group, *a.shape[1:])
+
+    adjs = []
+    for adj in mb.adjs:
+        if adj is None:
+            adjs.append(None)
+            continue
+        fields = {f.name: rs(getattr(adj, f.name))
+                  for f in dataclasses.fields(adj)
+                  if isinstance(getattr(adj, f.name), np.ndarray)}
+        adjs.append(dataclasses.replace(adj, **fields))
+    return MiniBatch(
+        adjs=adjs,
+        sampled_nodes=[rs(s) for s in mb.sampled_nodes],
+        input_nodes=rs(mb.input_nodes), n_input=mb.n_input,
+        input_mask=rs(mb.input_mask), labels=rs(mb.labels),
+        label_mask=rs(mb.label_mask), batch_nodes=rs(mb.batch_nodes))
+
+
 def _rank_chunks(n_targets: int, world_size: int):
     chunk = n_targets // world_size
     if n_targets % world_size:
@@ -224,6 +251,39 @@ class BatchPipeline:
         AND sampling randomness to a function of (seed, epoch) — the
         property checkpoint resume needs to reproduce an uninterrupted
         run exactly."""
+        for group in self._step_groups(target_nodes, rank_chunks, epoch):
+            yield stack_minibatches(group)
+
+    def train_epoch_grouped(self, target_nodes: np.ndarray,
+                            rank_chunks: Optional[List[np.ndarray]] = None,
+                            epoch: Optional[int] = None, group: int = 1):
+        """Yield ``(MiniBatch, n_valid_steps)`` pairs whose leaves carry a
+        leading ``[group, world_size]`` axis pair — ``group`` train steps
+        shipped and dispatched together (see :func:`regroup_minibatch`).
+        The final short group is padded by repeating its last step with
+        ``n_valid_steps < group``; the trainer masks the padded steps'
+        parameter updates so training is EXACTLY the per-step schedule."""
+        pending: List[List[MiniBatch]] = []
+        for step_group in self._step_groups(target_nodes, rank_chunks,
+                                            epoch, min_depth=group + 1):
+            pending.append(step_group)
+            if len(pending) == group:
+                flat = [mb for g in pending for mb in g]
+                yield (regroup_minibatch(stack_minibatches(flat), group),
+                       group)
+                pending = []
+        if pending:
+            n_valid = len(pending)
+            while len(pending) < group:
+                pending.append(pending[-1])
+            flat = [mb for g in pending for mb in g]
+            yield (regroup_minibatch(stack_minibatches(flat), group),
+                   n_valid)
+
+    def _step_groups(self, target_nodes, rank_chunks, epoch,
+                     min_depth: int = 2):
+        """Prefetched per-step groups of ``world_size`` raw minibatches
+        (the shared engine behind `train_epoch` / `train_epoch_grouped`)."""
         if epoch is not None:
             self._epoch = epoch + 1
             self._rng = np.random.default_rng((self._seed, epoch))
@@ -279,8 +339,10 @@ class BatchPipeline:
         # shallow prefetch: once `depth` steps are ready the workers
         # idle, freeing host cores for the main thread's H2D +
         # dispatch (a deep queue keeps all cores hot with sampling and
-        # starves the transfer path - measured 73 MB/s vs 2.2 GB/s H2D)
-        depth = max(self.queue_depth // max(ws, 1), 2)
+        # starves the transfer path - measured 73 MB/s vs 2.2 GB/s H2D);
+        # grouped dispatch consumes steps in bursts, so keep at least a
+        # group's worth in flight
+        depth = max(self.queue_depth // max(ws, 1), min_depth)
         while submitted < num_steps and submitted < depth:
             futures.append(submit_step(submitted))
             submitted += 1
@@ -289,7 +351,7 @@ class BatchPipeline:
             if submitted < num_steps:
                 futures.append(submit_step(submitted))
                 submitted += 1
-            yield stack_minibatches([f.result() for f in group])
+            yield [f.result() for f in group]
             emitted += 1
 
     def eval_batches(self, target_nodes: np.ndarray, batch_size: int,

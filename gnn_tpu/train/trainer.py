@@ -69,6 +69,7 @@ class TrainStepFns:
     train_step: Callable
     eval_forward: Callable
     eval_step: Callable = None  # sharded eval over the mesh
+    train_multi_step: Callable = None  # G steps per dispatch (lax.scan)
 
 
 def build_step_fns(net, optimizer, sigmoid_loss: bool, mesh,
@@ -123,6 +124,49 @@ def build_step_fns(net, optimizer, sigmoid_loss: bool, mesh,
         check_vma=False,
     ), donate_argnums=(0, 1))
 
+    def _sharded_multi_step(params, opt_state, feat_state, agg_state,
+                            batches, plans, rngs, valid):
+        """``group`` train steps in ONE dispatch: a `lax.scan` over the
+        leading group axis of the stacked batches/plans. Each iteration
+        is exactly `_sharded_step`'s math; padded tail steps (``valid``
+        False) compute but their parameter/optimizer updates are masked
+        out, so a grouped epoch IS the per-step schedule. Amortizes the
+        per-dispatch host+relay latency that floors small-step training
+        (~35 ms/call through this environment's TPU relay)."""
+        idx = jax.lax.axis_index(axes[0])
+        for ax in axes[1:]:
+            idx = idx * mesh.shape[ax] + jax.lax.axis_index(ax)
+
+        def body(carry, xs):
+            params, opt_state = carry
+            batch, plan, rng, v = xs
+            batch = _squeeze_batch(batch)
+            my_rng = jax.random.fold_in(rng, idx)
+            loss, grads = jax.value_and_grad(per_device_loss)(
+                params, feat_state, agg_state, plan, batch, my_rng)
+            grads = clip_by_global_norm(grads, grad_clip)
+            grads = jax.lax.psum(grads, axes)
+            mean_loss = jax.lax.pmean(loss, axes)
+            updates, new_opt = optimizer.update(grads, opt_state, params)
+            new_params = optax.apply_updates(params, updates)
+            keep = lambda n, o: jnp.where(v, n, o)
+            params = jax.tree_util.tree_map(keep, new_params, params)
+            opt_state = jax.tree_util.tree_map(keep, new_opt, opt_state)
+            return (params, opt_state), mean_loss
+
+        (params, opt_state), losses = jax.lax.scan(
+            body, (params, opt_state), (batches, plans, rngs, valid))
+        return params, opt_state, losses
+
+    group_spec = P(None, axes)
+    multi_step = jax.jit(jax.shard_map(
+        _sharded_multi_step, mesh=mesh,
+        in_specs=(P(), P(), feature_source.state_spec(), P(), group_spec,
+                  group_spec, P(), P()),
+        out_specs=(P(), P(), P()),
+        check_vma=False,
+    ), donate_argnums=(0, 1))
+
     @jax.jit
     def eval_forward(params, x, agg_state, batch):
         batch = _squeeze_batch(batch)
@@ -152,7 +196,7 @@ def build_step_fns(net, optimizer, sigmoid_loss: bool, mesh,
     ))
 
     return TrainStepFns(train_step=step, eval_forward=eval_forward,
-                        eval_step=eval_step)
+                        eval_step=eval_step, train_multi_step=multi_step)
 
 
 @dataclasses.dataclass
@@ -202,7 +246,8 @@ class Trainer:
 
     def __init__(self, net, pipeline, feats: np.ndarray, mesh=None,
                  lr: float = 0.01, sigmoid_loss: bool = True,
-                 seed: int = 0, feature_source=None, hot_dense=None):
+                 seed: int = 0, feature_source=None, hot_dense=None,
+                 steps_per_dispatch: int = 1):
         self.net = net
         self.pipeline = pipeline
         self.mesh = mesh if mesh is not None else make_mesh(
@@ -213,6 +258,9 @@ class Trainer:
         self.fns = build_step_fns(net, self.optimizer, sigmoid_loss,
                                   self.mesh, self.feature_source)
         self.sigmoid_loss = sigmoid_loss
+        # >1: run this many train steps per dispatch (one H2D + one jitted
+        # lax.scan), amortizing per-call host/relay latency
+        self.steps_per_dispatch = max(int(steps_per_dispatch), 1)
         # optional per-step progress to stderr (diagnosing slow runs
         # through the relay): GNN_TPU_STEP_LOG=<N> prints every N steps
         import os as _os
@@ -258,6 +306,9 @@ class Trainer:
         # would have executed
         self.rng = jax.random.fold_in(jax.random.PRNGKey(self._seed),
                                       epoch)
+        if self.steps_per_dispatch > 1:
+            return self._train_epoch_grouped(train_nodes, epoch,
+                                             rank_chunks)
         t_sample = 0.0
         t_move = 0.0
         t_exec = 0.0
@@ -283,6 +334,7 @@ class Trainer:
             losses.append(loss)
             n_steps += 1
             self._last_dev_batch, self._last_plan = dev_batch, dev_plan
+            self._last_is_grouped = False
             t0 = time.perf_counter()
             t_exec += t0 - t2
             if self._step_log and n_steps % self._step_log == 0:
@@ -293,6 +345,78 @@ class Trainer:
         # sync once per epoch for honest timing
         jax.block_until_ready(self.params)
         train_loss = float(np.mean([float(l) for l in losses])) if losses \
+            else float("nan")
+        return EpochMetrics(epoch=epoch, train_loss=train_loss,
+                            valid_loss=float("nan"),
+                            valid_f1=float("nan"),
+                            data_movement_time=t_move,
+                            execution_time=t_exec,
+                            sample_wait_time=t_sample)
+
+    def _grouped_plan(self, mb, group: int):
+        """Per-step feature gather plans stacked along the group axis."""
+        import types
+        plans = []
+        for g in range(group):
+            shim = types.SimpleNamespace(input_nodes=mb.input_nodes[g],
+                                         input_mask=mb.input_mask[g])
+            plans.append(self.feature_source.plan(shim))
+        from gnn_tpu.parallel.feature_cache import stack_gather_plans
+        return stack_gather_plans(plans, mb.input_nodes.shape[-1])
+
+    def _train_epoch_grouped(self, train_nodes, epoch: int,
+                             rank_chunks=None) -> EpochMetrics:
+        """`steps_per_dispatch` train steps per host dispatch: the
+        pipeline ships ``[G, ws, ...]`` stacked batches, one `device_put`
+        + one jitted `lax.scan` runs G optimizer steps. Numerically the
+        per-step schedule (padded tail steps are masked); operationally
+        ~1/G the host/relay round-trips."""
+        from gnn_tpu.parallel.mesh import put_grouped_batch
+        G = self.steps_per_dispatch
+        t_sample = t_move = t_exec = 0.0
+        loss_chunks = []
+        n_steps = 0
+        t0 = time.perf_counter()
+        for mb, n_valid in self.pipeline.train_epoch_grouped(
+                train_nodes, rank_chunks, epoch=epoch, group=G):
+            batch = to_device_batch(mb)
+            plan = self._grouped_plan(mb, G)
+            t1 = time.perf_counter()
+            t_sample += t1 - t0
+            if self.params is None:
+                self._init_params(jax.tree_util.tree_map(
+                    lambda a: a[0], batch))
+            dev_batch = put_grouped_batch(self.mesh, batch)
+            dev_plan = put_grouped_batch(self.mesh, plan)
+            t2 = time.perf_counter()
+            t_move += t2 - t1
+            rngs = []
+            for _ in range(n_valid):
+                self.rng, r = jax.random.split(self.rng)
+                rngs.append(r)
+            while len(rngs) < G:
+                rngs.append(rngs[-1])
+            rngs = jnp.stack(rngs)
+            valid = jnp.asarray(np.arange(G) < n_valid)
+            self.params, self.opt_state, losses = \
+                self.fns.train_multi_step(
+                    self.params, self.opt_state, self.feat_state,
+                    self.agg_state, dev_batch, dev_plan, rngs, valid)
+            loss_chunks.append((losses, n_valid))
+            n_steps += n_valid
+            self._last_dev_batch, self._last_plan = dev_batch, dev_plan
+            self._last_is_grouped = True
+            t0 = time.perf_counter()
+            t_exec += t0 - t2
+            if self._step_log and n_steps % self._step_log < n_valid:
+                print(f"  step {n_steps}: sample {t_sample:.1f}s "
+                      f"move {t_move:.1f}s exec {t_exec:.1f}s",
+                      file=sys.stderr, flush=True)
+        self._last_epoch_steps = n_steps
+        jax.block_until_ready(self.params)
+        all_losses = ([float(x) for losses, nv in loss_chunks
+                       for x in np.asarray(losses)[:nv]])
+        train_loss = float(np.mean(all_losses)) if all_losses \
             else float("nan")
         return EpochMetrics(epoch=epoch, train_loss=train_loss,
                             valid_loss=float("nan"),
@@ -327,7 +451,12 @@ class Trainer:
             return (float("nan"),) * 3
         from gnn_tpu.ops.sparse import spmm, spmm_transpose
 
-        one = jax.tree_util.tree_map(lambda a: a[0], self._last_dev_batch)
+        last_batch, last_plan = self._last_dev_batch, self._last_plan
+        if getattr(self, "_last_is_grouped", False):
+            # grouped dispatch: drop the leading group axis first
+            last_batch = jax.tree_util.tree_map(lambda a: a[0], last_batch)
+            last_plan = jax.tree_util.tree_map(lambda a: a[0], last_plan)
+        one = jax.tree_util.tree_map(lambda a: a[0], last_batch)
         adjs = bind_agg_state(one.adjs, self.agg_state)
         widths = self._layer_widths()
         on_tpu = jax.default_backend() == "tpu"
@@ -373,7 +502,7 @@ class Trainer:
                 in_specs=P(), out_specs=P(), check_vma=False)
             t_comm = timeit(psum_fn, flat)
         if hasattr(self.feature_source, "plan") and \
-                self._last_plan not in ((), None):
+                last_plan not in ((), None):
             b_spec = P(tuple(self.mesh.axis_names))
             gather_fn = jax.jit(jax.shard_map(
                 lambda fs, pl, bat: self.feature_source.gather(
@@ -384,12 +513,10 @@ class Trainer:
                 out_specs=b_spec, check_vma=False))
             try:
                 jax.block_until_ready(gather_fn(
-                    self.feat_state, self._last_plan,
-                    self._last_dev_batch))
+                    self.feat_state, last_plan, last_batch))
                 t0 = time.perf_counter()
                 jax.block_until_ready(gather_fn(
-                    self.feat_state, self._last_plan,
-                    self._last_dev_batch))
+                    self.feat_state, last_plan, last_batch))
                 t_comm += time.perf_counter() - t0
             except Exception:
                 pass
