@@ -177,16 +177,31 @@ def main(argv=None) -> int:
     hot_spec = None
     hot_dense = None
     if args.adj_format == "hot":
-        from gnn_tpu.ops.hotdense import HotSpec, build_hot_dense
+        from gnn_tpu.ops.hotdense import HotSpec, build_hot_dense_cached
         from gnn_tpu.placement.engine import compute_sample_prob
-        prob = compute_sample_prob(lap, graph.train_nodes, sum(orders))
         import jax.numpy as jnp
         import numpy as np
+        # setup caches (reference-style keyed files, `preprocess.py:317`):
+        # the sample-prob chain and the lap[H][:,H] slice each cost
+        # minutes at Reddit scale but depend only on (graph, layers, K)
+        os.makedirs(args.save_dir, exist_ok=True)
+        dsname = args.dataset.replace("/", "_").replace(":", "_")
+        depth = sum(orders)
+        prob_path = os.path.join(args.save_dir,
+                                 f"{dsname}.sampprob.L{depth}.npy")
+        if os.path.exists(prob_path):
+            prob = np.load(prob_path)
+        else:
+            prob = compute_sample_prob(lap, graph.train_nodes, depth)
+            np.save(prob_path, prob)
         hot_spec = HotSpec.from_sample_prob(prob, args.hot_k)
-        hot_dense = build_hot_dense(
+        hot_dense = build_hot_dense_cached(
             lap, hot_spec,
             dtype=jnp.bfloat16 if args.hot_dtype == "bfloat16"
-            else np.float32)
+            else np.float32,
+            cache_path=os.path.join(
+                args.save_dir, f"{dsname}.hotcoo.L{depth}"
+                f".K{args.hot_k}.npz"))
         print(f"hot block: K={hot_spec.k} "
               f"({2 * hot_dense[0].nbytes / 2**20:.0f} MiB resident "
               f"incl. transpose)", flush=True)

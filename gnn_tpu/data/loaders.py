@@ -152,6 +152,45 @@ def load_ogbn_data(graph_name: str, root_dir: str) -> GraphData:
                      test_nodes=np.asarray(split["test"]))
 
 
+def _save_graph_cache(path: str, g: GraphData) -> None:
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    tmp = path + ".tmp"
+    lab = g.labels.tocsr()
+    with open(tmp, "wb") as f:
+        np.savez(f, adj_data=g.adj_full.data,
+                 adj_indices=g.adj_full.indices,
+                 adj_indptr=g.adj_full.indptr,
+                 lab_data=lab.data, lab_indices=lab.indices,
+                 lab_indptr=lab.indptr, lab_shape=lab.shape,
+                 feats=g.feats, num_classes=g.num_classes,
+                 train_nodes=g.train_nodes, valid_nodes=g.valid_nodes,
+                 test_nodes=g.test_nodes)
+    os.replace(tmp, path)
+
+
+def _load_graph_cache(path: str):
+    if not os.path.exists(path):
+        return None
+    try:
+        z = np.load(path)
+        n = len(z["adj_indptr"]) - 1
+        adj = sp.csr_matrix(
+            (z["adj_data"], z["adj_indices"], z["adj_indptr"]),
+            shape=(n, n))
+        labels = sp.csr_matrix(
+            (z["lab_data"], z["lab_indices"], z["lab_indptr"]),
+            shape=tuple(z["lab_shape"]))
+        return GraphData(adj_full=adj, labels=labels, feats=z["feats"],
+                         num_classes=int(z["num_classes"]),
+                         train_nodes=z["train_nodes"],
+                         valid_nodes=z["valid_nodes"],
+                         test_nodes=z["test_nodes"])
+    except Exception as e:
+        print(f"synthetic graph cache {path} unusable ({e}); regenerating",
+              flush=True)
+        return None
+
+
 def load_dataset(name: str, root_dir: str | None = None) -> GraphData:
     """Dispatch like `main.py:262-265`, plus a synthetic scheme:
     ``synthetic:nodes=100000,deg=50,feats=602,classes=41[,multilabel]``."""
@@ -168,6 +207,20 @@ def load_dataset(name: str, root_dir: str | None = None) -> GraphData:
                        "feats": "num_feats", "classes": "num_classes",
                        "seed": "seed"}[k]
                 kw[key] = int(v)
+        # disk-cache big generated graphs: generation is deterministic in
+        # the spec, costs ~a minute at Reddit scale, and every benchmark
+        # run pays it otherwise (cache ~750 MB, loads in seconds)
+        cache_root = os.environ.get("GNN_TPU_SYNTH_CACHE",
+                                    os.path.join("/tmp", "gnn_tpu_synth"))
+        if kw["num_nodes"] >= 100_000 and cache_root:
+            tag = "_".join(f"{k}={v}" for k, v in sorted(kw.items()))
+            path = os.path.join(cache_root, f"{tag}.npz")
+            g = _load_graph_cache(path)
+            if g is not None:
+                return g
+            g = make_powerlaw_graph(**kw)
+            _save_graph_cache(path, g)
+            return g
         return make_powerlaw_graph(**kw)
     if root_dir is None:
         root_dir = os.environ.get("GNN_DATA_DIR", "data")

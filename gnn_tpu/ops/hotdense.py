@@ -96,9 +96,47 @@ def build_hot_dense(lap: sp.csr_matrix, spec: HotSpec,
     bf16 at K = 16384 — well within a v5e's 16 GB HBM next to the model.
     """
     sub = lap[spec.hot_nodes, :][:, spec.hot_nodes].tocoo()
-    d = np.zeros((spec.k, spec.k), dtype)
-    d[sub.row, sub.col] = sub.data.astype(dtype)
+    return _densify(spec.k, sub.row, sub.col, sub.data, dtype)
+
+
+def _densify(k, rows, cols, vals, dtype):
+    d = np.zeros((k, k), dtype)
+    d[rows, cols] = vals.astype(dtype)
     return d, np.ascontiguousarray(d.T)
+
+
+def build_hot_dense_cached(lap: sp.csr_matrix, spec: HotSpec,
+                           dtype=np.float32,
+                           cache_path: Optional[str] = None
+                           ) -> Tuple[np.ndarray, np.ndarray]:
+    """`build_hot_dense` with the expensive part — the CSR double slice
+    ``lap[H][:, H]`` over the full edge set — cached on disk as COO
+    (same convention as the reference's pickled placement cache,
+    `preprocess.py:317,386-395`). Densify-on-load runs in seconds, so a
+    warm cache cuts hot-path setup from minutes to seconds at Reddit
+    scale. The cache validates the exact hot node set, so a changed
+    graph/prob/K falls back to recompute."""
+    import os
+
+    if cache_path and os.path.exists(cache_path):
+        try:
+            z = np.load(cache_path)
+            if np.array_equal(z["hot_nodes"], spec.hot_nodes):
+                return _densify(spec.k, z["rows"], z["cols"], z["vals"],
+                                dtype)
+        except Exception as e:  # corrupt/partial cache: rebuild
+            print(f"hot cache {cache_path} unusable ({e}); rebuilding",
+                  flush=True)
+    sub = lap[spec.hot_nodes, :][:, spec.hot_nodes].tocoo()
+    if cache_path:
+        tmp = cache_path + ".tmp"
+        with open(tmp, "wb") as f:  # keep np.savez from appending .npz
+            np.savez(f, hot_nodes=spec.hot_nodes,
+                     rows=sub.row.astype(np.int32),
+                     cols=sub.col.astype(np.int32),
+                     vals=sub.data.astype(np.float32))
+        os.replace(tmp, cache_path)
+    return _densify(spec.k, sub.row, sub.col, sub.data, dtype)
 
 
 @struct.dataclass

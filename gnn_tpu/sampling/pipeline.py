@@ -264,8 +264,11 @@ class BatchPipeline:
         ``n_valid_steps < group``; the trainer masks the padded steps'
         parameter updates so training is EXACTLY the per-step schedule."""
         pending: List[List[MiniBatch]] = []
+        # the main thread drains the queue in G-step bursts, then spends
+        # a while stacking + shipping: keep ~2 groups in flight so the
+        # workers sample through that window instead of idling
         for step_group in self._step_groups(target_nodes, rank_chunks,
-                                            epoch, min_depth=group + 1):
+                                            epoch, min_depth=2 * group + 1):
             pending.append(step_group)
             if len(pending) == group:
                 flat = [mb for g in pending for mb in g]

@@ -222,15 +222,21 @@ class EpochMetrics:
     spmm_fwd_time: float = float("nan")
     spmm_bwd_time: float = float("nan")
     communication_time: float = float("nan")
+    # true wall time of the training loop INCLUDING the end-of-epoch
+    # device sync (async dispatch means the per-step buckets alone
+    # under-count queued device work)
+    total_time: float = float("nan")
 
     def format(self, scale_factor: float = 1.0) -> str:
         ratio = (self.data_movement_time / self.execution_time
                  if self.execution_time else 0.0)
         buckets = ""
+        if np.isfinite(self.total_time):
+            buckets += f"(total {self.total_time:.2f}s)"
         if np.isfinite(self.spmm_fwd_time):
-            buckets = (f"(spmm {self.spmm_fwd_time:.2f}s/"
-                       f"{self.spmm_bwd_time:.2f}s)"
-                       f"(comm {self.communication_time:.2f}s)")
+            buckets += (f"(spmm {self.spmm_fwd_time:.2f}s/"
+                        f"{self.spmm_bwd_time:.2f}s)"
+                        f"(comm {self.communication_time:.2f}s)")
         return (f"Epoch: {self.epoch} ({self.sample_wait_time:.2f}s)"
                 f"({self.data_movement_time:.2f}s)"
                 f"({self.execution_time:.2f}s) {buckets}"
@@ -314,7 +320,7 @@ class Trainer:
         t_exec = 0.0
         losses = []
         n_steps = 0
-        t0 = time.perf_counter()
+        t_start = t0 = time.perf_counter()
         for mb in self.pipeline.train_epoch(train_nodes, rank_chunks,
                                             epoch=epoch):
             batch = to_device_batch(mb)
@@ -346,12 +352,14 @@ class Trainer:
         jax.block_until_ready(self.params)
         train_loss = float(np.mean([float(l) for l in losses])) if losses \
             else float("nan")
+        t_total = time.perf_counter() - t_start
         return EpochMetrics(epoch=epoch, train_loss=train_loss,
                             valid_loss=float("nan"),
                             valid_f1=float("nan"),
                             data_movement_time=t_move,
                             execution_time=t_exec,
-                            sample_wait_time=t_sample)
+                            sample_wait_time=t_sample,
+                            total_time=t_total)
 
     def _grouped_plan(self, mb, group: int):
         """Per-step feature gather plans stacked along the group axis."""
@@ -376,7 +384,7 @@ class Trainer:
         t_sample = t_move = t_exec = 0.0
         loss_chunks = []
         n_steps = 0
-        t0 = time.perf_counter()
+        t_start = t0 = time.perf_counter()
         for mb, n_valid in self.pipeline.train_epoch_grouped(
                 train_nodes, rank_chunks, epoch=epoch, group=G):
             batch = to_device_batch(mb)
@@ -418,12 +426,14 @@ class Trainer:
                        for x in np.asarray(losses)[:nv]])
         train_loss = float(np.mean(all_losses)) if all_losses \
             else float("nan")
+        t_total = time.perf_counter() - t_start
         return EpochMetrics(epoch=epoch, train_loss=train_loss,
                             valid_loss=float("nan"),
                             valid_f1=float("nan"),
                             data_movement_time=t_move,
                             execution_time=t_exec,
-                            sample_wait_time=t_sample)
+                            sample_wait_time=t_sample,
+                            total_time=t_total)
 
     def _layer_widths(self):
         """Per-layer input feature widths of the encoder stack (for

@@ -228,3 +228,28 @@ def test_hot_with_order0_layers(small_graph):
     m1 = tr.train_epoch(small_graph.train_nodes, 1)
     assert np.isfinite(m0.train_loss)
     assert m1.train_loss < m0.train_loss + 0.2
+
+
+def test_build_hot_dense_cached_roundtrip(small_graph, tmp_path):
+    """The disk-cached hot-block build returns the exact same dense
+    blocks on a cold build, a warm load, and after a hot-set change
+    (which must invalidate)."""
+    from gnn_tpu.ops.hotdense import build_hot_dense_cached
+
+    lap = build_laplacian(small_graph.adj_full, "graphsage")
+    prob = compute_sample_prob(lap, small_graph.train_nodes, 2)
+    spec = HotSpec.from_sample_prob(prob, 256)
+    path = str(tmp_path / "hot.npz")
+    d_ref, dt_ref = build_hot_dense(lap, spec)
+    d1, dt1 = build_hot_dense_cached(lap, spec, cache_path=path)
+    np.testing.assert_array_equal(d1, d_ref)
+    np.testing.assert_array_equal(dt1, dt_ref)
+    import os
+    assert os.path.exists(path)
+    d2, dt2 = build_hot_dense_cached(lap, spec, cache_path=path)  # warm
+    np.testing.assert_array_equal(d2, d_ref)
+    np.testing.assert_array_equal(dt2, dt_ref)
+    # different K -> different hot set -> cache must not be reused
+    spec2 = HotSpec.from_sample_prob(prob, 128)
+    d3, _ = build_hot_dense_cached(lap, spec2, cache_path=path)
+    np.testing.assert_array_equal(d3, build_hot_dense(lap, spec2)[0])

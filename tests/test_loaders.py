@@ -66,3 +66,26 @@ def test_synthetic_scheme():
 def test_ogb_gated_error():
     with pytest.raises(ImportError, match="ogb"):
         load_dataset("ogbn-arxiv", "/tmp/nonexistent")
+
+
+def test_synthetic_graph_cache_roundtrip(tmp_path):
+    """Disk-cached synthetic graphs reload exactly (adj, labels, feats,
+    splits) — the cache every big benchmark run hits."""
+    import numpy as np
+
+    from gnn_tpu.data.loaders import _load_graph_cache, _save_graph_cache
+    from gnn_tpu.data.synthetic import make_powerlaw_graph
+
+    g = make_powerlaw_graph(500, 8, 12, 5, seed=3)
+    path = str(tmp_path / "g.npz")
+    _save_graph_cache(path, g)
+    g2 = _load_graph_cache(path)
+    assert (g.adj_full != g2.adj_full).nnz == 0
+    assert (g.labels.tocsr() != g2.labels.tocsr()).nnz == 0
+    np.testing.assert_array_equal(g.feats, g2.feats)
+    np.testing.assert_array_equal(g.train_nodes, g2.train_nodes)
+    np.testing.assert_array_equal(g.test_nodes, g2.test_nodes)
+    assert g2.num_classes == g.num_classes
+    # corrupt cache falls back to None (caller regenerates)
+    (tmp_path / "bad.npz").write_bytes(b"not an npz")
+    assert _load_graph_cache(str(tmp_path / "bad.npz")) is None
