@@ -76,6 +76,13 @@ def build_parser() -> argparse.ArgumentParser:
                    help="resident hot-block dtype; bfloat16 halves HBM "
                         "(2 x K^2 bytes) so K can double for the same "
                         "budget, at ~0.4%% relative weight rounding")
+    p.add_argument("--feat_dtype", type=str, default="float32",
+                   choices=["float32", "bfloat16"],
+                   help="HBM feature-table dtype (replicated table or "
+                        "sharded cache): bfloat16 halves residency, "
+                        "gather bandwidth, cache all_to_all bytes and "
+                        "host-row H2D; rows are cast back to f32 after "
+                        "the gather")
     p.add_argument("--steps_per_dispatch", type=int, default=1,
                    help="train steps per host dispatch (>1 ships G "
                         "stacked batches and runs a jitted lax.scan of G "
@@ -85,6 +92,11 @@ def build_parser() -> argparse.ArgumentParser:
                    help="use the placement-driven sharded HBM cache "
                         "instead of a replicated feature table")
     p.add_argument("--save_dir", type=str, default="save")
+    p.add_argument("--resume", action="store_true",
+                   help="resume from save_dir's rolling 'latest' "
+                        "checkpoint (params + optimizer + epoch); the "
+                        "(seed, epoch)-derived randomness replays the "
+                        "uninterrupted run exactly")
     p.add_argument("--data_dir", type=str,
                    default=os.environ.get("GNN_DATA_DIR", "data"))
     p.add_argument("--seed", type=int, default=0)
@@ -217,10 +229,14 @@ def main(argv=None) -> int:
                          local_shuffle=args.local_shuffle, seed=args.seed)
     net = build_model(args.model, args.nhid, orders, graph.num_classes)
 
+    import jax.numpy as _jnp
+    import numpy as _np
+    feat_dtype = _jnp.bfloat16 if args.feat_dtype == "bfloat16" \
+        else _np.float32
     if args.feature_cache:
-        source = CachedFeatures(graph.feats, placement)
+        source = CachedFeatures(graph.feats, placement, dtype=feat_dtype)
     else:
-        source = ReplicatedFeatures(graph.feats)
+        source = ReplicatedFeatures(graph.feats, dtype=feat_dtype)
     trainer = Trainer(net, pipe, graph.feats, mesh=make_mesh(n_devices),
                       lr=args.lr, sigmoid_loss=args.sigmoid_loss,
                       seed=args.seed, feature_source=source,
@@ -238,7 +254,7 @@ def main(argv=None) -> int:
                 rank_chunks=rank_chunks, checkpoint_dir=args.save_dir,
                 locality_tuner=args.locality_sampling, metrics=metrics,
                 profile_dir=args.profile_dir or None,
-                op_timing=args.op_timing)
+                op_timing=args.op_timing, resume=args.resume)
 
     if args.test:
         f1 = trainer.test(graph.test_nodes, batch_size=128)

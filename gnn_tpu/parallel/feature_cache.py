@@ -43,10 +43,17 @@ from gnn_tpu.sampling.ladies import MiniBatch, bucket_size
 
 
 class ReplicatedFeatures:
-    """Whole feature table resident (replicated) in every chip's HBM."""
+    """Whole feature table resident (replicated) in every chip's HBM.
 
-    def __init__(self, feats: np.ndarray):
-        self.feats = np.asarray(feats, np.float32)
+    ``dtype=jnp.bfloat16`` stores the table compressed: halves HBM
+    residency and the gather's HBM read bytes (the gather is
+    bandwidth-bound); rows are cast back to f32 right after the gather
+    (a register-level op XLA fuses), so downstream math is unchanged
+    apart from one rounding of the features at rest."""
+
+    def __init__(self, feats: np.ndarray, dtype=np.float32):
+        self.dtype = np.dtype(dtype)
+        self.feats = np.asarray(feats, self.dtype)
 
     def state(self):
         return jnp.asarray(self.feats)
@@ -59,12 +66,13 @@ class ReplicatedFeatures:
         return ()
 
     def gather(self, state, plan, input_nodes, input_mask):
-        x = jnp.take(state, input_nodes, axis=0)
+        x = jnp.take(state, input_nodes, axis=0).astype(jnp.float32)
         return x * input_mask[:, None]
 
     def host_gather(self, input_nodes, input_mask):
         """Host-side gather for (single-replica) evaluation."""
-        return self.feats[input_nodes] * input_mask[:, None]
+        x = self.feats[input_nodes].astype(np.float32)
+        return x * input_mask[:, None]
 
 
 @struct.dataclass
@@ -137,8 +145,12 @@ class CachedFeatures:
 
     def __init__(self, feats: np.ndarray, placement: Placement,
                  remote_bucket_min: int = 256, axis: str = DATA_AXIS,
-                 world_size: Optional[int] = None):
-        self.feats = np.asarray(feats, np.float32)
+                 world_size: Optional[int] = None, dtype=np.float32):
+        # dtype=bfloat16 compresses the whole path: the sharded HBM
+        # buffers, the all_to_all payload over ICI, and the host-row
+        # H2D block all halve; rows are cast to f32 at the scatter
+        self.dtype = np.dtype(dtype)
+        self.feats = np.asarray(feats, self.dtype)
         self.placement = placement
         self.num_devs = placement.num_devs
         self.axis = axis
@@ -148,7 +160,7 @@ class CachedFeatures:
         per_dev = max(len(b) for b in placement.buffers)
         self.per_dev = per_dev
         stack = np.zeros((self.num_devs, per_dev, self.feats.shape[1]),
-                         np.float32)
+                         self.dtype)
         for d, b in enumerate(placement.buffers):
             stack[d, : len(b)] = self.feats[b]
         self._buffer_stack = stack
@@ -205,7 +217,7 @@ class CachedFeatures:
         H = bucket_size(max_host, self.remote_bucket_min)
         slot_by_owner = np.zeros((ws, D, R), np.int32)
         pos_by_rank = np.full((ws, D, R), C, np.int32)  # C == dropped
-        host_rows = np.zeros((ws, H, self.feats.shape[1]), np.float32)
+        host_rows = np.zeros((ws, H, self.feats.shape[1]), self.dtype)
         host_pos = np.full((ws, H), C, np.int32)
         for r in range(ws):
             d_grp, p_req = r // D, r % D
@@ -234,11 +246,14 @@ class CachedFeatures:
                                   concat_axis=0, tiled=True)
         C = input_nodes.shape[0]
         F = recv.shape[-1]
-        x = jnp.zeros((C, F), recv.dtype)
+        x = jnp.zeros((C, F), jnp.float32)
         pos = plan.pos_by_rank[0]                  # [D, R]
-        x = x.at[pos.reshape(-1)].set(recv.reshape(-1, F), mode="drop")
-        x = x.at[plan.host_pos[0]].set(plan.host_rows[0], mode="drop")
+        x = x.at[pos.reshape(-1)].set(
+            recv.reshape(-1, F).astype(jnp.float32), mode="drop")
+        x = x.at[plan.host_pos[0]].set(
+            plan.host_rows[0].astype(jnp.float32), mode="drop")
         return x * input_mask[:, None]
 
     def host_gather(self, input_nodes, input_mask):
-        return self.feats[input_nodes] * input_mask[:, None]
+        x = self.feats[input_nodes].astype(np.float32)
+        return x * input_mask[:, None]

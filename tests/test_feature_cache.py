@@ -107,3 +107,41 @@ def test_e2e_training_with_cached_features(small_graph):
                   epochs=3, log=False)
     assert hist[-1].train_loss < hist[0].train_loss
     assert hist[-1].valid_f1 > 0.4
+
+
+def test_bf16_feature_table_matches_f32(small_graph):
+    """dtype=bfloat16 sources return f32 rows equal to the f32 path up to
+    one bf16 rounding of the features at rest (~3 decimal digits)."""
+    ws = 2
+    mesh = make_mesh(ws)
+    lap = build_laplacian(small_graph.adj_full, "graphsage")
+    n = small_graph.adj_full.shape[0]
+    cfg = SamplerConfig(batch_size=16, samp_num=32, orders=(1,),
+                        num_nodes=n,
+                        num_classes=small_graph.num_classes)
+    mbs = [ladies_sample(cfg, s, small_graph.train_nodes[:16], lap,
+                         small_graph.labels) for s in range(ws)]
+    mb = stack_minibatches(mbs)
+
+    # replicated table
+    src = ReplicatedFeatures(small_graph.feats, dtype=jnp.bfloat16)
+    assert src.state().dtype == jnp.bfloat16
+    x = np.asarray(src.gather(src.state(), (),
+                              jnp.asarray(mb.input_nodes[0]),
+                              jnp.asarray(mb.input_mask[0])))
+    assert x.dtype == np.float32
+    expected = (small_graph.feats[mb.input_nodes[0]]
+                * mb.input_mask[0][:, None])
+    np.testing.assert_allclose(x, expected, rtol=8e-3, atol=8e-3)
+
+    # sharded cache through the mesh all_to_all
+    prob = compute_sample_prob(lap, small_graph.train_nodes, 2)
+    pl = greedy_placement(prob, per_dev=n // 8, num_devs=ws, alpha=1.0)
+    cache = CachedFeatures(small_graph.feats, pl, dtype=jnp.bfloat16)
+    assert cache.state().dtype == jnp.bfloat16
+    got = _gather_via_mesh(cache, mb, mesh, ws)
+    assert got.dtype == np.float32
+    for r in range(ws):
+        expected = (small_graph.feats[mb.input_nodes[r]]
+                    * mb.input_mask[r][:, None])
+        np.testing.assert_allclose(got[r], expected, rtol=8e-3, atol=8e-3)
