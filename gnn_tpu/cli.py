@@ -71,11 +71,13 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--hot_k", type=int, default=16384,
                    help="hot-subgraph size (top-K nodes by sample_prob) "
                         "for --adj_format hot")
-    p.add_argument("--hot_dtype", type=str, default="float32",
+    p.add_argument("--hot_dtype", type=str, default="bfloat16",
                    choices=["float32", "bfloat16"],
-                   help="resident hot-block dtype; bfloat16 halves HBM "
-                        "(2 x K^2 bytes) so K can double for the same "
-                        "budget, at ~0.4%% relative weight rounding")
+                   help="resident hot-block dtype; bfloat16 (default) "
+                        "halves HBM (2 x K^2 bytes) so K can double for "
+                        "the same budget, at ~0.4%% relative weight "
+                        "rounding (accuracy-validated at canonical "
+                        "scale, benchmarks/RESULTS.md)")
     p.add_argument("--feat_dtype", type=str, default="float32",
                    choices=["float32", "bfloat16"],
                    help="HBM feature-table dtype (replicated table or "
