@@ -1,0 +1,160 @@
+"""Single-buffer minibatch transport: pack the whole per-step pytree
+into ONE ``[ws, nbytes]`` uint8 array on host, ship it with a single
+``device_put``, and unpack with static slices + bitcasts inside the
+jitted step.
+
+Why: through this environment's TPU relay every host->device call pays
+a ~35-45 ms fixed round trip, and ``device_put`` of a pytree issues one
+transfer per leaf. The canonical minibatch (batch + gather plan) is 55
+leaves / 10.5 MiB — 2.36 s of pure per-leaf latency for 40 ms of device
+work (benchmarks/RESULTS.md, step decomposition probe). Packing makes
+the per-step H2D cost one call: latency amortizes over the entire
+payload, and the device-side unpack (slice + bitcast + reshape of
+statically-shaped regions) fuses into the consumers, i.e. costs
+nothing. The same trick replaces the reference's per-tensor
+`.to(device)` loop (`/root/reference/main.py:129-134`) rather than
+translating it.
+
+Layout: leaves in ``jax.tree_util.tree_leaves`` order, each stored as
+its per-device-row bytes (the shard axis moved to the front), then an
+8-byte replicated trailer ``(base_step: uint32, n_valid: uint32)`` so
+the step index / grouped-valid count ride along instead of being extra
+device_put calls. The buffer's leading axis is the device axis: it
+shards with ``PartitionSpec(mesh.axis_names)`` exactly like the
+unpacked leaves did, so DP / hybrid-mesh semantics are unchanged.
+"""
+from __future__ import annotations
+
+import dataclasses
+import math
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+TRAILER_BYTES = 8  # (base_step, n_valid) as little-endian uint32
+
+
+@dataclasses.dataclass(frozen=True)
+class PackSpec:
+    """Static description of one packed pytree layout.
+
+    Hashable — used as the jit-cache key for the packed step functions
+    (a new nnz bucket => new shapes => new spec => fresh compile, the
+    same recompile the unpacked path would have hit).
+    """
+
+    treedef: object
+    shapes: Tuple[Tuple[int, ...], ...]   # full host shapes
+    dtypes: Tuple[str, ...]               # np.dtype names
+    shard_axis: int                       # 0: [ws,...] leaves; 1: [G,ws,...]
+    ws: int
+    row_bytes: int                        # payload bytes per device row
+
+    @staticmethod
+    def from_tree(tree, shard_axis: int = 0) -> "PackSpec":
+        leaves, treedef = jax.tree_util.tree_flatten(tree)
+        if not leaves:
+            raise ValueError("packbuf: empty pytree")
+        ws = None
+        shapes, dtypes = [], []
+        row_bytes = 0
+        for a in leaves:
+            a = np.asarray(a)
+            if a.ndim <= shard_axis:
+                raise ValueError(
+                    f"packbuf: leaf rank {a.ndim} lacks shard axis "
+                    f"{shard_axis} (shape {a.shape})")
+            w = a.shape[shard_axis]
+            if ws is None:
+                ws = w
+            elif w != ws:
+                raise ValueError(
+                    f"packbuf: inconsistent shard-axis sizes {ws} vs {w}")
+            shapes.append(tuple(a.shape))
+            dtypes.append(a.dtype.name)
+            row_bytes += (a.size // w) * a.dtype.itemsize
+        return PackSpec(treedef=treedef, shapes=tuple(shapes),
+                        dtypes=tuple(dtypes), shard_axis=shard_axis,
+                        ws=ws, row_bytes=row_bytes)
+
+    def key(self):
+        return (self.treedef, self.shapes, self.dtypes, self.shard_axis,
+                self.ws)
+
+    def inner_shape(self, i: int) -> Tuple[int, ...]:
+        """Leaf i's shape with the shard axis removed."""
+        s = self.shapes[i]
+        return s[: self.shard_axis] + s[self.shard_axis + 1:]
+
+
+def _np_dtype(name: str) -> np.dtype:
+    if name == "bfloat16":
+        import ml_dtypes
+        return np.dtype(ml_dtypes.bfloat16)
+    return np.dtype(name)
+
+
+def pack(spec: PackSpec, tree, base_step: int = 0,
+         n_valid: int = 1) -> np.ndarray:
+    """Host-side pack: ``uint8 [ws, row_bytes + TRAILER_BYTES]``.
+
+    One memcpy of the payload (~ms at minibatch sizes) buys the removal
+    of ~40 ms/leaf of relay latency; the trailer is replicated into
+    every row so each device can read it locally.
+    """
+    leaves = jax.tree_util.tree_leaves(tree)
+    out = np.empty((spec.ws, spec.row_bytes + TRAILER_BYTES), np.uint8)
+    off = 0
+    for a in leaves:
+        a = np.asarray(a)
+        if spec.shard_axis:
+            a = np.moveaxis(a, spec.shard_axis, 0)
+        rows = np.ascontiguousarray(a).reshape(spec.ws, -1).view(np.uint8)
+        n = rows.shape[1]
+        out[:, off: off + n] = rows
+        off += n
+    trailer = np.array([base_step, n_valid], dtype="<u4").view(np.uint8)
+    out[:, off:] = trailer[None, :]
+    return out
+
+
+def unpack_local(spec: PackSpec, buf):
+    """Device-side unpack of the LOCAL shard ``uint8 [lw, row_bytes+8]``
+    (as seen inside ``shard_map`` with the buffer sharded on axis 0;
+    ``lw`` is usually 1, or more when the mesh has fewer devices than
+    the batch's device rows).
+
+    Returns ``(tree, base_step, n_valid)`` where the tree's leaves have
+    shard-axis extent ``lw`` (exactly what the unpacked sharded step
+    bodies received). Everything here is a static slice + bitcast +
+    reshape — XLA folds it into the consumers.
+    """
+    lw = buf.shape[0]
+    leaves = []
+    off = 0
+    for i in range(len(spec.shapes)):
+        dtype = _np_dtype(spec.dtypes[i])
+        inner = spec.inner_shape(i)
+        itemsize = dtype.itemsize
+        n = int(np.prod(inner, dtype=np.int64)) * itemsize if inner \
+            else itemsize
+        chunk = jax.lax.slice_in_dim(buf, off, off + n, axis=1)
+        if dtype == np.bool_:
+            arr = chunk.reshape((lw,) + inner).astype(jnp.bool_)
+        elif itemsize == 1:
+            arr = jax.lax.bitcast_convert_type(
+                chunk.reshape((lw,) + inner), dtype)
+        else:
+            arr = jax.lax.bitcast_convert_type(
+                chunk.reshape((lw,) + inner + (itemsize,)), dtype)
+        if spec.shard_axis:
+            arr = jnp.moveaxis(arr, 0, spec.shard_axis)
+        leaves.append(arr)
+        off += n
+    trailer = jax.lax.bitcast_convert_type(
+        jax.lax.slice_in_dim(buf, off, off + TRAILER_BYTES, axis=1)[0]
+        .reshape(2, 4), jnp.uint32)
+    tree = jax.tree_util.tree_unflatten(spec.treedef, leaves)
+    return tree, trailer[0], trailer[1]

@@ -34,7 +34,9 @@ import optax
 from jax.sharding import PartitionSpec as P
 
 from gnn_tpu.parallel.feature_cache import ReplicatedFeatures
-from gnn_tpu.parallel.mesh import make_mesh, put_batch, put_replicated
+from gnn_tpu.parallel.mesh import (data_sharded, make_mesh, put_batch,
+                                   put_grouped_batch, put_replicated,
+                                   replicated as replicated_sharding)
 from gnn_tpu.sampling.ladies import DeviceBatch, to_device_batch
 from gnn_tpu.train.loss import calc_f1, masked_loss, predict_proba
 
@@ -70,6 +72,11 @@ class TrainStepFns:
     eval_forward: Callable
     eval_step: Callable = None  # sharded eval over the mesh
     train_multi_step: Callable = None  # G steps per dispatch (lax.scan)
+    # packed-transport factories: (PackSpec) -> jitted step taking ONE
+    # shipped uint8 buffer instead of a 50+-leaf pytree (each leaf costs
+    # a ~40 ms relay round trip here — see gnn_tpu/parallel/packbuf.py)
+    make_packed_step: Callable = None
+    make_packed_multi_step: Callable = None
 
 
 def build_step_fns(net, optimizer, sigmoid_loss: bool, mesh,
@@ -195,8 +202,57 @@ def build_step_fns(net, optimizer, sigmoid_loss: bool, mesh,
         check_vma=False,
     ))
 
+    from gnn_tpu.parallel.packbuf import unpack_local
+
+    def make_packed_step(spec):
+        """One-buffer variant of ``train_step``: the (batch, plan) pytree
+        plus the step index ride a single uint8 array; the per-step
+        dropout key derives on device as fold_in(epoch_key, step)."""
+
+        def _packed(params, opt_state, feat_state, agg_state, epoch_key,
+                    buf):
+            (batch, plan), base_step, _ = unpack_local(spec, buf)
+            rng = jax.random.fold_in(epoch_key, base_step)
+            return _sharded_step(params, opt_state, feat_state, agg_state,
+                                 batch, plan, rng)
+
+        return jax.jit(jax.shard_map(
+            _packed, mesh=mesh,
+            in_specs=(P(), P(), feature_source.state_spec(), P(), P(),
+                      batch_spec),
+            out_specs=(P(), P(), P()),
+            check_vma=False,
+        ), donate_argnums=(0, 1))
+
+    def make_packed_multi_step(spec, group):
+        """One-buffer variant of ``train_multi_step``: G stacked batches
+        + plans + (base_step, n_valid) in one array; per-step keys and
+        the valid mask are derived on device."""
+
+        def _packed(params, opt_state, feat_state, agg_state, epoch_key,
+                    buf):
+            (batches, plans), base_step, n_valid = unpack_local(spec, buf)
+            steps = base_step.astype(jnp.uint32) + jnp.arange(
+                group, dtype=jnp.uint32)
+            rngs = jax.vmap(
+                lambda s: jax.random.fold_in(epoch_key, s))(steps)
+            valid = jnp.arange(group, dtype=jnp.uint32) < n_valid
+            return _sharded_multi_step(params, opt_state, feat_state,
+                                       agg_state, batches, plans, rngs,
+                                       valid)
+
+        return jax.jit(jax.shard_map(
+            _packed, mesh=mesh,
+            in_specs=(P(), P(), feature_source.state_spec(), P(), P(),
+                      batch_spec),
+            out_specs=(P(), P(), P()),
+            check_vma=False,
+        ), donate_argnums=(0, 1))
+
     return TrainStepFns(train_step=step, eval_forward=eval_forward,
-                        eval_step=eval_step, train_multi_step=multi_step)
+                        eval_step=eval_step, train_multi_step=multi_step,
+                        make_packed_step=make_packed_step,
+                        make_packed_multi_step=make_packed_multi_step)
 
 
 @dataclasses.dataclass
@@ -267,6 +323,14 @@ class Trainer:
         # >1: run this many train steps per dispatch (one H2D + one jitted
         # lax.scan), amortizing per-call host/relay latency
         self.steps_per_dispatch = max(int(steps_per_dispatch), 1)
+        # single-buffer batch transport (gnn_tpu.parallel.packbuf): ship
+        # the whole per-step pytree as ONE uint8 array instead of ~55
+        # device_put calls (each pays ~40 ms of relay latency here).
+        # GNN_TPU_PACKED=0 falls back to per-leaf device_put.
+        import os as _os2
+        self.packed_transport = _os2.environ.get(
+            "GNN_TPU_PACKED", "1") != "0"
+        self._packed_fns = {}
         # optional per-step progress to stderr (diagnosing slow runs
         # through the relay): GNN_TPU_STEP_LOG=<N> prints every N steps
         import os as _os
@@ -312,6 +376,8 @@ class Trainer:
         # would have executed
         self.rng = jax.random.fold_in(jax.random.PRNGKey(self._seed),
                                       epoch)
+        self._epoch_key = jax.device_put(
+            self.rng, replicated_sharding(self.mesh))
         if self.steps_per_dispatch > 1:
             return self._train_epoch_grouped(train_nodes, epoch,
                                              rank_chunks)
@@ -329,17 +395,33 @@ class Trainer:
             t_sample += t1 - t0
             if self.params is None:
                 self._init_params(batch)
-            dev_batch = put_batch(self.mesh, batch)
-            dev_plan = put_batch(self.mesh, plan)
-            t2 = time.perf_counter()
-            t_move += t2 - t1
-            self.rng, step_rng = jax.random.split(self.rng)
-            self.params, self.opt_state, loss = self.fns.train_step(
-                self.params, self.opt_state, self.feat_state,
-                self.agg_state, dev_batch, dev_plan, step_rng)
+            if self.packed_transport:
+                from gnn_tpu.parallel import packbuf
+                spec = packbuf.PackSpec.from_tree((batch, plan), 0)
+                buf = packbuf.pack(spec, (batch, plan),
+                                   base_step=n_steps, n_valid=1)
+                dev_buf = jax.device_put(buf, data_sharded(self.mesh))
+                t2 = time.perf_counter()
+                t_move += t2 - t1
+                self.params, self.opt_state, loss = self._packed_fn(
+                    spec)(self.params, self.opt_state, self.feat_state,
+                          self.agg_state, self._epoch_key, dev_buf)
+                self._last_host_batch, self._last_host_plan = batch, plan
+                self._last_dev_batch = None
+            else:
+                dev_batch = put_batch(self.mesh, batch)
+                dev_plan = put_batch(self.mesh, plan)
+                t2 = time.perf_counter()
+                t_move += t2 - t1
+                # per-step dropout key: fold_in(epoch_key, step) — the
+                # same derivation the packed path computes on device
+                step_rng = jax.random.fold_in(self.rng, n_steps)
+                self.params, self.opt_state, loss = self.fns.train_step(
+                    self.params, self.opt_state, self.feat_state,
+                    self.agg_state, dev_batch, dev_plan, step_rng)
+                self._last_dev_batch, self._last_plan = dev_batch, dev_plan
             losses.append(loss)
             n_steps += 1
-            self._last_dev_batch, self._last_plan = dev_batch, dev_plan
             self._last_is_grouped = False
             t0 = time.perf_counter()
             t_exec += t0 - t2
@@ -361,6 +443,18 @@ class Trainer:
                             sample_wait_time=t_sample,
                             total_time=t_total)
 
+    def _packed_fn(self, spec, group: int = 0):
+        """Jitted packed-transport step for this PackSpec (cached — a
+        new nnz bucket means new shapes, hence a fresh compile, exactly
+        as the unpacked path would recompile)."""
+        key = (spec.key(), group)
+        fn = self._packed_fns.get(key)
+        if fn is None:
+            fn = (self.fns.make_packed_multi_step(spec, group) if group
+                  else self.fns.make_packed_step(spec))
+            self._packed_fns[key] = fn
+        return fn
+
     def _grouped_plan(self, mb, group: int):
         """Per-step feature gather plans stacked along the group axis."""
         import types
@@ -379,7 +473,6 @@ class Trainer:
         + one jitted `lax.scan` runs G optimizer steps. Numerically the
         per-step schedule (padded tail steps are masked); operationally
         ~1/G the host/relay round-trips."""
-        from gnn_tpu.parallel.mesh import put_grouped_batch
         G = self.steps_per_dispatch
         t_sample = t_move = t_exec = 0.0
         loss_chunks = []
@@ -394,25 +487,38 @@ class Trainer:
             if self.params is None:
                 self._init_params(jax.tree_util.tree_map(
                     lambda a: a[0], batch))
-            dev_batch = put_grouped_batch(self.mesh, batch)
-            dev_plan = put_grouped_batch(self.mesh, plan)
-            t2 = time.perf_counter()
-            t_move += t2 - t1
-            rngs = []
-            for _ in range(n_valid):
-                self.rng, r = jax.random.split(self.rng)
-                rngs.append(r)
-            while len(rngs) < G:
-                rngs.append(rngs[-1])
-            rngs = jnp.stack(rngs)
-            valid = jnp.asarray(np.arange(G) < n_valid)
-            self.params, self.opt_state, losses = \
-                self.fns.train_multi_step(
+            if self.packed_transport:
+                from gnn_tpu.parallel import packbuf
+                spec = packbuf.PackSpec.from_tree((batch, plan), 1)
+                buf = packbuf.pack(spec, (batch, plan),
+                                   base_step=n_steps, n_valid=n_valid)
+                dev_buf = jax.device_put(buf, data_sharded(self.mesh))
+                t2 = time.perf_counter()
+                t_move += t2 - t1
+                self.params, self.opt_state, losses = self._packed_fn(
+                    spec, group=G)(
                     self.params, self.opt_state, self.feat_state,
-                    self.agg_state, dev_batch, dev_plan, rngs, valid)
+                    self.agg_state, self._epoch_key, dev_buf)
+                self._last_host_batch, self._last_host_plan = batch, plan
+                self._last_dev_batch = None
+            else:
+                dev_batch = put_grouped_batch(self.mesh, batch)
+                dev_plan = put_grouped_batch(self.mesh, plan)
+                t2 = time.perf_counter()
+                t_move += t2 - t1
+                # per-step keys: fold_in(epoch_key, global step index) —
+                # identical to the packed path's on-device derivation
+                rngs = jnp.stack([
+                    jax.random.fold_in(self.rng, n_steps + g)
+                    for g in range(G)])
+                valid = jnp.asarray(np.arange(G) < n_valid)
+                self.params, self.opt_state, losses = \
+                    self.fns.train_multi_step(
+                        self.params, self.opt_state, self.feat_state,
+                        self.agg_state, dev_batch, dev_plan, rngs, valid)
+                self._last_dev_batch, self._last_plan = dev_batch, dev_plan
             loss_chunks.append((losses, n_valid))
             n_steps += n_valid
-            self._last_dev_batch, self._last_plan = dev_batch, dev_plan
             self._last_is_grouped = True
             t0 = time.perf_counter()
             t_exec += t0 - t2
@@ -458,7 +564,15 @@ class Trainer:
         if getattr(self, "_op_buckets", None) is not None:
             return self._op_buckets
         if getattr(self, "_last_dev_batch", None) is None:
-            return (float("nan"),) * 3
+            # packed transport keeps the last batch host-side; ship it
+            # once here for the isolated-op timing
+            if getattr(self, "_last_host_batch", None) is None:
+                return (float("nan"),) * 3
+            put = (put_grouped_batch if
+                   getattr(self, "_last_is_grouped", False) else put_batch)
+            self._last_dev_batch = put(self.mesh, self._last_host_batch)
+            self._last_plan = put(self.mesh, self._last_host_plan) \
+                if self._last_host_plan != () else ()
         from gnn_tpu.ops.sparse import spmm, spmm_transpose
 
         last_batch, last_plan = self._last_dev_batch, self._last_plan
