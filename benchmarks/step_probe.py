@@ -186,6 +186,53 @@ def main():
     print(f"dispatched step (put+step+loss readback): {best * 1e3:.1f} ms",
           flush=True)
 
+    # ---- 4. packed transport: one uint8 buffer per step ----
+    from gnn_tpu.parallel import packbuf
+    from gnn_tpu.parallel.mesh import data_sharded
+
+    spec = packbuf.PackSpec.from_tree((batch, plan), 0)
+    print(f"packed buffer: {spec.row_bytes / 2**20:.1f} MiB/row, "
+          f"{len(spec.shapes)} leaves folded", file=sys.stderr)
+
+    def pack_ship(i):
+        buf = packbuf.pack(spec, (batch, plan), base_step=i, n_valid=1)
+        db = jax.device_put(buf, data_sharded(mesh))
+        db.block_until_ready()
+        return db
+
+    t = time.perf_counter()
+    pack_ship(0)
+    print(f"packed ship (cold): {(time.perf_counter() - t) * 1e3:.1f} ms",
+          flush=True)
+    best = np.inf
+    for i in range(5):
+        t = time.perf_counter()
+        pack_ship(i)
+        best = min(best, time.perf_counter() - t)
+    print(f"packed pack+ship/step: {best * 1e3:.1f} ms "
+          f"({(spec.row_bytes + 8) / 2**20:.1f} MiB, 1 leaf)", flush=True)
+
+    packed_fn = trainer._packed_fn(spec)
+    epoch_key = jax.device_put(jax.random.PRNGKey(11),
+                               jax.sharding.NamedSharding(
+                                   mesh, jax.sharding.PartitionSpec()))
+
+    def full_packed_step(cur_p, cur_o, i):
+        buf = packbuf.pack(spec, (batch, plan), base_step=i, n_valid=1)
+        db = jax.device_put(buf, data_sharded(mesh))
+        p, o, loss = packed_fn(cur_p, cur_o, feat_state, agg_state,
+                               epoch_key, db)
+        return p, o, float(loss)
+
+    cur_p, cur_o, _ = full_packed_step(cur_p, cur_o, 0)  # compile
+    best = np.inf
+    for i in range(5):
+        t = time.perf_counter()
+        cur_p, cur_o, _ = full_packed_step(cur_p, cur_o, i + 1)
+        best = min(best, time.perf_counter() - t)
+    print(f"packed dispatched step (pack+put+step+loss readback): "
+          f"{best * 1e3:.1f} ms", flush=True)
+
 
 if __name__ == "__main__":
     main()

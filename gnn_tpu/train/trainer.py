@@ -77,6 +77,7 @@ class TrainStepFns:
     # a ~40 ms relay round trip here — see gnn_tpu/parallel/packbuf.py)
     make_packed_step: Callable = None
     make_packed_multi_step: Callable = None
+    make_packed_eval_step: Callable = None
 
 
 def build_step_fns(net, optimizer, sigmoid_loss: bool, mesh,
@@ -224,6 +225,22 @@ def build_step_fns(net, optimizer, sigmoid_loss: bool, mesh,
             check_vma=False,
         ), donate_argnums=(0, 1))
 
+    def make_packed_eval_step(spec):
+        """One-buffer variant of ``eval_step`` (sharded full-sweep
+        evaluation): batch + gather plan ride a single uint8 array."""
+
+        def _packed(params, feat_state, agg_state, buf):
+            (batch, plan), _, _ = unpack_local(spec, buf)
+            return _sharded_eval(params, feat_state, agg_state, batch,
+                                 plan)
+
+        return jax.jit(jax.shard_map(
+            _packed, mesh=mesh,
+            in_specs=(P(), feature_source.state_spec(), P(), batch_spec),
+            out_specs=(batch_spec, batch_spec),
+            check_vma=False,
+        ))
+
     def make_packed_multi_step(spec, group):
         """One-buffer variant of ``train_multi_step``: G stacked batches
         + plans + (base_step, n_valid) in one array; per-step keys and
@@ -252,7 +269,8 @@ def build_step_fns(net, optimizer, sigmoid_loss: bool, mesh,
     return TrainStepFns(train_step=step, eval_forward=eval_forward,
                         eval_step=eval_step, train_multi_step=multi_step,
                         make_packed_step=make_packed_step,
-                        make_packed_multi_step=make_packed_multi_step)
+                        make_packed_multi_step=make_packed_multi_step,
+                        make_packed_eval_step=make_packed_eval_step)
 
 
 @dataclasses.dataclass
@@ -653,8 +671,11 @@ class Trainer:
         `main.py:178-199, 217-241`). Full-sweep test evaluation on a
         multi-device mesh runs sharded — ws batches per dispatch through
         the same feature-cache gather as training."""
-        if mode == "test" and self.pipeline.world_size > 1 and \
-                self.params is not None:
+        if mode == "test" and self.params is not None and (
+                self.pipeline.world_size > 1 or self.packed_transport):
+            # full sweeps run through the mesh (ws batches/dispatch,
+            # device-side feature gather); with packed transport this
+            # also collapses each dispatch's H2D to one array
             return self._evaluate_sharded(target_nodes, batch_size)
         total_f1 = 0.0
         total_n = 0
@@ -693,11 +714,24 @@ class Trainer:
                                                      batch_size):
             batch = to_device_batch(mb)
             plan = self.feature_source.plan(mb)
-            dev_batch = put_batch(self.mesh, batch)
-            dev_plan = put_batch(self.mesh, plan)
-            outs, losses = self.fns.eval_step(
-                self.params, self.feat_state, self.agg_state, dev_batch,
-                dev_plan)
+            if self.packed_transport:
+                from gnn_tpu.parallel import packbuf
+                spec = packbuf.PackSpec.from_tree((batch, plan), 0)
+                key = ("eval", spec.key())
+                fn = self._packed_fns.get(key)
+                if fn is None:
+                    fn = self.fns.make_packed_eval_step(spec)
+                    self._packed_fns[key] = fn
+                buf = packbuf.pack(spec, (batch, plan))
+                dev_buf = jax.device_put(buf, data_sharded(self.mesh))
+                outs, losses = fn(self.params, self.feat_state,
+                                  self.agg_state, dev_buf)
+            else:
+                dev_batch = put_batch(self.mesh, batch)
+                dev_plan = put_batch(self.mesh, plan)
+                outs, losses = self.fns.eval_step(
+                    self.params, self.feat_state, self.agg_state,
+                    dev_batch, dev_plan)
             outs = np.asarray(outs)
             losses = np.asarray(losses)
             for r in range(outs.shape[0]):
