@@ -450,8 +450,10 @@ class Trainer:
         self._last_epoch_steps = n_steps
         # sync once per epoch for honest timing
         jax.block_until_ready(self.params)
-        train_loss = float(np.mean([float(l) for l in losses])) if losses \
-            else float("nan")
+        # ONE stacked readback for the epoch's losses — a per-step
+        # float(l) would pay the ~35 ms relay round trip 300 times
+        train_loss = float(np.mean(np.asarray(jnp.stack(losses)))) \
+            if losses else float("nan")
         t_total = time.perf_counter() - t_start
         return EpochMetrics(epoch=epoch, train_loss=train_loss,
                             valid_loss=float("nan"),
@@ -546,8 +548,14 @@ class Trainer:
                       file=sys.stderr, flush=True)
         self._last_epoch_steps = n_steps
         jax.block_until_ready(self.params)
-        all_losses = ([float(x) for losses, nv in loss_chunks
-                       for x in np.asarray(losses)[:nv]])
+        # ONE stacked readback for all loss vectors (vs one relay round
+        # trip per dispatch)
+        if loss_chunks:
+            stacked = np.asarray(jnp.stack([l for l, _ in loss_chunks]))
+            all_losses = [float(x) for (_, nv), row
+                          in zip(loss_chunks, stacked) for x in row[:nv]]
+        else:
+            all_losses = []
         train_loss = float(np.mean(all_losses)) if all_losses \
             else float("nan")
         t_total = time.perf_counter() - t_start
