@@ -191,11 +191,14 @@ def main():
     from gnn_tpu.parallel.mesh import data_sharded
 
     spec = packbuf.PackSpec.from_tree((batch, plan), 0)
+    pool = packbuf.BufferPool()
     print(f"packed buffer: {spec.row_bytes / 2**20:.1f} MiB/row, "
           f"{len(spec.shapes)} leaves folded", file=sys.stderr)
 
     def pack_ship(i):
-        buf = packbuf.pack(spec, (batch, plan), base_step=i, n_valid=1)
+        buf = packbuf.pack(spec, (batch, plan), base_step=i, n_valid=1,
+                           out=pool.get(spec.ws, spec.row_bytes +
+                                        packbuf.TRAILER_BYTES))
         db = jax.device_put(buf, data_sharded(mesh))
         db.block_until_ready()
         return db
@@ -218,7 +221,9 @@ def main():
                                    mesh, jax.sharding.PartitionSpec()))
 
     def full_packed_step(cur_p, cur_o, i):
-        buf = packbuf.pack(spec, (batch, plan), base_step=i, n_valid=1)
+        buf = packbuf.pack(spec, (batch, plan), base_step=i, n_valid=1,
+                           out=pool.get(spec.ws, spec.row_bytes +
+                                        packbuf.TRAILER_BYTES))
         db = jax.device_put(buf, data_sharded(mesh))
         p, o, loss = packed_fn(cur_p, cur_o, feat_state, agg_state,
                                epoch_key, db)

@@ -349,6 +349,14 @@ class Trainer:
         self.packed_transport = _os2.environ.get(
             "GNN_TPU_PACKED", "1") != "0"
         self._packed_fns = {}
+        from gnn_tpu.parallel.packbuf import BufferPool
+        # staging-buffer reuse is only safe when device_put COPIES the
+        # host buffer (TPU: serialized over the transport during the
+        # call). The CPU backend can alias numpy memory zero-copy, so
+        # reusing a buffer there would mutate arrays queued
+        # computations still read.
+        self._buf_pool = BufferPool() if \
+            self.mesh.devices.flat[0].platform != "cpu" else None
         # optional per-step progress to stderr (diagnosing slow runs
         # through the relay): GNN_TPU_STEP_LOG=<N> prints every N steps
         import os as _os
@@ -416,8 +424,11 @@ class Trainer:
             if self.packed_transport:
                 from gnn_tpu.parallel import packbuf
                 spec = packbuf.PackSpec.from_tree((batch, plan), 0)
-                buf = packbuf.pack(spec, (batch, plan),
-                                   base_step=n_steps, n_valid=1)
+                buf = packbuf.pack(
+                    spec, (batch, plan), base_step=n_steps, n_valid=1,
+                    out=None if self._buf_pool is None else
+                    self._buf_pool.get(
+                        spec.ws, spec.row_bytes + packbuf.TRAILER_BYTES))
                 dev_buf = jax.device_put(buf, data_sharded(self.mesh))
                 t2 = time.perf_counter()
                 t_move += t2 - t1
@@ -510,8 +521,12 @@ class Trainer:
             if self.packed_transport:
                 from gnn_tpu.parallel import packbuf
                 spec = packbuf.PackSpec.from_tree((batch, plan), 1)
-                buf = packbuf.pack(spec, (batch, plan),
-                                   base_step=n_steps, n_valid=n_valid)
+                buf = packbuf.pack(
+                    spec, (batch, plan), base_step=n_steps,
+                    n_valid=n_valid,
+                    out=None if self._buf_pool is None else
+                    self._buf_pool.get(
+                        spec.ws, spec.row_bytes + packbuf.TRAILER_BYTES))
                 dev_buf = jax.device_put(buf, data_sharded(self.mesh))
                 t2 = time.perf_counter()
                 t_move += t2 - t1
@@ -730,7 +745,11 @@ class Trainer:
                 if fn is None:
                     fn = self.fns.make_packed_eval_step(spec)
                     self._packed_fns[key] = fn
-                buf = packbuf.pack(spec, (batch, plan))
+                buf = packbuf.pack(
+                    spec, (batch, plan),
+                    out=None if self._buf_pool is None else
+                    self._buf_pool.get(
+                        spec.ws, spec.row_bytes + packbuf.TRAILER_BYTES))
                 dev_buf = jax.device_put(buf, data_sharded(self.mesh))
                 outs, losses = fn(self.params, self.feat_state,
                                   self.agg_state, dev_buf)

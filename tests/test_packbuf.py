@@ -113,3 +113,23 @@ def test_packed_equals_unpacked_training(small_graph, group):
     for a, b in zip(jax.tree_util.tree_leaves(p_packed),
                     jax.tree_util.tree_leaves(p_plain)):
         np.testing.assert_allclose(a, b, atol=1e-6)
+
+
+def test_buffer_pool_double_buffers_and_evicts():
+    pool = packbuf.BufferPool(max_buffers=4)
+    a = pool.get(1, 100)
+    b = pool.get(1, 100)
+    assert a is not b                       # double buffering
+    assert pool.get(1, 100) is a            # rotation
+    assert pool.get(1, 100) is b
+    pool.get(1, 200); pool.get(1, 200)      # second size fills the cap
+    pool.get(1, 300)                        # third size evicts LRU (100)
+    assert (1, 100) not in pool._pools
+    # pack() writes into the pooled buffer in place
+    tree = {"x": np.arange(6, dtype=np.int32).reshape(1, 6)}
+    spec = PackSpec.from_tree(tree, 0)
+    out = pool.get(spec.ws, spec.row_bytes + packbuf.TRAILER_BYTES)
+    got = packbuf.pack(spec, tree, out=out)
+    assert got is out
+    np.testing.assert_array_equal(
+        got[0, : spec.row_bytes].view(np.int32), np.arange(6))
