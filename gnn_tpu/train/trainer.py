@@ -78,6 +78,10 @@ class TrainStepFns:
     make_packed_step: Callable = None
     make_packed_multi_step: Callable = None
     make_packed_eval_step: Callable = None
+    make_packed_multi_step_chunked: Callable = None
+    make_typed_step: Callable = None
+    make_typed_multi_step: Callable = None
+    make_typed_eval_step: Callable = None
 
 
 def build_step_fns(net, optimizer, sigmoid_loss: bool, mesh,
@@ -266,11 +270,99 @@ def build_step_fns(net, optimizer, sigmoid_loss: bool, mesh,
             check_vma=False,
         ), donate_argnums=(0, 1))
 
+    def make_typed_step(tspec):
+        """Typed-pool transport (packbuf.TypedPackSpec): batch + plan
+        arrive as one array per dtype — few H2D calls, dtype-aware wire
+        encoding preserved, element-aligned device unpack."""
+
+        def _typed(params, opt_state, feat_state, agg_state, epoch_key,
+                   pools):
+            (batch, plan), base_step, _ = tspec.unpack_local(pools)
+            rng = jax.random.fold_in(epoch_key, base_step)
+            return _sharded_step(params, opt_state, feat_state, agg_state,
+                                 batch, plan, rng)
+
+        return jax.jit(jax.shard_map(
+            _typed, mesh=mesh,
+            in_specs=(P(), P(), feature_source.state_spec(), P(), P(),
+                      batch_spec),
+            out_specs=(P(), P(), P()),
+            check_vma=False,
+        ), donate_argnums=(0, 1))
+
+    def make_typed_multi_step(tspec, group):
+        def _typed(params, opt_state, feat_state, agg_state, epoch_key,
+                   pools):
+            (batches, plans), base_step, n_valid = \
+                tspec.unpack_local(pools)
+            steps = base_step.astype(jnp.uint32) + jnp.arange(
+                group, dtype=jnp.uint32)
+            rngs = jax.vmap(
+                lambda s: jax.random.fold_in(epoch_key, s))(steps)
+            valid = jnp.arange(group, dtype=jnp.uint32) < \
+                n_valid.astype(jnp.uint32)
+            return _sharded_multi_step(params, opt_state, feat_state,
+                                       agg_state, batches, plans, rngs,
+                                       valid)
+
+        return jax.jit(jax.shard_map(
+            _typed, mesh=mesh,
+            in_specs=(P(), P(), feature_source.state_spec(), P(), P(),
+                      batch_spec),
+            out_specs=(P(), P(), P()),
+            check_vma=False,
+        ), donate_argnums=(0, 1))
+
+    def make_typed_eval_step(tspec):
+        def _typed(params, feat_state, agg_state, pools):
+            (batch, plan), _, _ = tspec.unpack_local(pools)
+            return _sharded_eval(params, feat_state, agg_state, batch,
+                                 plan)
+
+        return jax.jit(jax.shard_map(
+            _typed, mesh=mesh,
+            in_specs=(P(), feature_source.state_spec(), P(), batch_spec),
+            out_specs=(batch_spec, batch_spec),
+            check_vma=False,
+        ))
+
+    def make_packed_multi_step_chunked(spec, group, chunk_widths):
+        """Like ``make_packed_multi_step`` but the buffer arrives as
+        column chunks (shipped concurrently — parallel streams through
+        the relay run ~4x one large put); the device concatenates them
+        (one HBM copy, ~50 us at minibatch sizes) before unpacking."""
+
+        def _packed(params, opt_state, feat_state, agg_state, epoch_key,
+                    *chunks):
+            buf = jnp.concatenate(chunks, axis=1)
+            (batches, plans), base_step, n_valid = unpack_local(spec, buf)
+            steps = base_step.astype(jnp.uint32) + jnp.arange(
+                group, dtype=jnp.uint32)
+            rngs = jax.vmap(
+                lambda s: jax.random.fold_in(epoch_key, s))(steps)
+            valid = jnp.arange(group, dtype=jnp.uint32) < n_valid
+            return _sharded_multi_step(params, opt_state, feat_state,
+                                       agg_state, batches, plans, rngs,
+                                       valid)
+
+        return jax.jit(jax.shard_map(
+            _packed, mesh=mesh,
+            in_specs=(P(), P(), feature_source.state_spec(), P(), P())
+            + tuple(batch_spec for _ in chunk_widths),
+            out_specs=(P(), P(), P()),
+            check_vma=False,
+        ), donate_argnums=(0, 1))
+
     return TrainStepFns(train_step=step, eval_forward=eval_forward,
                         eval_step=eval_step, train_multi_step=multi_step,
                         make_packed_step=make_packed_step,
                         make_packed_multi_step=make_packed_multi_step,
-                        make_packed_eval_step=make_packed_eval_step)
+                        make_packed_eval_step=make_packed_eval_step,
+                        make_packed_multi_step_chunked=(
+                            make_packed_multi_step_chunked),
+                        make_typed_step=make_typed_step,
+                        make_typed_multi_step=make_typed_multi_step,
+                        make_typed_eval_step=make_typed_eval_step)
 
 
 @dataclasses.dataclass
@@ -341,13 +433,17 @@ class Trainer:
         # >1: run this many train steps per dispatch (one H2D + one jitted
         # lax.scan), amortizing per-call host/relay latency
         self.steps_per_dispatch = max(int(steps_per_dispatch), 1)
-        # single-buffer batch transport (gnn_tpu.parallel.packbuf): ship
-        # the whole per-step pytree as ONE uint8 array instead of ~55
-        # device_put calls (each pays ~40 ms of relay latency here).
-        # GNN_TPU_PACKED=0 falls back to per-leaf device_put.
+        # consolidated batch transport (gnn_tpu.parallel.packbuf):
+        # "typed" (default) ships one array per dtype (~5 device_put
+        # calls instead of ~55, dtype-aware wire encoding preserved,
+        # element-aligned device unpack); "blob" ships ONE uint8 buffer
+        # (fewest calls but measured slower on this relay's wire
+        # encoding); GNN_TPU_PACKED=0 falls back to per-leaf puts.
         import os as _os2
-        self.packed_transport = _os2.environ.get(
-            "GNN_TPU_PACKED", "1") != "0"
+        _pk = _os2.environ.get("GNN_TPU_PACKED", "typed")
+        self.packed_transport = {"0": False, "false": False,
+                                 "blob": "blob", "1": "blob"}.get(
+            _pk.lower(), "typed")
         self._packed_fns = {}
         from gnn_tpu.parallel.packbuf import BufferPool
         # staging-buffer reuse is only safe when device_put COPIES the
@@ -421,7 +517,21 @@ class Trainer:
             t_sample += t1 - t0
             if self.params is None:
                 self._init_params(batch)
-            if self.packed_transport:
+            if self.packed_transport == "typed":
+                from gnn_tpu.parallel import packbuf
+                tspec = self._typed_spec((batch, plan), 0)
+                pools = tspec.pack((batch, plan), base_step=n_steps,
+                                   n_valid=1, pool=self._buf_pool)
+                dev_pools = jax.device_put(pools,
+                                           data_sharded(self.mesh))
+                t2 = time.perf_counter()
+                t_move += t2 - t1
+                self.params, self.opt_state, loss = self._typed_fn(
+                    tspec)(self.params, self.opt_state, self.feat_state,
+                           self.agg_state, self._epoch_key, dev_pools)
+                self._last_host_batch, self._last_host_plan = batch, plan
+                self._last_dev_batch = None
+            elif self.packed_transport:
                 from gnn_tpu.parallel import packbuf
                 spec = packbuf.PackSpec.from_tree((batch, plan), 0)
                 buf = packbuf.pack(
@@ -474,6 +584,26 @@ class Trainer:
                             sample_wait_time=t_sample,
                             total_time=t_total)
 
+    def _typed_spec(self, tree, shard_axis: int):
+        """TypedPackSpec for this tree, cached by pytree structure +
+        shapes (a new nnz bucket => new spec, as with jit itself)."""
+        from gnn_tpu.parallel import packbuf
+        tspec = packbuf.TypedPackSpec(tree, shard_axis)
+        cached = self._packed_fns.get(("tspec", tspec.key()))
+        if cached is not None:
+            return cached
+        self._packed_fns[("tspec", tspec.key())] = tspec
+        return tspec
+
+    def _typed_fn(self, tspec, group: int = 0):
+        key = ("typed", tspec.key(), group)
+        fn = self._packed_fns.get(key)
+        if fn is None:
+            fn = (self.fns.make_typed_multi_step(tspec, group) if group
+                  else self.fns.make_typed_step(tspec))
+            self._packed_fns[key] = fn
+        return fn
+
     def _packed_fn(self, spec, group: int = 0):
         """Jitted packed-transport step for this PackSpec (cached — a
         new nnz bucket means new shapes, hence a fresh compile, exactly
@@ -518,7 +648,21 @@ class Trainer:
             if self.params is None:
                 self._init_params(jax.tree_util.tree_map(
                     lambda a: a[0], batch))
-            if self.packed_transport:
+            if self.packed_transport == "typed":
+                tspec = self._typed_spec((batch, plan), 1)
+                pools = tspec.pack((batch, plan), base_step=n_steps,
+                                   n_valid=n_valid, pool=self._buf_pool)
+                dev_pools = jax.device_put(pools,
+                                           data_sharded(self.mesh))
+                t2 = time.perf_counter()
+                t_move += t2 - t1
+                self.params, self.opt_state, losses = self._typed_fn(
+                    tspec, group=G)(
+                    self.params, self.opt_state, self.feat_state,
+                    self.agg_state, self._epoch_key, dev_pools)
+                self._last_host_batch, self._last_host_plan = batch, plan
+                self._last_dev_batch = None
+            elif self.packed_transport:
                 from gnn_tpu.parallel import packbuf
                 spec = packbuf.PackSpec.from_tree((batch, plan), 1)
                 buf = packbuf.pack(
@@ -737,7 +881,19 @@ class Trainer:
                                                      batch_size):
             batch = to_device_batch(mb)
             plan = self.feature_source.plan(mb)
-            if self.packed_transport:
+            if self.packed_transport == "typed":
+                tspec = self._typed_spec((batch, plan), 0)
+                key = ("typed-eval", tspec.key())
+                fn = self._packed_fns.get(key)
+                if fn is None:
+                    fn = self.fns.make_typed_eval_step(tspec)
+                    self._packed_fns[key] = fn
+                pools = tspec.pack((batch, plan), pool=self._buf_pool)
+                dev_pools = jax.device_put(pools,
+                                           data_sharded(self.mesh))
+                outs, losses = fn(self.params, self.feat_state,
+                                  self.agg_state, dev_pools)
+            elif self.packed_transport:
                 from gnn_tpu.parallel import packbuf
                 spec = packbuf.PackSpec.from_tree((batch, plan), 0)
                 key = ("eval", spec.key())

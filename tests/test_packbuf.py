@@ -133,3 +133,59 @@ def test_buffer_pool_double_buffers_and_evicts():
     assert got is out
     np.testing.assert_array_equal(
         got[0, : spec.row_bytes].view(np.int32), np.arange(6))
+
+
+@pytest.mark.parametrize("shard_axis,group", [(0, None), (1, 3)])
+def test_typed_roundtrip(shard_axis, group):
+    rng = np.random.default_rng(5)
+    ws = 4
+    tree = _rand_tree(rng, ws, group)
+    tspec = packbuf.TypedPackSpec(tree, shard_axis)
+    pools = tspec.pack(tree, base_step=77, n_valid=2)
+    assert set(pools) == set(tspec.pool_counts)
+    unpack = jax.jit(lambda p: tspec.unpack_local(p))
+    for r in range(ws):
+        out, base, nv = unpack({d: p[r: r + 1] for d, p in pools.items()})
+        assert int(base) == 77 and int(nv) == 2
+        for k, host in tree.items():
+            want = np.take(host, [r], axis=shard_axis)
+            got = np.asarray(out[k])
+            assert got.dtype == want.dtype, k
+            np.testing.assert_array_equal(
+                got.view(np.uint8), want.view(np.uint8), err_msg=k)
+
+
+def _fit_params_mode(graph, mode, steps_per_dispatch=1):
+    from gnn_tpu.models.gnn import build_model
+    from gnn_tpu.parallel.mesh import make_mesh
+    from gnn_tpu.sampling.ladies import SamplerConfig
+    from gnn_tpu.sampling.pipeline import BatchPipeline
+    from gnn_tpu.train.trainer import Trainer
+    from gnn_tpu.utils.normalize import build_laplacian
+    lap = build_laplacian(graph.adj_full, "graphsage")
+    cfg = SamplerConfig(batch_size=64, samp_num=128, orders=(1, 1),
+                        num_nodes=graph.adj_full.shape[0],
+                        num_classes=graph.num_classes)
+    pipe = BatchPipeline(cfg, lap, graph.labels, world_size=2,
+                         pool_num=2)
+    net = build_model("graphsage", nhid=32, orders=(1, 1),
+                      num_classes=graph.num_classes)
+    tr = Trainer(net, pipe, graph.feats, mesh=make_mesh(2),
+                 lr=0.05, sigmoid_loss=False, seed=3,
+                 steps_per_dispatch=steps_per_dispatch)
+    tr.packed_transport = mode
+    m = tr.train_epoch(graph.train_nodes, epoch=0)
+    return (jax.tree_util.tree_map(np.asarray, tr.params), m.train_loss)
+
+
+@pytest.mark.parametrize("group", [1, 3])
+def test_typed_equals_unpacked_training(small_graph, group):
+    """Typed-pool transport is bit-identical to per-leaf transport."""
+    p_t, l_t = _fit_params_mode(small_graph, "typed",
+                                steps_per_dispatch=group)
+    p_p, l_p = _fit_params_mode(small_graph, False,
+                                steps_per_dispatch=group)
+    assert l_t == pytest.approx(l_p, abs=1e-6)
+    for a, b in zip(jax.tree_util.tree_leaves(p_t),
+                    jax.tree_util.tree_leaves(p_p)):
+        np.testing.assert_allclose(a, b, atol=1e-6)
