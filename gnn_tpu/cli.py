@@ -62,8 +62,8 @@ def build_parser() -> argparse.ArgumentParser:
     # --- TPU-native extensions ---
     p.add_argument("--n_devices", type=int, default=0,
                    help="mesh size (0 = all available devices)")
-    p.add_argument("--adj_format", type=str, default="hot",
-                   choices=["coo", "blocked", "hot"],
+    p.add_argument("--adj_format", type=str, default="resident",
+                   choices=["coo", "blocked", "hot", "resident"],
                    help="'hot' = resident hot-subgraph dense block + cold "
                         "COO residual (fastest device path); 'coo' = "
                         "portable chunked segment-sum; 'blocked' = Pallas "
@@ -181,16 +181,17 @@ def main(argv=None) -> int:
         if scale_factor <= 1.0:
             scale_factor = 1.0  # tuner may raise it during training
 
-    if args.model == "gat" and args.adj_format == "hot":
+    if args.model == "gat" and args.adj_format in ("hot", "resident"):
         # GAT's attention consumes the raw edge list (per-edge softmax);
         # the hot decomposition doesn't apply — fall back to COO
         print("--model gat uses the COO edge list; overriding "
-              "--adj_format hot -> coo", flush=True)
+              f"--adj_format {args.adj_format} -> coo", flush=True)
         args.adj_format = "coo"
 
     hot_spec = None
     hot_dense = None
-    if args.adj_format == "hot":
+    resident_graph = None
+    if args.adj_format in ("hot", "resident"):
         from gnn_tpu.ops.hotdense import HotSpec, build_hot_dense_cached
         from gnn_tpu.placement.engine import compute_sample_prob
         import jax.numpy as jnp
@@ -219,6 +220,19 @@ def main(argv=None) -> int:
         print(f"hot block: K={hot_spec.k} "
               f"({2 * hot_dense[0].nbytes / 2**20:.0f} MiB resident "
               f"incl. transpose)", flush=True)
+        if args.adj_format == "resident":
+            # ship IDs, not edges: the full CSR joins the hot blocks in
+            # HBM and each layer's adjacency is rebuilt on device
+            # (gnn_tpu.ops.residentgraph; ~17x smaller step payloads)
+            from gnn_tpu.ops.residentgraph import build_resident_graph
+            resident_graph = build_resident_graph(
+                lap, hot_spec, hot_dense[0], hot_dense[1],
+                val_dtype=jnp.bfloat16 if args.hot_dtype == "bfloat16"
+                else np.float32)
+            hot_dense = None
+            print(f"resident CSR: {resident_graph['col_idx'].nbytes / 2**20:.0f}"
+                  f"+{resident_graph['val'].nbytes / 2**20:.0f} MiB "
+                  "(cols+vals) in HBM", flush=True)
 
     cfg = SamplerConfig(
         batch_size=args.batch_size, samp_num=args.samp_num, orders=orders,
@@ -243,6 +257,7 @@ def main(argv=None) -> int:
                       lr=args.lr, sigmoid_loss=args.sigmoid_loss,
                       seed=args.seed, feature_source=source,
                       hot_dense=hot_dense,
+                      resident_graph=resident_graph,
                       steps_per_dispatch=args.steps_per_dispatch)
 
     rank_chunks = None

@@ -201,7 +201,19 @@ def _slice_cols_to_coo(U: sp.csr_matrix, after: np.ndarray,
 
 
 def _pack_adj(cfg: SamplerConfig, rows, cols, vals, n_rows, n_cols,
-              r_cap, c_cap, prev=None, after=None, normfact=None):
+              r_cap, c_cap, prev=None, after=None, normfact=None,
+              lap_indptr=None):
+    if cfg.adj_format == "resident":
+        # ship IDs, not edges: the device rebuilds this layer from the
+        # resident CSR (gnn_tpu.ops.residentgraph); the sampled COO is
+        # only COUNTED here to fix the static buckets
+        if cfg.hot_spec is None:
+            raise ValueError("adj_format='resident' needs "
+                             "SamplerConfig.hot_spec")
+        from gnn_tpu.ops.residentgraph import pack_resident_ref
+        return pack_resident_ref(cfg.hot_spec, lap_indptr, prev, after,
+                                 normfact, rows, cols, n_rows, n_cols,
+                                 r_cap, c_cap)
     if cfg.adj_format == "blocked":
         # bucket max_blk so shapes are stable-ish across steps
         return sparse_ops.pack_blocked(
@@ -276,7 +288,8 @@ def ladies_sample(
             rows, cols, vals = _slice_cols_to_coo(U, after, normfact)
         adjs.append(_pack_adj(cfg, rows, cols, vals, len(prev), len(after),
                               r_cap, c_cap, prev=prev, after=after,
-                              normfact=normfact))
+                              normfact=normfact,
+                              lap_indptr=lap_matrix.indptr))
         s = np.searchsorted(after, prev).astype(np.int32)
         s_pad = np.zeros(r_cap, np.int32)
         s_pad[: len(s)] = s
@@ -337,7 +350,8 @@ def subgraph_sample(
             adjs.append(_pack_adj(cfg, rows, cols, vals, len(prev),
                                   len(after), r_cap, cap_bottom,
                                   prev=prev, after=after,
-                                  normfact=normfact))
+                                  normfact=normfact,
+                                  lap_indptr=lap_matrix.indptr))
             s = np.searchsorted(after, prev).astype(np.int32)
             s_pad = np.zeros(r_cap, np.int32)
             s_pad[: len(s)] = s
@@ -350,7 +364,8 @@ def subgraph_sample(
         rows, cols, vals = _slice_cols_to_coo(Usq, after, normfact)
         adjs.append(_pack_adj(cfg, rows, cols, vals, len(after), len(after),
                               r_cap, cap_bottom, prev=after, after=after,
-                              normfact=normfact))
+                              normfact=normfact,
+                              lap_indptr=lap_matrix.indptr))
         # deeper layers' rows ARE the shared node set, so sampled_nodes is
         # the identity on valid rows; padded rows point at input 0 (same
         # convention as the LADIES path — the loss masks them)

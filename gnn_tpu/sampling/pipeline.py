@@ -127,6 +127,16 @@ def stack_minibatches(mbs: Sequence[MiniBatch]) -> MiniBatch:
                     present_row_slots=pad1(a.present_row_slots, rh),
                     present_col_slots=pad1(a.present_col_slots, ch))
                     for a in layer]
+        elif type(layer[0]).__name__ == "ResidentLayerRef":
+            # arrays (normfact) share the static c_cap; only the static
+            # device-build buckets need unifying to the group max
+            from gnn_tpu.ops.residentgraph import ResidentLayerRef
+            layer = [dataclasses.replace(
+                a,
+                e_cap=max(x.e_cap for x in layer),
+                nnz_cold=max(x.nnz_cold for x in layer),
+                rh_pad=max(x.rh_pad for x in layer),
+                ch_pad=max(x.ch_pad for x in layer)) for a in layer]
         else:
             mb_max = bucket_size(max(a.block_cols.shape[1] for a in layer),
                                  minimum=8)

@@ -59,11 +59,27 @@ def bind_agg_state(adjs, agg_state):
     """Bind resident aggregation state (the hot-subgraph dense block,
     `gnn_tpu.ops.hotdense`) into the batch's adjacency list — done inside
     the jitted step so the block never rides the per-step H2D payload.
-    ``agg_state`` is ``()`` (nothing resident) or ``(D, D^T)``."""
+    ``agg_state`` is ``()`` (nothing resident), ``(D, D^T)`` (hot
+    format), or ``(ResidentGraph,)`` (resident format)."""
     if agg_state:
         from gnn_tpu.ops.hotdense import bind_dense
         return bind_dense(list(adjs), agg_state[0], agg_state[1])
     return list(adjs)
+
+
+def prepare_adjs(batch: "DeviceBatch", agg_state):
+    """Materialize the batch's adjacency list inside the jitted step.
+
+    In resident-graph mode (``agg_state = (ResidentGraph,)``) the
+    layers arrive as tiny :class:`ResidentLayerRef` payloads and are
+    rebuilt here from the HBM-resident CSR (nothing per-edge ever
+    crossed the wire); otherwise this is `bind_agg_state`."""
+    from gnn_tpu.ops.residentgraph import ResidentGraph, materialize_adjs
+    if agg_state and isinstance(agg_state[0], ResidentGraph):
+        return materialize_adjs(agg_state[0], list(batch.adjs),
+                                list(batch.sampled_nodes),
+                                batch.input_nodes)
+    return bind_agg_state(batch.adjs, agg_state)
 
 
 @dataclasses.dataclass
@@ -96,7 +112,7 @@ def build_step_fns(net, optimizer, sigmoid_loss: bool, mesh,
                         batch: DeviceBatch, rng):
         x = feature_source.gather(feat_state, plan, batch.input_nodes,
                                   batch.input_mask)
-        adjs = bind_agg_state(batch.adjs, agg_state)
+        adjs = prepare_adjs(batch, agg_state)
         out = net.apply(params, x, adjs,
                         list(batch.sampled_nodes),
                         deterministic=False, rngs={"dropout": rng})
@@ -182,7 +198,7 @@ def build_step_fns(net, optimizer, sigmoid_loss: bool, mesh,
     @jax.jit
     def eval_forward(params, x, agg_state, batch):
         batch = _squeeze_batch(batch)
-        adjs = bind_agg_state(batch.adjs, agg_state)
+        adjs = prepare_adjs(batch, agg_state)
         out = net.apply(params, x, adjs,
                         list(batch.sampled_nodes),
                         deterministic=True)
@@ -193,7 +209,7 @@ def build_step_fns(net, optimizer, sigmoid_loss: bool, mesh,
         b = _squeeze_batch(batch)
         x = feature_source.gather(feat_state, plan, b.input_nodes,
                                   b.input_mask)
-        adjs = bind_agg_state(b.adjs, agg_state)
+        adjs = prepare_adjs(b, agg_state)
         out = net.apply(params, x, adjs, list(b.sampled_nodes),
                         deterministic=True)
         loss = masked_loss(out, b.labels, b.label_mask, sigmoid_loss)
@@ -419,7 +435,7 @@ class Trainer:
     def __init__(self, net, pipeline, feats: np.ndarray, mesh=None,
                  lr: float = 0.01, sigmoid_loss: bool = True,
                  seed: int = 0, feature_source=None, hot_dense=None,
-                 steps_per_dispatch: int = 1):
+                 steps_per_dispatch: int = 1, resident_graph=None):
         self.net = net
         self.pipeline = pipeline
         self.mesh = mesh if mesh is not None else make_mesh(
@@ -467,7 +483,18 @@ class Trainer:
         # adj_format='hot', replicated across the mesh once at setup —
         # never re-shipped per step
         self.agg_state = ()
-        if hot_dense is not None:
+        if resident_graph is not None:
+            # resident-graph mode (adj_format='resident'): full CSR +
+            # hot tables + dense blocks live in HBM; per-step payloads
+            # carry only node ids + normfact (gnn_tpu.ops.residentgraph)
+            from gnn_tpu.ops.residentgraph import ResidentGraph
+            rep = NamedSharding(self.mesh, P())
+            rg = dict(resident_graph)
+            n, k = rg.pop("n"), rg.pop("k")
+            self.agg_state = (ResidentGraph(
+                **{f: jax.device_put(jnp.asarray(v), rep)
+                   for f, v in rg.items()}, n=n, k=k),)
+        elif hot_dense is not None:
             d, dt = hot_dense
             rep = NamedSharding(self.mesh, P())
             self.agg_state = (jax.device_put(jnp.asarray(d), rep),
@@ -484,8 +511,7 @@ class Trainer:
         x = jnp.asarray(np.zeros(
             (one.input_nodes.shape[0], self.n_feats), np.float32))
         self.params = self.net.init(jax.random.PRNGKey(0), x,
-                                    bind_agg_state(one.adjs,
-                                                   self.agg_state),
+                                    prepare_adjs(one, self.agg_state),
                                     list(one.sampled_nodes))
         self.opt_state = self.optimizer.init(self.params)
         self.params = put_replicated(self.mesh, self.params)
@@ -766,7 +792,7 @@ class Trainer:
             last_batch = jax.tree_util.tree_map(lambda a: a[0], last_batch)
             last_plan = jax.tree_util.tree_map(lambda a: a[0], last_plan)
         one = jax.tree_util.tree_map(lambda a: a[0], last_batch)
-        adjs = bind_agg_state(one.adjs, self.agg_state)
+        adjs = prepare_adjs(one, self.agg_state)
         widths = self._layer_widths()
         on_tpu = jax.default_backend() == "tpu"
 

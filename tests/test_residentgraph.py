@@ -1,0 +1,140 @@
+"""Resident-graph minibatching (gnn_tpu/ops/residentgraph.py): the
+device-rebuilt HotDenseAdj must agree with the host pack_hotdense path
+layer by layer, and end-to-end training must match the hot format."""
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from gnn_tpu.ops.hotdense import HotSpec, build_hot_dense, bind_dense
+from gnn_tpu.ops.residentgraph import (ResidentGraph, ResidentLayerRef,
+                                       build_resident_graph,
+                                       materialize_adjs)
+from gnn_tpu.ops.sparse import spmm, spmm_transpose
+from gnn_tpu.placement.engine import compute_sample_prob
+from gnn_tpu.sampling.ladies import SamplerConfig, ladies_sample
+from gnn_tpu.utils.normalize import build_laplacian
+
+
+def _setup(graph, hot_k=256, orders=(1, 1), samp=128, batch=64,
+           sampler="ladies"):
+    lap = build_laplacian(graph.adj_full, "graphsage")
+    prob = compute_sample_prob(lap, graph.train_nodes, sum(orders))
+    spec = HotSpec.from_sample_prob(prob, hot_k)
+    dense, dense_t = build_hot_dense(lap, spec, np.float32)
+    kw = dict(batch_size=batch, samp_num=samp, orders=orders,
+              num_nodes=graph.adj_full.shape[0],
+              num_classes=graph.num_classes, hot_spec=spec,
+              sampler=sampler, compress=False)
+    cfg_hot = SamplerConfig(adj_format="hot", **kw)
+    cfg_res = SamplerConfig(adj_format="resident", **kw)
+    host = build_resident_graph(lap, spec, dense, dense_t)
+    n, k = host.pop("n"), host.pop("k")
+    g = ResidentGraph(**{f: jnp.asarray(v) for f, v in host.items()},
+                      n=n, k=k)
+    return lap, spec, dense, dense_t, cfg_hot, cfg_res, g
+
+
+@pytest.mark.parametrize("orders", [(1, 1), (1, 0, 1)])
+def test_materialized_layer_matches_host_pack(small_graph, orders):
+    lap, spec, dense, dense_t, cfg_hot, cfg_res, g = _setup(
+        small_graph, orders=orders)
+    tgt = small_graph.train_nodes[:64]
+    mb_hot = ladies_sample(cfg_hot, 5, tgt, lap, small_graph.labels)
+    mb_res = ladies_sample(cfg_res, 5, tgt, lap, small_graph.labels)
+
+    adjs_host = bind_dense(mb_hot.adjs, jnp.asarray(dense),
+                           jnp.asarray(dense_t))
+    adjs_dev = materialize_adjs(
+        g, list(mb_res.adjs),
+        [jnp.asarray(s) for s in mb_res.sampled_nodes],
+        jnp.asarray(mb_res.input_nodes))
+
+    rng = np.random.default_rng(0)
+    for l, (ah, ad) in enumerate(zip(adjs_host, adjs_dev)):
+        assert (ah is None) == (ad is None)
+        if ah is None:
+            continue
+        assert ad.shape == ah.shape
+        x = jnp.asarray(rng.normal(size=(ah.ncols, 8)).astype(np.float32))
+        gout = jnp.asarray(rng.normal(size=(ah.nrows, 8)).astype(
+            np.float32))
+        np.testing.assert_allclose(np.asarray(spmm(ad, x)),
+                                   np.asarray(spmm(ah, x)),
+                                   rtol=1e-5, atol=1e-5,
+                                   err_msg=f"layer {l} fwd")
+        np.testing.assert_allclose(np.asarray(spmm_transpose(ad, gout)),
+                                   np.asarray(spmm_transpose(ah, gout)),
+                                   rtol=1e-5, atol=1e-5,
+                                   err_msg=f"layer {l} bwd")
+
+
+def test_resident_ref_payload_is_small(small_graph):
+    """The whole point: per-layer payload carries no edges."""
+    lap, spec, dense, dense_t, cfg_hot, cfg_res, g = _setup(small_graph)
+    tgt = small_graph.train_nodes[:64]
+    mb = ladies_sample(cfg_res, 7, tgt, lap, small_graph.labels)
+    ref = mb.adjs[-1]
+    assert isinstance(ref, ResidentLayerRef)
+    payload = sum(np.asarray(a).nbytes
+                  for a in jax.tree_util.tree_leaves(ref))
+    assert payload <= 4 * ref.ncols + 16   # normfact + 2 scalars
+    # and the buckets cover the true counts
+    mb_hot = ladies_sample(cfg_hot, 7, tgt, lap, small_graph.labels)
+    hot = mb_hot.adjs[-1]
+    assert ref.nnz_cold >= int((np.asarray(hot.vals) != 0).sum())
+
+
+def test_resident_e2e_training_matches_hot(small_graph):
+    """Two epochs of DP training: resident == hot to float tolerance
+    (identical sampling seeds; only the adjacency transport differs)."""
+    from gnn_tpu.models.gnn import build_model
+    from gnn_tpu.parallel.mesh import make_mesh
+    from gnn_tpu.sampling.pipeline import BatchPipeline
+    from gnn_tpu.train.trainer import Trainer
+
+    lap, spec, dense, dense_t, cfg_hot, cfg_res, g = _setup(small_graph)
+    host = build_resident_graph(lap, spec, dense, dense_t)
+
+    losses = {}
+    for name, cfg, kw in [
+            ("hot", cfg_hot, dict(hot_dense=(dense, dense_t))),
+            ("res", cfg_res, dict(resident_graph=host))]:
+        pipe = BatchPipeline(cfg, lap, small_graph.labels, world_size=2,
+                             pool_num=2)
+        net = build_model("graphsage", nhid=32, orders=cfg.orders,
+                          num_classes=small_graph.num_classes)
+        tr = Trainer(net, pipe, small_graph.feats, mesh=make_mesh(2),
+                     lr=0.05, sigmoid_loss=False, seed=3, **kw)
+        m = tr.train_epoch(small_graph.train_nodes, epoch=0)
+        f1, vloss = tr.evaluate(small_graph.valid_nodes, 128, "val")
+        losses[name] = (m.train_loss, vloss, f1)
+    assert losses["res"][0] == pytest.approx(losses["hot"][0], abs=2e-4)
+    assert losses["res"][1] == pytest.approx(losses["hot"][1], abs=2e-3)
+
+
+def test_resident_subgraph_sampler(small_graph):
+    """The subgraph sampler's square layers materialize correctly too."""
+    from gnn_tpu.sampling.ladies import subgraph_sample
+    lap, spec, dense, dense_t, cfg_hot, cfg_res, g = _setup(
+        small_graph, sampler="subgraph")
+    tgt = small_graph.train_nodes[:64]
+    mb_hot = subgraph_sample(cfg_hot, 9, tgt, lap, small_graph.labels)
+    mb_res = subgraph_sample(cfg_res, 9, tgt, lap, small_graph.labels)
+    adjs_host = bind_dense(mb_hot.adjs, jnp.asarray(dense),
+                           jnp.asarray(dense_t))
+    adjs_dev = materialize_adjs(
+        g, list(mb_res.adjs),
+        [jnp.asarray(s) for s in mb_res.sampled_nodes],
+        jnp.asarray(mb_res.input_nodes))
+    rng = np.random.default_rng(1)
+    for l, (ah, ad) in enumerate(zip(adjs_host, adjs_dev)):
+        if ah is None:
+            continue
+        x = jnp.asarray(rng.normal(size=(ah.ncols, 4)).astype(np.float32))
+        np.testing.assert_allclose(np.asarray(spmm(ad, x)),
+                                   np.asarray(spmm(ah, x)),
+                                   rtol=1e-5, atol=1e-5,
+                                   err_msg=f"layer {l}")
