@@ -20,6 +20,6 @@ exec python -m gnn_tpu.cli \
     --model graphsage --nhid 512 --orders 1,1,1 \
     --samp_num 8192 --batch_size 512 --lr 0.04 --no_sigmoid_loss \
     --epoch_num 3 \
-    --adj_format hot --hot_k 32768 --hot_dtype bfloat16 \
+    --adj_format ${ADJ_FORMAT:-resident} --hot_k 32768 --hot_dtype bfloat16 \
     --feat_dtype bfloat16 --steps_per_dispatch 4 \
     --save_dir "$SAVE"
