@@ -85,12 +85,24 @@ class ResidentLayerRef:
     normfact: jnp.ndarray      # f32 [ncols]
     n_valid_rows: jnp.ndarray  # int32 scalar
     n_valid_cols: jnp.ndarray  # int32 scalar
-    nrows: int = struct.field(pytree_node=False)
-    ncols: int = struct.field(pytree_node=False)
-    e_cap: int = struct.field(pytree_node=False)      # sum-of-degrees pad
-    nnz_cold: int = struct.field(pytree_node=False)   # cold edge pad
-    rh_pad: int = struct.field(pytree_node=False)     # present hot rows pad
-    ch_pad: int = struct.field(pytree_node=False)     # present hot cols pad
+    # "lite" mode (default): the host ships the row-sorted FORWARD cold
+    # COO (int16 + bf16, ~6 bytes/edge — cold edges are ~10-30% of the
+    # layer). The device derives the transpose copy (stable argsort)
+    # and all k-sized hot plumbing, which the hot format used to ship.
+    # None in full-expansion mode, where even the cold edges are
+    # rebuilt from the resident CSR (measured gather-bound: the row
+    # spans yield ~30x more candidates than survive the sampled-column
+    # filter — see benchmarks/RESULTS.md).
+    rows: Optional[jnp.ndarray] = None   # int16/int32 [nnz_cold]
+    cols: Optional[jnp.ndarray] = None   # int16/int32 [nnz_cold]
+    vals: Optional[jnp.ndarray] = None   # bf16/f32 [nnz_cold]
+    n_cold: Optional[jnp.ndarray] = None  # int32 scalar
+    nrows: int = struct.field(pytree_node=False, default=0)
+    ncols: int = struct.field(pytree_node=False, default=0)
+    e_cap: int = struct.field(pytree_node=False, default=0)
+    nnz_cold: int = struct.field(pytree_node=False, default=0)
+    rh_pad: int = struct.field(pytree_node=False, default=0)
+    ch_pad: int = struct.field(pytree_node=False, default=0)
 
     @property
     def shape(self):
@@ -98,32 +110,57 @@ class ResidentLayerRef:
 
 
 def pack_resident_ref(spec: HotSpec, lap_indptr, prev, after, normfact,
-                      rows, cols, n_rows, n_cols, r_cap, c_cap
-                      ) -> ResidentLayerRef:
-    """Host-side companion of the device rebuild: count (never ship)
-    the layer's edges to fix the static buckets.
+                      rows, cols, n_rows, n_cols, r_cap, c_cap,
+                      vals=None, ship_cold: bool = True,
+                      compress: bool = True) -> ResidentLayerRef:
+    """Host-side companion of the device rebuild.
 
-    ``rows``/``cols`` are the sampler's local COO (already computed for
-    the sampling probabilities); they are DISCARDED after counting.
+    ``ship_cold=True`` (default, "lite"): ship the row-sorted forward
+    cold COO (the only per-edge payload; ~6 bytes/edge compressed) and
+    let the device derive the transpose copy and hot plumbing.
+    ``ship_cold=False`` ("full expansion"): ship nothing per-edge; the
+    device rebuilds the cold COO from the resident CSR (gather-bound —
+    kept for low-degree graphs and as the zero-payload reference).
     """
     from gnn_tpu.sampling.ladies import bucket_size
 
-    deg_sum = int(np.sum(lap_indptr[np.asarray(prev) + 1]
-                         - lap_indptr[np.asarray(prev)]))
     hot_r_flag = spec.slot_of_node[np.asarray(prev)] >= 0
     hot_c_flag = spec.slot_of_node[np.asarray(after)] >= 0
-    n_cold = int(np.count_nonzero(
-        ~(hot_r_flag[rows] & hot_c_flag[cols]))) if len(rows) else 0
+    if len(rows):
+        cold = ~(hot_r_flag[rows] & hot_c_flag[cols])
+        n_cold = int(np.count_nonzero(cold))
+    else:
+        cold = np.zeros(0, bool)
+        n_cold = 0
     nf = np.zeros(c_cap, np.float32)
     nf[: len(normfact)] = normfact
+    kw = {}
+    if ship_cold:
+        from gnn_tpu.ops.hotdense import _pad_sorted_coo
+        cr, cc, cv = rows[cold], cols[cold], vals[cold]
+        nnz_pad = bucket_size(max(n_cold, 1))
+        ridx = np.int16 if (compress and r_cap <= 32768) else np.int32
+        cidx = np.int16 if (compress and c_cap <= 32768) else np.int32
+        vdt = jnp.bfloat16 if compress else np.float32
+        rr, ccol, vv = _pad_sorted_coo(cr, cc, cv, nnz_pad, r_cap - 1,
+                                       ridx, cidx, vdt)
+        # 0-d ndarray (not np scalar) so the generic stack/expand paths
+        # in stack_minibatches treat it as an array leaf
+        kw = dict(rows=rr, cols=ccol, vals=vv,
+                  n_cold=np.asarray(n_cold, np.int32))
+        e_cap = 0
+    else:
+        deg_sum = int(np.sum(lap_indptr[np.asarray(prev) + 1]
+                             - lap_indptr[np.asarray(prev)]))
+        e_cap = bucket_size(max(deg_sum, 1))
+        nnz_pad = bucket_size(max(n_cold, 1))
     return ResidentLayerRef(
         normfact=nf,
         n_valid_rows=np.int32(n_rows), n_valid_cols=np.int32(n_cols),
         nrows=int(r_cap), ncols=int(c_cap),
-        e_cap=bucket_size(max(deg_sum, 1)),
-        nnz_cold=bucket_size(max(n_cold, 1)),
+        e_cap=e_cap, nnz_cold=nnz_pad,
         rh_pad=bucket_size(max(int(hot_r_flag.sum()), 1), 128),
-        ch_pad=bucket_size(max(int(hot_c_flag.sum()), 1), 128))
+        ch_pad=bucket_size(max(int(hot_c_flag.sum()), 1), 128), **kw)
 
 
 def materialize_layer(g: ResidentGraph, ref: ResidentLayerRef,
@@ -142,6 +179,15 @@ def materialize_layer(g: ResidentGraph, ref: ResidentLayerRef,
     valid_c = jnp.arange(ncols) < ref.n_valid_cols
     rows_g = jnp.where(valid_r, row_ids, n)          # n -> deg 0 below
     cols_g = jnp.where(valid_c, col_ids, n)
+
+    if ref.rows is not None:
+        # lite mode: the forward cold COO shipped (int16/bf16); only
+        # upcast here — the transpose + plumbing build below is shared
+        rr = ref.rows.astype(jnp.int32)
+        cc = ref.cols.astype(jnp.int32)
+        vv = ref.vals.astype(jnp.float32)
+        n_cold = ref.n_cold
+        return _finish_layer(g, ref, rows_g, cols_g, rr, cc, vv, n_cold)
 
     # --- expand the rows' CSR spans into ref.e_cap edge slots ---
     # rows_g == n is the pad row: row_ptr[n] == E and the clipped
@@ -188,6 +234,14 @@ def materialize_layer(g: ResidentGraph, ref: ResidentLayerRef,
     cc = jnp.zeros(ref.nnz_cold, jnp.int32).at[pos].set(
         lc_safe, mode="drop")
     vv = jnp.zeros(ref.nnz_cold, jnp.float32).at[pos].set(w, mode="drop")
+    return _finish_layer(g, ref, rows_g, cols_g, rr, cc, vv, n_cold)
+
+
+def _finish_layer(g: ResidentGraph, ref: ResidentLayerRef, rows_g,
+                  cols_g, rr, cc, vv, n_cold) -> HotDenseAdj:
+    """Shared tail of the device rebuild: transpose copy + all hot-slot
+    plumbing (the arrays the hot format used to ship per step)."""
+    nrows, ncols = ref.nrows, ref.ncols
 
     # --- col-sorted transpose copy (backward direction); the host path
     #     counting-sorts, here a stable argsort. Pad cols sort to the
@@ -201,6 +255,10 @@ def materialize_layer(g: ResidentGraph, ref: ResidentLayerRef,
 
     # --- hot-slot plumbing (colpos/nfh/rowpos/nf_col) ---
     k = g.k
+    r_slot = jnp.take(g.slot_of_node, rows_g, mode="fill", fill_value=-1)
+    c_slot = jnp.take(g.slot_of_node, cols_g, mode="fill", fill_value=-1)
+    r_hot = r_slot >= 0
+    c_hot = c_slot >= 0
     c_slot_safe = jnp.where(c_hot, c_slot, k)
     colpos = jnp.full(k, ncols, jnp.int32).at[c_slot_safe].set(
         jnp.arange(ncols, dtype=jnp.int32), mode="drop")

@@ -105,6 +105,11 @@ class SamplerConfig:
     # payload; device upcasts). Indices silently widen to int32 when a
     # layer's padded shape exceeds the int16 range.
     compress: bool = True
+    # adj_format='resident': True ("lite", default) ships the forward
+    # cold COO and derives everything else on device; False rebuilds
+    # even the cold edges from the resident CSR (zero per-edge payload
+    # but gather-bound at high average degree — see RESULTS.md)
+    resident_ship_cold: bool = True
 
     def layer_caps(self) -> List[int]:
         """Static per-level node-count caps, bottom-up.
@@ -213,7 +218,9 @@ def _pack_adj(cfg: SamplerConfig, rows, cols, vals, n_rows, n_cols,
         from gnn_tpu.ops.residentgraph import pack_resident_ref
         return pack_resident_ref(cfg.hot_spec, lap_indptr, prev, after,
                                  normfact, rows, cols, n_rows, n_cols,
-                                 r_cap, c_cap)
+                                 r_cap, c_cap, vals=vals,
+                                 ship_cold=cfg.resident_ship_cold,
+                                 compress=cfg.compress)
     if cfg.adj_format == "blocked":
         # bucket max_blk so shapes are stable-ish across steps
         return sparse_ops.pack_blocked(

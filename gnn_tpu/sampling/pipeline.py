@@ -128,13 +128,16 @@ def stack_minibatches(mbs: Sequence[MiniBatch]) -> MiniBatch:
                     present_col_slots=pad1(a.present_col_slots, ch))
                     for a in layer]
         elif type(layer[0]).__name__ == "ResidentLayerRef":
-            # arrays (normfact) share the static c_cap; only the static
-            # device-build buckets need unifying to the group max
-            from gnn_tpu.ops.residentgraph import ResidentLayerRef
+            # normfact shares the static c_cap; the shipped cold COO
+            # (lite mode) re-pads to the group-max bucket, and the
+            # static device-build buckets unify to the group max
+            nnz = max(x.nnz_cold for x in layer)
+            if layer[0].rows is not None:
+                layer = [_repad_coo(a, nnz) for a in layer]
             layer = [dataclasses.replace(
                 a,
                 e_cap=max(x.e_cap for x in layer),
-                nnz_cold=max(x.nnz_cold for x in layer),
+                nnz_cold=nnz,
                 rh_pad=max(x.rh_pad for x in layer),
                 ch_pad=max(x.ch_pad for x in layer)) for a in layer]
         else:

@@ -19,7 +19,7 @@ from gnn_tpu.utils.normalize import build_laplacian
 
 
 def _setup(graph, hot_k=256, orders=(1, 1), samp=128, batch=64,
-           sampler="ladies"):
+           sampler="ladies", ship_cold=False):
     lap = build_laplacian(graph.adj_full, "graphsage")
     prob = compute_sample_prob(lap, graph.train_nodes, sum(orders))
     spec = HotSpec.from_sample_prob(prob, hot_k)
@@ -27,7 +27,8 @@ def _setup(graph, hot_k=256, orders=(1, 1), samp=128, batch=64,
     kw = dict(batch_size=batch, samp_num=samp, orders=orders,
               num_nodes=graph.adj_full.shape[0],
               num_classes=graph.num_classes, hot_spec=spec,
-              sampler=sampler, compress=False)
+              sampler=sampler, compress=False,
+              resident_ship_cold=ship_cold)
     cfg_hot = SamplerConfig(adj_format="hot", **kw)
     cfg_res = SamplerConfig(adj_format="resident", **kw)
     host = build_resident_graph(lap, spec, dense, dense_t)
@@ -38,9 +39,11 @@ def _setup(graph, hot_k=256, orders=(1, 1), samp=128, batch=64,
 
 
 @pytest.mark.parametrize("orders", [(1, 1), (1, 0, 1)])
-def test_materialized_layer_matches_host_pack(small_graph, orders):
+@pytest.mark.parametrize("ship_cold", [False, True])
+def test_materialized_layer_matches_host_pack(small_graph, orders,
+                                              ship_cold):
     lap, spec, dense, dense_t, cfg_hot, cfg_res, g = _setup(
-        small_graph, orders=orders)
+        small_graph, orders=orders, ship_cold=ship_cold)
     tgt = small_graph.train_nodes[:64]
     mb_hot = ladies_sample(cfg_hot, 5, tgt, lap, small_graph.labels)
     mb_res = ladies_sample(cfg_res, 5, tgt, lap, small_graph.labels)
@@ -72,9 +75,9 @@ def test_materialized_layer_matches_host_pack(small_graph, orders):
 
 
 def test_resident_ref_payload_is_small(small_graph):
-    """The whole point: per-layer payload carries no edges."""
     lap, spec, dense, dense_t, cfg_hot, cfg_res, g = _setup(small_graph)
     tgt = small_graph.train_nodes[:64]
+    # full-expansion mode: per-layer payload carries NO edges at all
     mb = ladies_sample(cfg_res, 7, tgt, lap, small_graph.labels)
     ref = mb.adjs[-1]
     assert isinstance(ref, ResidentLayerRef)
@@ -85,17 +88,31 @@ def test_resident_ref_payload_is_small(small_graph):
     mb_hot = ladies_sample(cfg_hot, 7, tgt, lap, small_graph.labels)
     hot = mb_hot.adjs[-1]
     assert ref.nnz_cold >= int((np.asarray(hot.vals) != 0).sum())
+    # lite mode: only the forward cold COO rides along — well under
+    # half the hot format's per-layer bytes (no transpose copy, no
+    # k-sized plumbing arrays)
+    lap2, _, _, _, _, cfg_lite, _ = _setup(small_graph, ship_cold=True)
+    mb_l = ladies_sample(cfg_lite, 7, tgt, lap2, small_graph.labels)
+    lite = mb_l.adjs[-1]
+    assert lite.rows is not None
+    lite_bytes = sum(np.asarray(a).nbytes
+                     for a in jax.tree_util.tree_leaves(lite))
+    hot_bytes = sum(np.asarray(a).nbytes
+                    for a in jax.tree_util.tree_leaves(hot))
+    assert lite_bytes < hot_bytes / 2
 
 
-def test_resident_e2e_training_matches_hot(small_graph):
-    """Two epochs of DP training: resident == hot to float tolerance
+@pytest.mark.parametrize("ship_cold", [False, True])
+def test_resident_e2e_training_matches_hot(small_graph, ship_cold):
+    """One epoch of DP training: resident == hot to float tolerance
     (identical sampling seeds; only the adjacency transport differs)."""
     from gnn_tpu.models.gnn import build_model
     from gnn_tpu.parallel.mesh import make_mesh
     from gnn_tpu.sampling.pipeline import BatchPipeline
     from gnn_tpu.train.trainer import Trainer
 
-    lap, spec, dense, dense_t, cfg_hot, cfg_res, g = _setup(small_graph)
+    lap, spec, dense, dense_t, cfg_hot, cfg_res, g = _setup(
+        small_graph, ship_cold=ship_cold)
     host = build_resident_graph(lap, spec, dense, dense_t)
 
     losses = {}
