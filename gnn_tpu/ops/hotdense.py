@@ -175,6 +175,12 @@ class HotDenseAdj:
     nrows: int = struct.field(pytree_node=False)
     ncols: int = struct.field(pytree_node=False)
     k: int = struct.field(pytree_node=False)
+    # False when rows_t/cols_t/vals_t are just the forward arrays (no
+    # col-sorted copy was built — resident-lite mode skips it: at cold
+    # residuals of ~1e5 edges the unsorted-scatter penalty (~1.6x of a
+    # ~2 ms op) is far cheaper than a device sort or shipping a
+    # second copy)
+    t_sorted: bool = struct.field(pytree_node=False, default=True)
 
     @property
     def shape(self):
@@ -337,7 +343,7 @@ def hot_transpose(adj: HotDenseAdj, g: jnp.ndarray) -> jnp.ndarray:
     using the resident transpose block and the col-sorted cold copy)."""
     assert adj.dense_t is not None
     dx = sparse_ops._coo_aggregate(adj.cols_t, adj.rows_t, adj.vals_t, g,
-                                   adj.ncols, sorted_rows=True)
+                                   adj.ncols, sorted_rows=adj.t_sorted)
     gh = jnp.take(g, adj.rowpos, axis=0, mode="fill", fill_value=0)
     dt_rows = jnp.take(adj.dense_t, adj.present_col_slots, axis=0)
     dh_c = jnp.dot(dt_rows, gh.astype(adj.dense_t.dtype),
