@@ -469,6 +469,11 @@ class Trainer:
         # computations still read.
         self._buf_pool = BufferPool() if \
             self.mesh.devices.flat[0].platform != "cpu" else None
+        # concurrent device_put of the typed pools: the relay's wire is
+        # per-stream throttled, so K parallel transfers pay ~max()
+        # instead of sum() of the per-call latencies (transport probe)
+        from concurrent.futures import ThreadPoolExecutor
+        self._xfer = ThreadPoolExecutor(4)
         # optional per-step progress to stderr (diagnosing slow runs
         # through the relay): GNN_TPU_STEP_LOG=<N> prints every N steps
         import os as _os
@@ -548,8 +553,7 @@ class Trainer:
                 tspec = self._typed_spec((batch, plan), 0)
                 pools = tspec.pack((batch, plan), base_step=n_steps,
                                    n_valid=1, pool=self._buf_pool)
-                dev_pools = jax.device_put(pools,
-                                           data_sharded(self.mesh))
+                dev_pools = self._put_pools(pools)
                 t2 = time.perf_counter()
                 t_move += t2 - t1
                 self.params, self.opt_state, loss = self._typed_fn(
@@ -609,6 +613,16 @@ class Trainer:
                             execution_time=t_exec,
                             sample_wait_time=t_sample,
                             total_time=t_total)
+
+    def _put_pools(self, pools):
+        """device_put each typed pool from a worker thread (parallel
+        wire streams; see transport study in RESULTS.md)."""
+        sh = data_sharded(self.mesh)
+        if len(pools) <= 1:
+            return jax.device_put(pools, sh)
+        futs = {d: self._xfer.submit(jax.device_put, a, sh)
+                for d, a in pools.items()}
+        return {d: f.result() for d, f in futs.items()}
 
     def _typed_spec(self, tree, shard_axis: int):
         """TypedPackSpec for this tree, cached by pytree structure +
@@ -678,8 +692,7 @@ class Trainer:
                 tspec = self._typed_spec((batch, plan), 1)
                 pools = tspec.pack((batch, plan), base_step=n_steps,
                                    n_valid=n_valid, pool=self._buf_pool)
-                dev_pools = jax.device_put(pools,
-                                           data_sharded(self.mesh))
+                dev_pools = self._put_pools(pools)
                 t2 = time.perf_counter()
                 t_move += t2 - t1
                 self.params, self.opt_state, losses = self._typed_fn(
@@ -915,8 +928,7 @@ class Trainer:
                     fn = self.fns.make_typed_eval_step(tspec)
                     self._packed_fns[key] = fn
                 pools = tspec.pack((batch, plan), pool=self._buf_pool)
-                dev_pools = jax.device_put(pools,
-                                           data_sharded(self.mesh))
+                dev_pools = self._put_pools(pools)
                 outs, losses = fn(self.params, self.feat_state,
                                   self.agg_state, dev_pools)
             elif self.packed_transport:
