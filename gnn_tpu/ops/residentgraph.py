@@ -26,6 +26,12 @@ Numerics are IDENTICAL to the host `pack_hotdense` path: the expansion
 enumerates each row's CSR span in order (row-major, ascending column),
 exactly the edge order `_slice_cols_to_coo` emits, and the same
 ``lap_val * normfact[col]`` weights are applied.
+
+Scale limits: the resident state is O(N + E) HBM — slot table 4N B,
+CSR ~(4+2)E B bf16. Reddit-class graphs (N~2e5, E~1e8) are noise; at
+MAG240M scale (N=244M, E=1.7B) the CSR alone is ~10 GB, so use
+``adj_format='hot'`` (shipped edges, resident dense block only) or
+shard the CSR over the mesh (round-3 work) there.
 """
 from __future__ import annotations
 
