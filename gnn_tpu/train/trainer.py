@@ -469,11 +469,15 @@ class Trainer:
         # computations still read.
         self._buf_pool = BufferPool() if \
             self.mesh.devices.flat[0].platform != "cpu" else None
-        # concurrent device_put of the typed pools: the relay's wire is
-        # per-stream throttled, so K parallel transfers pay ~max()
-        # instead of sum() of the per-call latencies (transport probe)
-        from concurrent.futures import ThreadPoolExecutor
-        self._xfer = ThreadPoolExecutor(4)
+        # concurrent device_put of the typed pools (GNN_TPU_PAR_PUT=1):
+        # parallel wire streams won the isolated transport probe, but
+        # e2e epochs showed no repeatable win (relay throughput drifts
+        # 2-3x between epochs) and the extra threads contend with the
+        # 4-core host's sampler pool — default serial
+        self._xfer = None
+        if _os2.environ.get("GNN_TPU_PAR_PUT", "0") == "1":
+            from concurrent.futures import ThreadPoolExecutor
+            self._xfer = ThreadPoolExecutor(4)
         # optional per-step progress to stderr (diagnosing slow runs
         # through the relay): GNN_TPU_STEP_LOG=<N> prints every N steps
         import os as _os
@@ -618,7 +622,7 @@ class Trainer:
         """device_put each typed pool from a worker thread (parallel
         wire streams; see transport study in RESULTS.md)."""
         sh = data_sharded(self.mesh)
-        if len(pools) <= 1:
+        if len(pools) <= 1 or self._xfer is None:
             return jax.device_put(pools, sh)
         futs = {d: self._xfer.submit(jax.device_put, a, sh)
                 for d, a in pools.items()}
