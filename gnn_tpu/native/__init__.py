@@ -84,6 +84,14 @@ def _declare(lib) -> None:
                               ctypes.c_int64, i32p, i32p, f32p, i32p,
                               i32p, f32p]
     lib.hot_split.restype = ctypes.c_int64
+    lib.slice_cols_count_cold.argtypes = [i64p, i32p, i32p,
+                                          ctypes.c_int64, i32p, u8p, u8p,
+                                          i64p]
+    lib.slice_cols_count_cold.restype = None
+    lib.slice_cols_fill_cold.argtypes = [i64p, i32p, f32p, i32p,
+                                         ctypes.c_int64, i32p, f32p, u8p,
+                                         u8p, i64p, i32p, i32p, f32p]
+    lib.slice_cols_fill_cold.restype = None
 
 
 def _ptr(a: np.ndarray, ct):
@@ -147,12 +155,17 @@ def hot_split_native(lib, rows: np.ndarray, cols: np.ndarray,
 def ladies_layer_native(lib, graph: NativeCSR, prev: np.ndarray,
                         samp_num: int, seed: int,
                         skew: np.ndarray | None = None,
-                        scale_factor: float = 1.0):
+                        scale_factor: float = 1.0,
+                        hot_node: np.ndarray | None = None):
     """One LADIES layer step, fully in native code.
 
     Returns (after, normfact, rows, cols, vals): the sampled node set,
     debias vector, and the COO of ``A[prev][:, after]`` with final edge
     weights — the exact quantities of `sampler.py:113-139`.
+
+    ``hot_node`` (uint8[N], resident-lite mode): emit ONLY the cold
+    edges (row or col not hot) — the hot-hot ones live in the
+    device-resident dense block and never need host materialization.
     """
     n = graph.shape[1]
     prev = np.ascontiguousarray(prev, np.int32)
@@ -182,11 +195,21 @@ def ladies_layer_native(lib, graph: NativeCSR, prev: np.ndarray,
     pos = np.full(n, -1, np.int32)
     pos[after] = np.arange(len(after), dtype=np.int32)
     rowlen = np.empty(len(prev), np.int64)
-    lib.slice_cols_count(_ptr(graph.indptr, ctypes.c_int64),
-                         _ptr(graph.indices, ctypes.c_int32),
-                         _ptr(prev, ctypes.c_int32), c_i64(len(prev)),
-                         _ptr(pos, ctypes.c_int32),
-                         _ptr(rowlen, ctypes.c_int64))
+    u8 = ctypes.c_uint8
+    if hot_node is not None:
+        hot_prev = np.ascontiguousarray(hot_node[prev], np.uint8)
+        lib.slice_cols_count_cold(
+            _ptr(graph.indptr, ctypes.c_int64),
+            _ptr(graph.indices, ctypes.c_int32),
+            _ptr(prev, ctypes.c_int32), c_i64(len(prev)),
+            _ptr(pos, ctypes.c_int32), _ptr(hot_prev, u8),
+            _ptr(hot_node, u8), _ptr(rowlen, ctypes.c_int64))
+    else:
+        lib.slice_cols_count(_ptr(graph.indptr, ctypes.c_int64),
+                             _ptr(graph.indices, ctypes.c_int32),
+                             _ptr(prev, ctypes.c_int32), c_i64(len(prev)),
+                             _ptr(pos, ctypes.c_int32),
+                             _ptr(rowlen, ctypes.c_int64))
     row_off = np.empty(len(prev) + 1, np.int64)
     lib.prefix_sum(_ptr(rowlen, ctypes.c_int64), c_i64(len(prev)),
                    _ptr(row_off, ctypes.c_int64))
@@ -194,14 +217,25 @@ def ladies_layer_native(lib, graph: NativeCSR, prev: np.ndarray,
     rows = np.empty(nnz, np.int32)
     cols = np.empty(nnz, np.int32)
     vals = np.empty(nnz, np.float32)
-    lib.slice_cols_fill(_ptr(graph.indptr, ctypes.c_int64),
-                        _ptr(graph.indices, ctypes.c_int32),
-                        _ptr(graph.data, ctypes.c_float),
-                        _ptr(prev, ctypes.c_int32), c_i64(len(prev)),
-                        _ptr(pos, ctypes.c_int32),
-                        _ptr(normfact, ctypes.c_float),
-                        _ptr(row_off, ctypes.c_int64),
-                        _ptr(rows, ctypes.c_int32),
-                        _ptr(cols, ctypes.c_int32),
-                        _ptr(vals, ctypes.c_float))
+    if hot_node is not None:
+        lib.slice_cols_fill_cold(
+            _ptr(graph.indptr, ctypes.c_int64),
+            _ptr(graph.indices, ctypes.c_int32),
+            _ptr(graph.data, ctypes.c_float),
+            _ptr(prev, ctypes.c_int32), c_i64(len(prev)),
+            _ptr(pos, ctypes.c_int32), _ptr(normfact, ctypes.c_float),
+            _ptr(hot_prev, u8), _ptr(hot_node, u8),
+            _ptr(row_off, ctypes.c_int64), _ptr(rows, ctypes.c_int32),
+            _ptr(cols, ctypes.c_int32), _ptr(vals, ctypes.c_float))
+    else:
+        lib.slice_cols_fill(_ptr(graph.indptr, ctypes.c_int64),
+                            _ptr(graph.indices, ctypes.c_int32),
+                            _ptr(graph.data, ctypes.c_float),
+                            _ptr(prev, ctypes.c_int32), c_i64(len(prev)),
+                            _ptr(pos, ctypes.c_int32),
+                            _ptr(normfact, ctypes.c_float),
+                            _ptr(row_off, ctypes.c_int64),
+                            _ptr(rows, ctypes.c_int32),
+                            _ptr(cols, ctypes.c_int32),
+                            _ptr(vals, ctypes.c_float))
     return after, normfact, rows, cols, vals

@@ -177,6 +177,55 @@ void slice_cols_fill(const int64_t* indptr, const int32_t* indices,
   }
 }
 
+// Cold-only variants for the resident-graph lite format
+// (gnn_tpu/ops/residentgraph.py): the hot-hot edges live in the
+// device-resident dense block and never need materializing on host, so
+// fold the hotness test into the slice — writes shrink to the cold
+// fraction (~30%) and the separate numpy mask pass disappears.
+// hot_prev: uint8[n_prev] (row hot?); hot_node: uint8[N] over GLOBAL
+// column ids (hot_node[indices[j]] == hot(after[newcol])).
+void slice_cols_count_cold(const int64_t* indptr, const int32_t* indices,
+                           const int32_t* prev, int64_t n_prev,
+                           const int32_t* pos, const uint8_t* hot_prev,
+                           const uint8_t* hot_node, int64_t* out_rowlen) {
+#pragma omp parallel for schedule(dynamic, 64) num_threads(eff_threads())
+  for (int64_t i = 0; i < n_prev; ++i) {
+    int64_t s = indptr[prev[i]], e = indptr[prev[i] + 1];
+    int64_t c = 0;
+    if (hot_prev[i]) {
+      for (int64_t j = s; j < e; ++j)
+        c += (pos[indices[j]] >= 0) && !hot_node[indices[j]];
+    } else {
+      for (int64_t j = s; j < e; ++j) c += (pos[indices[j]] >= 0);
+    }
+    out_rowlen[i] = c;
+  }
+}
+
+void slice_cols_fill_cold(const int64_t* indptr, const int32_t* indices,
+                          const float* data, const int32_t* prev,
+                          int64_t n_prev, const int32_t* pos,
+                          const float* normfact, const uint8_t* hot_prev,
+                          const uint8_t* hot_node, const int64_t* row_off,
+                          int32_t* out_rows, int32_t* out_cols,
+                          float* out_vals) {
+#pragma omp parallel for schedule(dynamic, 64) num_threads(eff_threads())
+  for (int64_t i = 0; i < n_prev; ++i) {
+    int64_t s = indptr[prev[i]], e = indptr[prev[i] + 1];
+    int64_t w = row_off[i];
+    const bool rh = hot_prev[i];
+    for (int64_t j = s; j < e; ++j) {
+      int32_t c = pos[indices[j]];
+      if (c >= 0 && !(rh && hot_node[indices[j]])) {
+        out_rows[w] = (int32_t)i;
+        out_cols[w] = c;
+        out_vals[w] = data[j] * normfact[c];
+        ++w;
+      }
+    }
+  }
+}
+
 // Convenience: exclusive prefix sum.
 void prefix_sum(const int64_t* in, int64_t n, int64_t* out) {
   int64_t acc = 0;

@@ -118,7 +118,8 @@ class ResidentLayerRef:
 def pack_resident_ref(spec: HotSpec, lap_indptr, prev, after, normfact,
                       rows, cols, n_rows, n_cols, r_cap, c_cap,
                       vals=None, ship_cold: bool = True,
-                      compress: bool = True) -> ResidentLayerRef:
+                      compress: bool = True,
+                      cold_precomputed: bool = False) -> ResidentLayerRef:
     """Host-side companion of the device rebuild.
 
     ``ship_cold=True`` (default, "lite"): ship the row-sorted forward
@@ -132,18 +133,23 @@ def pack_resident_ref(spec: HotSpec, lap_indptr, prev, after, normfact,
 
     hot_r_flag = spec.slot_of_node[np.asarray(prev)] >= 0
     hot_c_flag = spec.slot_of_node[np.asarray(after)] >= 0
-    if len(rows):
+    if cold_precomputed:
+        # the native slice already emitted cold-only edges
+        cr, cc, cv = rows, cols, vals
+        n_cold = len(rows)
+    elif len(rows):
         cold = ~(hot_r_flag[rows] & hot_c_flag[cols])
         n_cold = int(np.count_nonzero(cold))
+        cr, cc, cv = rows[cold], cols[cold], vals[cold]
     else:
-        cold = np.zeros(0, bool)
+        cr = cc = np.zeros(0, np.int32)
+        cv = np.zeros(0, np.float32)
         n_cold = 0
     nf = np.zeros(c_cap, np.float32)
     nf[: len(normfact)] = normfact
     kw = {}
     if ship_cold:
         from gnn_tpu.ops.hotdense import _pad_sorted_coo
-        cr, cc, cv = rows[cold], cols[cold], vals[cold]
         nnz_pad = bucket_size(max(n_cold, 1))
         ridx = np.int16 if (compress and r_cap <= 32768) else np.int32
         cidx = np.int16 if (compress and c_cap <= 32768) else np.int32

@@ -207,7 +207,7 @@ def _slice_cols_to_coo(U: sp.csr_matrix, after: np.ndarray,
 
 def _pack_adj(cfg: SamplerConfig, rows, cols, vals, n_rows, n_cols,
               r_cap, c_cap, prev=None, after=None, normfact=None,
-              lap_indptr=None):
+              lap_indptr=None, cold_precomputed=False):
     if cfg.adj_format == "resident":
         # ship IDs, not edges: the device rebuilds this layer from the
         # resident CSR (gnn_tpu.ops.residentgraph); the sampled COO is
@@ -220,7 +220,8 @@ def _pack_adj(cfg: SamplerConfig, rows, cols, vals, n_rows, n_cols,
                                  normfact, rows, cols, n_rows, n_cols,
                                  r_cap, c_cap, vals=vals,
                                  ship_cold=cfg.resident_ship_cold,
-                                 compress=cfg.compress)
+                                 compress=cfg.compress,
+                                 cold_precomputed=cold_precomputed)
     if cfg.adj_format == "blocked":
         # bucket max_blk so shapes are stable-ish across steps
         return sparse_ops.pack_blocked(
@@ -267,6 +268,13 @@ def ladies_sample(
     adjs: List[Optional[object]] = []
     sampled: List[np.ndarray] = []
     lib, ngraph = _native_graph(lap_matrix)
+    # resident-lite: the native slice emits ONLY cold edges (hot-hot
+    # ones live in the device-resident dense block) — ~3x less host
+    # extraction work and no separate masking pass
+    hot_node = None
+    if (lib is not None and cfg.adj_format == "resident"
+            and cfg.resident_ship_cold and cfg.hot_spec is not None):
+        hot_node = (cfg.hot_spec.slot_of_node >= 0).astype(np.uint8)
 
     for d in range(n_layers):
         # bottom-up index of this layer, for caps and skew sets
@@ -283,7 +291,8 @@ def ladies_sample(
             from gnn_tpu.native import ladies_layer_native
             after, normfact, rows, cols, vals = ladies_layer_native(
                 lib, ngraph, prev, cfg.samp_num,
-                int(rng.integers(2 ** 63 - 1)), skew, cfg.scale_factor)
+                int(rng.integers(2 ** 63 - 1)), skew, cfg.scale_factor,
+                hot_node=hot_node)
         else:
             U = lap_matrix[prev, :]
             p = _layer_probability(U, skew, cfg.scale_factor)
@@ -296,7 +305,8 @@ def ladies_sample(
         adjs.append(_pack_adj(cfg, rows, cols, vals, len(prev), len(after),
                               r_cap, c_cap, prev=prev, after=after,
                               normfact=normfact,
-                              lap_indptr=lap_matrix.indptr))
+                              lap_indptr=lap_matrix.indptr,
+                              cold_precomputed=hot_node is not None))
         s = np.searchsorted(after, prev).astype(np.int32)
         s_pad = np.zeros(r_cap, np.int32)
         s_pad[: len(s)] = s

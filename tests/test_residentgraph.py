@@ -155,3 +155,33 @@ def test_resident_subgraph_sampler(small_graph):
                                    np.asarray(spmm(ah, x)),
                                    rtol=1e-5, atol=1e-5,
                                    err_msg=f"layer {l}")
+
+
+def test_native_cold_slice_matches_masked_full(small_graph):
+    """The native cold-only extraction (resident-lite fast path) equals
+    masking the full native slice by hotness."""
+    from gnn_tpu import native
+    from gnn_tpu.native import NativeCSR, ladies_layer_native
+    lib = native.get_lib()
+    if lib is None:
+        pytest.skip("no native lib")
+    lap = build_laplacian(small_graph.adj_full, "graphsage")
+    lap = lap.tocsr()
+    g = NativeCSR(lap)
+    prob = compute_sample_prob(lap, small_graph.train_nodes, 2)
+    spec = HotSpec.from_sample_prob(prob, 256)
+    hot_node = (spec.slot_of_node >= 0).astype(np.uint8)
+    prev = np.sort(small_graph.train_nodes[:64]).astype(np.int64)
+
+    a1, nf1, r1, c1, v1 = ladies_layer_native(lib, g, prev, 128, 7)
+    a2, nf2, r2, c2, v2 = ladies_layer_native(lib, g, prev, 128, 7,
+                                              hot_node=hot_node)
+    np.testing.assert_array_equal(a1, a2)
+    np.testing.assert_array_equal(nf1, nf2)
+    hot_r = spec.slot_of_node[prev] >= 0
+    hot_c = spec.slot_of_node[a1] >= 0
+    cold = ~(hot_r[r1] & hot_c[c1])
+    np.testing.assert_array_equal(r2, r1[cold])
+    np.testing.assert_array_equal(c2, c1[cold])
+    np.testing.assert_array_equal(v2, v1[cold])
+    assert len(r2) < len(r1)  # something was actually hot-hot
