@@ -57,14 +57,10 @@ static int eff_threads() {
 void count_cols(const int64_t* indptr, const int32_t* indices,
                 const int32_t* prev, int64_t n_prev, int64_t n_cols,
                 double* out_pi) {
-#ifdef _OPENMP
-  int nt = omp_get_max_threads();
-#else
-  int nt = 1;
-#endif
+  int nt = eff_threads();
   if (nt > 1 && n_prev > 256) {
     std::vector<std::vector<float>> partial(nt);
-#pragma omp parallel
+#pragma omp parallel num_threads(nt)
     {
       int t = 0;
 #ifdef _OPENMP
@@ -122,6 +118,16 @@ int64_t gumbel_topk(const double* pi, int64_t n, int64_t k, uint64_t seed,
         double g = -std::log(-std::log(unif(rng)));
         mine.emplace_back((float)(std::log(pi[i]) + g), (int32_t)i);
       }
+    }
+    // per-thread pre-selection: only a thread's own top-k can be in
+    // the global top-k, so shrink each part to k before the merge
+    // (identical keys => identical final selection; the serial
+    // nth_element over all candidates was the fn's biggest cost)
+    if ((int64_t)mine.size() > k) {
+      std::nth_element(
+          mine.begin(), mine.begin() + k, mine.end(),
+          [](auto& a, auto& b) { return a.first > b.first; });
+      mine.resize(k);
     }
   }
   std::vector<std::pair<float, int32_t>> keys;
