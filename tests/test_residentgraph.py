@@ -185,3 +185,52 @@ def test_native_cold_slice_matches_masked_full(small_graph):
     np.testing.assert_array_equal(c2, c1[cold])
     np.testing.assert_array_equal(v2, v1[cold])
     assert len(r2) < len(r1)  # something was actually hot-hot
+
+
+def _resident_trainer(graph, tmp=None):
+    from gnn_tpu.models.gnn import build_model
+    from gnn_tpu.parallel.mesh import make_mesh
+    from gnn_tpu.sampling.pipeline import BatchPipeline
+    from gnn_tpu.train.trainer import Trainer
+    lap, spec, dense, dense_t, cfg_hot, cfg_res, g = _setup(
+        graph, ship_cold=True)
+    host = build_resident_graph(lap, spec, dense, dense_t)
+    pipe = BatchPipeline(cfg_res, lap, graph.labels, world_size=2,
+                         pool_num=2)
+    net = build_model("graphsage", nhid=32, orders=cfg_res.orders,
+                      num_classes=graph.num_classes)
+    return Trainer(net, pipe, graph.feats, mesh=make_mesh(2), lr=0.05,
+                   sigmoid_loss=False, seed=3, resident_graph=host)
+
+
+def test_resident_resume_reproduces_loss_curve(small_graph, tmp_path):
+    """Exact-replay resume holds with the resident device path (the
+    materialized adjacency is a pure function of the shipped batch)."""
+    tr_full = _resident_trainer(small_graph)
+    hist_full = tr_full.fit(small_graph.train_nodes,
+                            small_graph.valid_nodes, epochs=3, log=False)
+    ck = str(tmp_path / "res_ck")
+    tr_a = _resident_trainer(small_graph)
+    tr_a.fit(small_graph.train_nodes, small_graph.valid_nodes, epochs=1,
+             log=False, checkpoint_dir=ck)
+    del tr_a
+    tr_b = _resident_trainer(small_graph)
+    hist_b = tr_b.fit(small_graph.train_nodes, small_graph.valid_nodes,
+                      epochs=3, log=False, checkpoint_dir=ck,
+                      resume=True)
+    assert [m.epoch for m in hist_b] == [1, 2]
+    for m_resumed in hist_b:
+        np.testing.assert_allclose(
+            m_resumed.train_loss, hist_full[m_resumed.epoch].train_loss,
+            rtol=1e-5)
+
+
+def test_resident_op_timing(small_graph):
+    """measure_op_buckets materializes resident layers eagerly and
+    returns finite spmm buckets."""
+    tr = _resident_trainer(small_graph)
+    hist = tr.fit(small_graph.train_nodes, small_graph.valid_nodes, 1,
+                  log=False, op_timing=True)
+    m = hist[0]
+    assert np.isfinite(m.spmm_fwd_time) and m.spmm_fwd_time > 0
+    assert np.isfinite(m.spmm_bwd_time) and m.spmm_bwd_time > 0
