@@ -5,22 +5,29 @@ host->device wire sustains ~9 MiB/s per stream (~20 MiB/s with parallel
 chunk streams) while the device executes a full train step in ~66 ms —
 shipping the sampled subgraph's edges (~10.5 MiB/step) is the wall.
 
-But the graph is STATIC. So keep the whole normalized adjacency
-resident in HBM as CSR (Reddit scale: ~94 MB int32 cols + ~47 MB bf16
-values — noise next to the 4 GB hot blocks) and ship only what changes
-per step: the sampled node sets (which already ride the batch as
-``input_nodes``/``sampled_nodes``) and each layer's LADIES debias
-vector ``normfact`` (~100 KB f32). The device then rebuilds each
-layer's :class:`~gnn_tpu.ops.hotdense.HotDenseAdj` — hot-block
-compaction maps + cold COO residual — with vectorized expansion /
-filter / compaction passes over the row spans (all O(E_layer) HBM
-traffic, ~a millisecond per layer at 2.5 M gathered edges).
+But the graph is STATIC. So the hot-slot table and (optionally) the
+whole normalized CSR live in HBM (Reddit scale: ~94 MB int32 cols +
+~47 MB bf16 values — noise next to the 4 GB hot blocks), and per step
+only what changes ships. Two modes:
 
-Payload per canonical step: 10.5 MiB -> ~0.6 MiB (~17x), turning the
-transport wall back into noise. This replaces the reference's
-device-side adjacency build (`cuda_spmm.cu:787-803` builds the sampled
-CSR on the GPU from shipped indices) with the stronger TPU-native form:
-nothing per-edge crosses the wire at all.
+* **lite** (default): node sets (already in the batch), each layer's
+  LADIES debias vector ``normfact`` (~100 KB f32), and the row-sorted
+  FORWARD cold COO (int16+bf16, the ~30% of edges outside the hot
+  block). The device derives the transpose copy and every k-sized
+  hot-plumbing array (colpos/nfh/rowpos/present/cmp maps) from the
+  resident slot table. Payload: 10.5 MiB/step (hot format) -> ~2 MiB.
+* **full expansion** (``resident_ship_cold=False``): nothing per-edge
+  ships; the cold COO too is rebuilt from the resident CSR by
+  vectorized span expansion + filter + compaction. Zero per-edge
+  payload, but at average degree ~100 the spans yield ~30x more
+  candidates than survive the sampled-column filter, and TPU gathers
+  cost 20-40 ns/element — measured 4x slower end-to-end than lite.
+  Kept for low-degree graphs.
+
+This replaces the reference's device-side adjacency build
+(`cuda_spmm.cu:787-803` rebuilds the sampled CSR on the GPU from
+shipped indices) with a form where at most the small cold residual
+crosses the wire.
 
 Numerics are IDENTICAL to the host `pack_hotdense` path: the expansion
 enumerates each row's CSR span in order (row-major, ascending column),
@@ -35,8 +42,7 @@ shard the CSR over the mesh (round-3 work) there.
 """
 from __future__ import annotations
 
-import dataclasses
-from typing import List, Optional, Tuple
+from typing import List, Optional
 
 import jax
 import jax.numpy as jnp

@@ -26,7 +26,6 @@ unpacked leaves did, so DP / hybrid-mesh semantics are unchanged.
 from __future__ import annotations
 
 import dataclasses
-import math
 from typing import Tuple
 
 import jax
@@ -173,13 +172,13 @@ class TypedPackSpec:
     """Like :class:`PackSpec` but leaves are grouped into ONE array per
     dtype ("pools") instead of one uint8 blob.
 
-    Why not the single blob: the relay's wire encoding is dtype-aware —
-    typed arrays (int16 index lists with high zero bytes, bf16 values)
-    move measurably faster than the same bytes as opaque uint8
-    (benchmarks/RESULTS.md, transport probe). Typed pools also keep the
-    device-side unpack element-aligned slicing with no bitcasts. The
-    per-step H2D call count is the number of distinct dtypes (4-6)
-    instead of the leaf count (~55/G).
+    Why not the single blob: one big put is a single wire stream, and
+    the relay throttles per stream — the interleaved transport probe
+    (benchmarks/RESULTS.md) measured the blob 3-5x slower SUSTAINED
+    than the same bytes as a few separate arrays. Typed pools also
+    keep the device-side unpack element-aligned slicing with no
+    bitcasts. The per-step H2D call count is the number of distinct
+    dtypes (4-6) instead of the leaf count (~55/G).
     """
 
     def __init__(self, tree, shard_axis: int = 0):
