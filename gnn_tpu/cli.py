@@ -238,7 +238,9 @@ def main(argv=None) -> int:
         batch_size=args.batch_size, samp_num=args.samp_num, orders=orders,
         num_nodes=n, num_classes=graph.num_classes, sampler=args.sampler,
         scale_factor=scale_factor, adj_format=args.adj_format,
-        hot_spec=hot_spec)
+        hot_spec=hot_spec,
+        resident_val_free=bool(resident_graph
+                               and resident_graph.get("val_free")))
     pipe = BatchPipeline(cfg, lap, graph.labels, world_size=n_devices,
                          pool_num=args.pool_num,
                          per_rank_skew=per_rank_skew,

@@ -62,25 +62,53 @@ class ResidentGraph:
     col_idx: jnp.ndarray       # int32 [e]
     val: jnp.ndarray           # f32/bf16 [e] (laplacian data)
     slot_of_node: jnp.ndarray  # int32 [n], hot slot or -1
+    # per-node laplacian row value when the row-normalized laplacian is
+    # row-constant (binary adjacency: lap[r, :] == 1/deg(r) on its
+    # support) — lets the device recompute cold edge weights as
+    # row_val[r] * normfact[c] so no per-edge values ever ship
+    row_val: jnp.ndarray       # f32 [n] (zeros when not row-constant)
     dense: jnp.ndarray         # [k, k] hot block
     dense_t: jnp.ndarray       # [k, k] hot block transpose
     n: int = struct.field(pytree_node=False)
     k: int = struct.field(pytree_node=False)
 
 
+def row_constant_values(lap: sp.csr_matrix):
+    """``(row_val f32[N], True)`` when every row of ``lap`` holds one
+    constant value on its support (row-normalized binary adjacency:
+    1/deg), else ``(zeros, False)``."""
+    lap = lap.tocsr()
+    n = lap.shape[0]
+    rv = np.zeros(n, np.float32)
+    lens = np.diff(lap.indptr)
+    nz = lens > 0
+    first = np.zeros(n, np.float32)
+    first[nz] = lap.data[lap.indptr[:-1][nz]]
+    # constant iff every value equals its row's first value
+    expanded = np.repeat(first, lens)
+    if not np.array_equal(expanded, lap.data.astype(np.float32)):
+        return rv, False
+    rv[nz] = first[nz]
+    return rv, True
+
+
 def build_resident_graph(lap: sp.csr_matrix, spec: HotSpec, dense,
                          dense_t, val_dtype=np.float32):
     """Host-side numpy pieces of :class:`ResidentGraph` (device_put by
-    the trainer). ``dense``/``dense_t`` come from ``build_hot_dense``."""
+    the trainer). ``dense``/``dense_t`` come from ``build_hot_dense``.
+    The returned dict carries ``val_free`` (host-only flag, popped by
+    the trainer): True when cold edge weights are device-derivable."""
     lap = lap.tocsr()
     lap.sort_indices()
+    rv, const = row_constant_values(lap)
     return dict(
         row_ptr=lap.indptr.astype(np.int32),
         col_idx=lap.indices.astype(np.int32),
         val=lap.data.astype(val_dtype),
         slot_of_node=spec.slot_of_node.astype(np.int32),
+        row_val=rv,
         dense=dense, dense_t=dense_t,
-        n=int(lap.shape[0]), k=int(spec.k))
+        n=int(lap.shape[0]), k=int(spec.k), val_free=const)
 
 
 @struct.dataclass
@@ -107,7 +135,13 @@ class ResidentLayerRef:
     # filter — see benchmarks/RESULTS.md).
     rows: Optional[jnp.ndarray] = None   # int16/int32 [nnz_cold]
     cols: Optional[jnp.ndarray] = None   # int16/int32 [nnz_cold]
-    vals: Optional[jnp.ndarray] = None   # bf16/f32 [nnz_cold]
+    vals: Optional[jnp.ndarray] = None   # bf16/f32 [nnz_cold]; None when
+    #                                      the trainer's ResidentGraph
+    #                                      carries row_val (val-free)
+    row_cnt: Optional[jnp.ndarray] = None  # int32 [nrows]: cold edges
+    #                                        per row (replaces `rows` —
+    #                                        the device re-expands the
+    #                                        row-sorted ids from counts)
     n_cold: Optional[jnp.ndarray] = None  # int32 scalar
     nrows: int = struct.field(pytree_node=False, default=0)
     ncols: int = struct.field(pytree_node=False, default=0)
@@ -125,7 +159,8 @@ def pack_resident_ref(spec: HotSpec, lap_indptr, prev, after, normfact,
                       rows, cols, n_rows, n_cols, r_cap, c_cap,
                       vals=None, ship_cold: bool = True,
                       compress: bool = True,
-                      cold_precomputed: bool = False) -> ResidentLayerRef:
+                      cold_precomputed: bool = False,
+                      val_free: bool = False) -> ResidentLayerRef:
     """Host-side companion of the device rebuild.
 
     ``ship_cold=True`` (default, "lite"): ship the row-sorted forward
@@ -155,17 +190,25 @@ def pack_resident_ref(spec: HotSpec, lap_indptr, prev, after, normfact,
     nf[: len(normfact)] = normfact
     kw = {}
     if ship_cold:
-        from gnn_tpu.ops.hotdense import _pad_sorted_coo
         nnz_pad = bucket_size(max(n_cold, 1))
-        ridx = np.int16 if (compress and r_cap <= 32768) else np.int32
         cidx = np.int16 if (compress and c_cap <= 32768) else np.int32
-        vdt = jnp.bfloat16 if compress else np.float32
-        rr, ccol, vv = _pad_sorted_coo(cr, cc, cv, nnz_pad, r_cap - 1,
-                                       ridx, cidx, vdt)
+        ccol = np.zeros(nnz_pad, cidx)
+        ccol[: n_cold] = cc
+        # rows ship as per-row COUNTS (the COO is row-sorted): [nrows]
+        # int32 instead of [nnz] indices; the device re-expands
+        row_cnt = np.zeros(r_cap, np.int32)
+        if n_cold:
+            u, c = np.unique(cr, return_counts=True)
+            row_cnt[u] = c
         # 0-d ndarray (not np scalar) so the generic stack/expand paths
         # in stack_minibatches treat it as an array leaf
-        kw = dict(rows=rr, cols=ccol, vals=vv,
+        kw = dict(cols=ccol, row_cnt=row_cnt,
                   n_cold=np.asarray(n_cold, np.int32))
+        if not val_free:
+            vdt = jnp.bfloat16 if compress else np.float32
+            vv = np.zeros(nnz_pad, vdt)
+            vv[: n_cold] = cv.astype(vdt) if n_cold else cv
+            kw["vals"] = vv
         e_cap = 0
     else:
         deg_sum = int(np.sum(lap_indptr[np.asarray(prev) + 1]
@@ -198,13 +241,30 @@ def materialize_layer(g: ResidentGraph, ref: ResidentLayerRef,
     rows_g = jnp.where(valid_r, row_ids, n)          # n -> deg 0 below
     cols_g = jnp.where(valid_c, col_ids, n)
 
-    if ref.rows is not None:
-        # lite mode: the forward cold COO shipped (int16/bf16); only
-        # upcast here — the transpose + plumbing build below is shared
-        rr = ref.rows.astype(jnp.int32)
+    if ref.cols is not None:
+        # lite mode: only the forward cold cols (+ optionally values)
+        # shipped; local row ids re-expand from per-row counts and, in
+        # val-free mode, edge weights recompute as row_val * normfact
         cc = ref.cols.astype(jnp.int32)
-        vv = ref.vals.astype(jnp.float32)
         n_cold = ref.n_cold
+        cold_valid = jnp.arange(ref.nnz_cold) < n_cold
+        if ref.row_cnt is not None:
+            cnt = ref.row_cnt
+            starts = jnp.cumsum(cnt) - cnt
+            seg = jnp.zeros(ref.nnz_cold + 1, jnp.int32).at[starts].add(
+                1, mode="drop")
+            rr = jnp.cumsum(seg[: ref.nnz_cold]) - 1
+            rr = jnp.where(cold_valid,
+                           jnp.clip(rr, 0, nrows - 1), nrows - 1)
+        else:
+            rr = ref.rows.astype(jnp.int32)
+        if ref.vals is not None:
+            vv = ref.vals.astype(jnp.float32)
+        else:
+            rowv = jnp.take(g.row_val, rows_g, mode="clip")
+            vv = jnp.where(
+                cold_valid,
+                jnp.take(rowv, rr) * jnp.take(ref.normfact, cc), 0.0)
         return _finish_layer(g, ref, rows_g, cols_g, rr, cc, vv, n_cold)
 
     # --- expand the rows' CSR spans into ref.e_cap edge slots ---

@@ -110,6 +110,10 @@ class SamplerConfig:
     # even the cold edges from the resident CSR (zero per-edge payload
     # but gather-bound at high average degree — see RESULTS.md)
     resident_ship_cold: bool = True
+    # True when the laplacian is row-constant (binary adjacency): cold
+    # edge VALUES are then recomputed on device as row_val * normfact
+    # and never ship (the CLI sets this from build_resident_graph)
+    resident_val_free: bool = False
 
     def layer_caps(self) -> List[int]:
         """Static per-level node-count caps, bottom-up.
@@ -221,7 +225,8 @@ def _pack_adj(cfg: SamplerConfig, rows, cols, vals, n_rows, n_cols,
                                  r_cap, c_cap, vals=vals,
                                  ship_cold=cfg.resident_ship_cold,
                                  compress=cfg.compress,
-                                 cold_precomputed=cold_precomputed)
+                                 cold_precomputed=cold_precomputed,
+                                 val_free=cfg.resident_val_free)
     if cfg.adj_format == "blocked":
         # bucket max_blk so shapes are stable-ish across steps
         return sparse_ops.pack_blocked(

@@ -128,12 +128,22 @@ def stack_minibatches(mbs: Sequence[MiniBatch]) -> MiniBatch:
                     present_col_slots=pad1(a.present_col_slots, ch))
                     for a in layer]
         elif type(layer[0]).__name__ == "ResidentLayerRef":
-            # normfact shares the static c_cap; the shipped cold COO
-            # (lite mode) re-pads to the group-max bucket, and the
-            # static device-build buckets unify to the group max
+            # normfact/row_cnt share static caps; the shipped cold
+            # arrays (lite mode) re-pad to the group-max bucket, and
+            # the static device-build buckets unify to the group max
             nnz = max(x.nnz_cold for x in layer)
-            if layer[0].rows is not None:
-                layer = [_repad_coo(a, nnz) for a in layer]
+
+            def _ext(a, fill=0):
+                if a is None or a.shape[0] == nnz:
+                    return a
+                return np.concatenate(
+                    [a, np.full(nnz - a.shape[0], fill, a.dtype)])
+
+            if layer[0].cols is not None:
+                layer = [dataclasses.replace(
+                    a, cols=_ext(a.cols),
+                    rows=_ext(a.rows, a.nrows - 1),
+                    vals=_ext(a.vals)) for a in layer]
             layer = [dataclasses.replace(
                 a,
                 e_cap=max(x.e_cap for x in layer),

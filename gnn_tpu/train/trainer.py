@@ -499,6 +499,7 @@ class Trainer:
             from gnn_tpu.ops.residentgraph import ResidentGraph
             rep = NamedSharding(self.mesh, P())
             rg = dict(resident_graph)
+            rg.pop("val_free", None)  # host-only flag (see CLI)
             n, k = rg.pop("n"), rg.pop("k")
             self.agg_state = (ResidentGraph(
                 **{f: jax.device_put(jnp.asarray(v), rep)

@@ -19,7 +19,7 @@ from gnn_tpu.utils.normalize import build_laplacian
 
 
 def _setup(graph, hot_k=256, orders=(1, 1), samp=128, batch=64,
-           sampler="ladies", ship_cold=False):
+           sampler="ladies", ship_cold=False, val_free=False):
     lap = build_laplacian(graph.adj_full, "graphsage")
     prob = compute_sample_prob(lap, graph.train_nodes, sum(orders))
     spec = HotSpec.from_sample_prob(prob, hot_k)
@@ -28,22 +28,26 @@ def _setup(graph, hot_k=256, orders=(1, 1), samp=128, batch=64,
               num_nodes=graph.adj_full.shape[0],
               num_classes=graph.num_classes, hot_spec=spec,
               sampler=sampler, compress=False,
-              resident_ship_cold=ship_cold)
+              resident_ship_cold=ship_cold,
+              resident_val_free=ship_cold and val_free)
     cfg_hot = SamplerConfig(adj_format="hot", **kw)
     cfg_res = SamplerConfig(adj_format="resident", **kw)
     host = build_resident_graph(lap, spec, dense, dense_t)
     n, k = host.pop("n"), host.pop("k")
+    assert host.pop("val_free") is True  # binary synthetic adjacency
     g = ResidentGraph(**{f: jnp.asarray(v) for f, v in host.items()},
                       n=n, k=k)
     return lap, spec, dense, dense_t, cfg_hot, cfg_res, g
 
 
 @pytest.mark.parametrize("orders", [(1, 1), (1, 0, 1)])
-@pytest.mark.parametrize("ship_cold", [False, True])
+@pytest.mark.parametrize("ship_cold,val_free",
+                         [(False, False), (True, False), (True, True)])
 def test_materialized_layer_matches_host_pack(small_graph, orders,
-                                              ship_cold):
+                                              ship_cold, val_free):
     lap, spec, dense, dense_t, cfg_hot, cfg_res, g = _setup(
-        small_graph, orders=orders, ship_cold=ship_cold)
+        small_graph, orders=orders, ship_cold=ship_cold,
+        val_free=val_free)
     tgt = small_graph.train_nodes[:64]
     mb_hot = ladies_sample(cfg_hot, 5, tgt, lap, small_graph.labels)
     mb_res = ladies_sample(cfg_res, 5, tgt, lap, small_graph.labels)
@@ -94,7 +98,7 @@ def test_resident_ref_payload_is_small(small_graph):
     lap2, _, _, _, _, cfg_lite, _ = _setup(small_graph, ship_cold=True)
     mb_l = ladies_sample(cfg_lite, 7, tgt, lap2, small_graph.labels)
     lite = mb_l.adjs[-1]
-    assert lite.rows is not None
+    assert lite.cols is not None and lite.row_cnt is not None
     lite_bytes = sum(np.asarray(a).nbytes
                      for a in jax.tree_util.tree_leaves(lite))
     hot_bytes = sum(np.asarray(a).nbytes
@@ -193,7 +197,7 @@ def _resident_trainer(graph, tmp=None):
     from gnn_tpu.sampling.pipeline import BatchPipeline
     from gnn_tpu.train.trainer import Trainer
     lap, spec, dense, dense_t, cfg_hot, cfg_res, g = _setup(
-        graph, ship_cold=True)
+        graph, ship_cold=True, val_free=True)
     host = build_resident_graph(lap, spec, dense, dense_t)
     pipe = BatchPipeline(cfg_res, lap, graph.labels, world_size=2,
                          pool_num=2)
