@@ -123,6 +123,21 @@ def main(argv=None) -> int:
 
     import jax
 
+    # persistent XLA compilation cache: a config's first run pays
+    # minutes of per-bucket compiles; the cache makes later processes
+    # start warm (GNN_TPU_COMP_CACHE=  disables)
+    cache_dir = os.environ.get(
+        "GNN_TPU_COMP_CACHE",
+        os.path.join(os.path.expanduser("~"), ".cache",
+                     "jax_comp_cache"))
+    if cache_dir:
+        try:
+            jax.config.update("jax_compilation_cache_dir", cache_dir)
+            jax.config.update(
+                "jax_persistent_cache_min_compile_time_secs", 1.0)
+        except Exception:
+            pass
+
     # Some sandboxes force a platform via sitecustomize config updates that
     # silently override $JAX_PLATFORMS; re-assert the user's choice.
     if os.environ.get("JAX_PLATFORMS"):
