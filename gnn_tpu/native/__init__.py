@@ -92,6 +92,11 @@ def _declare(lib) -> None:
                                          ctypes.c_int64, i32p, f32p, u8p,
                                          u8p, i64p, i32p, i32p, f32p]
     lib.slice_cols_fill_cold.restype = None
+    lib.slice_cols_cold_fused.argtypes = [i64p, i32p, f32p, i32p,
+                                          ctypes.c_int64, i32p, f32p,
+                                          u8p, u8p, ctypes.c_int64,
+                                          i32p, i32p, f32p, i32p]
+    lib.slice_cols_cold_fused.restype = ctypes.c_int64
 
 
 def _ptr(a: np.ndarray, ct):
@@ -197,19 +202,32 @@ def ladies_layer_native(lib, graph: NativeCSR, prev: np.ndarray,
     rowlen = np.empty(len(prev), np.int64)
     u8 = ctypes.c_uint8
     if hot_node is not None:
+        # fused single-scan cold extraction (count + fill + per-row
+        # counts in one pass over the row spans); reusable per-thread
+        # buffers avoid the ~70 us/page first-touch tax
         hot_prev = np.ascontiguousarray(hot_node[prev], np.uint8)
-        lib.slice_cols_count_cold(
-            _ptr(graph.indptr, ctypes.c_int64),
-            _ptr(graph.indices, ctypes.c_int32),
-            _ptr(prev, ctypes.c_int32), c_i64(len(prev)),
-            _ptr(pos, ctypes.c_int32), _ptr(hot_prev, u8),
-            _ptr(hot_node, u8), _ptr(rowlen, ctypes.c_int64))
-    else:
-        lib.slice_cols_count(_ptr(graph.indptr, ctypes.c_int64),
-                             _ptr(graph.indices, ctypes.c_int32),
-                             _ptr(prev, ctypes.c_int32), c_i64(len(prev)),
-                             _ptr(pos, ctypes.c_int32),
-                             _ptr(rowlen, ctypes.c_int64))
+        rowcnt = np.empty(len(prev), np.int32)
+        br, bc, bv, _, _, _ = _split_buffers(1 << 16)
+        while True:
+            cap = len(br)
+            n_cold = int(lib.slice_cols_cold_fused(
+                _ptr(graph.indptr, ctypes.c_int64),
+                _ptr(graph.indices, ctypes.c_int32),
+                _ptr(graph.data, ctypes.c_float),
+                _ptr(prev, ctypes.c_int32), c_i64(len(prev)),
+                _ptr(pos, ctypes.c_int32), _ptr(normfact, ctypes.c_float),
+                _ptr(hot_prev, u8), _ptr(hot_node, u8), c_i64(cap),
+                _ptr(br, ctypes.c_int32), _ptr(bc, ctypes.c_int32),
+                _ptr(bv, ctypes.c_float), _ptr(rowcnt, ctypes.c_int32)))
+            if n_cold >= 0:
+                break
+            br, bc, bv, _, _, _ = _split_buffers(-n_cold)
+        return after, normfact, br[:n_cold], bc[:n_cold], bv[:n_cold]
+    lib.slice_cols_count(_ptr(graph.indptr, ctypes.c_int64),
+                         _ptr(graph.indices, ctypes.c_int32),
+                         _ptr(prev, ctypes.c_int32), c_i64(len(prev)),
+                         _ptr(pos, ctypes.c_int32),
+                         _ptr(rowlen, ctypes.c_int64))
     row_off = np.empty(len(prev) + 1, np.int64)
     lib.prefix_sum(_ptr(rowlen, ctypes.c_int64), c_i64(len(prev)),
                    _ptr(row_off, ctypes.c_int64))
@@ -217,25 +235,14 @@ def ladies_layer_native(lib, graph: NativeCSR, prev: np.ndarray,
     rows = np.empty(nnz, np.int32)
     cols = np.empty(nnz, np.int32)
     vals = np.empty(nnz, np.float32)
-    if hot_node is not None:
-        lib.slice_cols_fill_cold(
-            _ptr(graph.indptr, ctypes.c_int64),
-            _ptr(graph.indices, ctypes.c_int32),
-            _ptr(graph.data, ctypes.c_float),
-            _ptr(prev, ctypes.c_int32), c_i64(len(prev)),
-            _ptr(pos, ctypes.c_int32), _ptr(normfact, ctypes.c_float),
-            _ptr(hot_prev, u8), _ptr(hot_node, u8),
-            _ptr(row_off, ctypes.c_int64), _ptr(rows, ctypes.c_int32),
-            _ptr(cols, ctypes.c_int32), _ptr(vals, ctypes.c_float))
-    else:
-        lib.slice_cols_fill(_ptr(graph.indptr, ctypes.c_int64),
-                            _ptr(graph.indices, ctypes.c_int32),
-                            _ptr(graph.data, ctypes.c_float),
-                            _ptr(prev, ctypes.c_int32), c_i64(len(prev)),
-                            _ptr(pos, ctypes.c_int32),
-                            _ptr(normfact, ctypes.c_float),
-                            _ptr(row_off, ctypes.c_int64),
-                            _ptr(rows, ctypes.c_int32),
-                            _ptr(cols, ctypes.c_int32),
-                            _ptr(vals, ctypes.c_float))
+    lib.slice_cols_fill(_ptr(graph.indptr, ctypes.c_int64),
+                        _ptr(graph.indices, ctypes.c_int32),
+                        _ptr(graph.data, ctypes.c_float),
+                        _ptr(prev, ctypes.c_int32), c_i64(len(prev)),
+                        _ptr(pos, ctypes.c_int32),
+                        _ptr(normfact, ctypes.c_float),
+                        _ptr(row_off, ctypes.c_int64),
+                        _ptr(rows, ctypes.c_int32),
+                        _ptr(cols, ctypes.c_int32),
+                        _ptr(vals, ctypes.c_float))
     return after, normfact, rows, cols, vals

@@ -232,6 +232,82 @@ void slice_cols_fill_cold(const int64_t* indptr, const int32_t* indices,
   }
 }
 
+// Fused cold-only count+fill in ONE scan of the row spans (the
+// count/fill pair rescans ~8M CSR entries per canonical layer; the
+// second scan was ~40% of the whole sample cost). Threads take
+// contiguous row blocks, append their cold edges to thread-local
+// scratch, then copy into place after a serial prefix over block
+// totals. Also emits per-row cold counts (out_rowlen, int32) — the
+// resident-lite payload ships those instead of row indices.
+// Returns n_cold, or -(needed) when the caller's buffers (capacity
+// `cap`) are too small — retry with bigger buffers.
+int64_t slice_cols_cold_fused(
+    const int64_t* indptr, const int32_t* indices, const float* data,
+    const int32_t* prev, int64_t n_prev, const int32_t* pos,
+    const float* normfact, const uint8_t* hot_prev,
+    const uint8_t* hot_node, int64_t cap, int32_t* out_rows,
+    int32_t* out_cols, float* out_vals, int32_t* out_rowlen) {
+  const int nt = eff_threads();
+  static thread_local std::vector<int32_t> tl_r, tl_c;
+  static thread_local std::vector<float> tl_v;
+  std::vector<int64_t> block_count(nt + 1, 0);
+  std::vector<std::vector<int32_t>*> rbufs(nt), cbufs(nt);
+  std::vector<std::vector<float>*> vbufs(nt);
+  const int64_t chunk = (n_prev + nt - 1) / std::max(nt, 1);
+#ifdef _OPENMP
+#pragma omp parallel num_threads(nt)
+#endif
+  {
+#ifdef _OPENMP
+    const int t = omp_get_thread_num();
+#else
+    const int t = 0;
+#endif
+    tl_r.clear();
+    tl_c.clear();
+    tl_v.clear();
+    rbufs[t] = &tl_r;
+    cbufs[t] = &tl_c;
+    vbufs[t] = &tl_v;
+    const int64_t lo = t * chunk, hi = std::min(n_prev, lo + chunk);
+    for (int64_t i = lo; i < hi; ++i) {
+      int64_t s = indptr[prev[i]], e = indptr[prev[i] + 1];
+      const bool rh = hot_prev[i];
+      int32_t cnt = 0;
+      for (int64_t j = s; j < e; ++j) {
+        int32_t c = pos[indices[j]];
+        if (c >= 0 && !(rh && hot_node[indices[j]])) {
+          tl_r.push_back((int32_t)i);
+          tl_c.push_back(c);
+          tl_v.push_back(data[j] * normfact[c]);
+          ++cnt;
+        }
+      }
+      out_rowlen[i] = cnt;
+    }
+    block_count[t + 1] = (int64_t)tl_r.size();
+  }
+  for (int t = 0; t < nt; ++t) block_count[t + 1] += block_count[t];
+  const int64_t n_cold = block_count[nt];
+  if (n_cold > cap) return -n_cold;
+#ifdef _OPENMP
+#pragma omp parallel num_threads(nt)
+#endif
+  {
+#ifdef _OPENMP
+    const int t = omp_get_thread_num();
+#else
+    const int t = 0;
+#endif
+    const int64_t w = block_count[t];
+    const size_t m = rbufs[t]->size();
+    std::memcpy(out_rows + w, rbufs[t]->data(), m * sizeof(int32_t));
+    std::memcpy(out_cols + w, cbufs[t]->data(), m * sizeof(int32_t));
+    std::memcpy(out_vals + w, vbufs[t]->data(), m * sizeof(float));
+  }
+  return n_cold;
+}
+
 // Convenience: exclusive prefix sum.
 void prefix_sum(const int64_t* in, int64_t n, int64_t* out) {
   int64_t acc = 0;

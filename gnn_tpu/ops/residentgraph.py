@@ -196,10 +196,10 @@ def pack_resident_ref(spec: HotSpec, lap_indptr, prev, after, normfact,
         ccol[: n_cold] = cc
         # rows ship as per-row COUNTS (the COO is row-sorted): [nrows]
         # int32 instead of [nnz] indices; the device re-expands
-        row_cnt = np.zeros(r_cap, np.int32)
         if n_cold:
-            u, c = np.unique(cr, return_counts=True)
-            row_cnt[u] = c
+            row_cnt = np.bincount(cr, minlength=r_cap).astype(np.int32)
+        else:
+            row_cnt = np.zeros(r_cap, np.int32)
         # 0-d ndarray (not np scalar) so the generic stack/expand paths
         # in stack_minibatches treat it as an array leaf
         kw = dict(cols=ccol, row_cnt=row_cnt,
