@@ -38,7 +38,7 @@ def main():
     ap.add_argument("--group", type=int, default=4)
     ap.add_argument("--dispatches", type=int, default=24)
     ap.add_argument("--save_dir", default="/tmp/gnn_save")
-    ap.add_argument("--strategies", default="leaf,packed,chunk4,thread")
+    ap.add_argument("--strategies", default="exec,leaf,packed,typed,chunk4")
     args = ap.parse_args()
 
     import jax

@@ -238,3 +238,13 @@ def test_resident_op_timing(small_graph):
     m = hist[0]
     assert np.isfinite(m.spmm_fwd_time) and m.spmm_fwd_time > 0
     assert np.isfinite(m.spmm_bwd_time) and m.spmm_bwd_time > 0
+
+
+def test_resident_test_sweep(small_graph):
+    """Full-sweep test evaluation through the packed sharded eval path
+    with the resident format."""
+    tr = _resident_trainer(small_graph)
+    tr.fit(small_graph.train_nodes, small_graph.valid_nodes, epochs=2,
+           log=False)
+    f1 = tr.test(small_graph.test_nodes, batch_size=128)
+    assert f1 > 0.3
