@@ -97,6 +97,10 @@ def _declare(lib) -> None:
                                           u8p, u8p, ctypes.c_int64,
                                           i32p, i32p, f32p, i32p]
     lib.slice_cols_cold_fused.restype = ctypes.c_int64
+    lib.slice_cols_cold_fused_split.argtypes = [
+        i64p, i64p, i32p, f32p, i32p, ctypes.c_int64, i32p, f32p, u8p,
+        ctypes.c_int64, i32p, i32p, f32p, i32p]
+    lib.slice_cols_cold_fused_split.restype = ctypes.c_int64
 
 
 def _ptr(a: np.ndarray, ct):
@@ -111,6 +115,38 @@ class NativeCSR:
         self.indices = np.ascontiguousarray(csr.indices, np.int32)
         self.data = np.ascontiguousarray(csr.data, np.float32)
         self.shape = csr.shape
+        self._split = None          # (mask_token, indices2, data2, hsplit)
+        self._split_lock = threading.Lock()
+
+    def ensure_split(self, hot_node: np.ndarray):
+        """Lazily build the column-hotness-split copy: per row, cold-col
+        edges first, then hot-col edges; ``hsplit[r]`` = absolute index
+        of the first hot-col edge. Hot rows' cold extraction then skips
+        their hot-col (= hot-hot) edges entirely — the hub-hub bulk of
+        the scan. One stable 2-key sort of the edge list, built once
+        per (graph, hot set) and cached on this object."""
+        token = (hot_node.__array_interface__["data"][0], len(hot_node),
+                 int(hot_node.sum()))
+        if self._split is not None and self._split[0] == token:
+            return self._split[1:]
+        with self._split_lock:
+            if self._split is not None and self._split[0] == token:
+                return self._split[1:]
+            return self._build_split(hot_node, token)
+
+    def _build_split(self, hot_node, token):
+        n = self.shape[0]
+        lens = np.diff(self.indptr)
+        row_of = np.repeat(np.arange(n, dtype=np.int64), lens)
+        hot_e = hot_node[self.indices].astype(np.int64)
+        order = np.argsort(row_of * 2 + hot_e, kind="stable")
+        indices2 = np.ascontiguousarray(self.indices[order])
+        data2 = np.ascontiguousarray(self.data[order])
+        ncold = np.bincount(row_of, weights=(1 - hot_e),
+                            minlength=n).astype(np.int64)
+        hsplit = np.ascontiguousarray(self.indptr[:-1] + ncold)
+        self._split = (token, indices2, data2, hsplit)
+        return indices2, data2, hsplit
 
 
 _SPLIT_BUFS = threading.local()
@@ -207,16 +243,17 @@ def ladies_layer_native(lib, graph: NativeCSR, prev: np.ndarray,
         # buffers avoid the ~70 us/page first-touch tax
         hot_prev = np.ascontiguousarray(hot_node[prev], np.uint8)
         rowcnt = np.empty(len(prev), np.int32)
+        idx2, dat2, hsplit = graph.ensure_split(hot_node)
         br, bc, bv, _, _, _ = _split_buffers(1 << 16)
         while True:
             cap = len(br)
-            n_cold = int(lib.slice_cols_cold_fused(
+            n_cold = int(lib.slice_cols_cold_fused_split(
                 _ptr(graph.indptr, ctypes.c_int64),
-                _ptr(graph.indices, ctypes.c_int32),
-                _ptr(graph.data, ctypes.c_float),
+                _ptr(hsplit, ctypes.c_int64),
+                _ptr(idx2, ctypes.c_int32), _ptr(dat2, ctypes.c_float),
                 _ptr(prev, ctypes.c_int32), c_i64(len(prev)),
                 _ptr(pos, ctypes.c_int32), _ptr(normfact, ctypes.c_float),
-                _ptr(hot_prev, u8), _ptr(hot_node, u8), c_i64(cap),
+                _ptr(hot_prev, u8), c_i64(cap),
                 _ptr(br, ctypes.c_int32), _ptr(bc, ctypes.c_int32),
                 _ptr(bv, ctypes.c_float), _ptr(rowcnt, ctypes.c_int32)))
             if n_cold >= 0:

@@ -279,7 +279,12 @@ def ladies_sample(
     hot_node = None
     if (lib is not None and cfg.adj_format == "resident"
             and cfg.resident_ship_cold and cfg.hot_spec is not None):
-        hot_node = (cfg.hot_spec.slot_of_node >= 0).astype(np.uint8)
+        # cached on the (frozen) HotSpec so the SAME array rides every
+        # call — NativeCSR.ensure_split keys its split copy on it
+        hot_node = getattr(cfg.hot_spec, "_hot_mask", None)
+        if hot_node is None:
+            hot_node = (cfg.hot_spec.slot_of_node >= 0).astype(np.uint8)
+            object.__setattr__(cfg.hot_spec, "_hot_mask", hot_node)
 
     for d in range(n_layers):
         # bottom-up index of this layer, for caps and skew sets
