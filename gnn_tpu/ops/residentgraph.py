@@ -72,6 +72,21 @@ class ResidentGraph:
     n: int = struct.field(pytree_node=False)
     k: int = struct.field(pytree_node=False)
 
+    # `materialize_layer` reads per-node resident state only through
+    # these two lookups (and `part_axis`), so a mesh-sharded resident
+    # graph (gnn_tpu.parallel.shardedresident.ShardedResidentGraph) can
+    # swap in psum-gather implementations without touching the rebuild.
+    part_axis = None           # replicated: no model-parallel axis
+
+    def slot_lookup(self, ids: jnp.ndarray) -> jnp.ndarray:
+        """Hot slot of each global node id (-1 = cold / out of range)."""
+        return jnp.take(self.slot_of_node, ids, mode="fill",
+                        fill_value=-1)
+
+    def rowval_lookup(self, ids: jnp.ndarray) -> jnp.ndarray:
+        """Row-constant laplacian value of each global node id."""
+        return jnp.take(self.row_val, ids, mode="clip")
+
 
 def row_constant_values(lap: sp.csr_matrix):
     """``(row_val f32[N], True)`` when every row of ``lap`` holds one
@@ -261,13 +276,18 @@ def materialize_layer(g: ResidentGraph, ref: ResidentLayerRef,
         if ref.vals is not None:
             vv = ref.vals.astype(jnp.float32)
         else:
-            rowv = jnp.take(g.row_val, rows_g, mode="clip")
+            rowv = g.rowval_lookup(rows_g)
             vv = jnp.where(
                 cold_valid,
                 jnp.take(rowv, rr) * jnp.take(ref.normfact, cc), 0.0)
         return _finish_layer(g, ref, rows_g, cols_g, rr, cc, vv, n_cold)
 
     # --- expand the rows' CSR spans into ref.e_cap edge slots ---
+    if g.part_axis is not None:
+        raise NotImplementedError(
+            "full-expansion resident mode needs the whole CSR on every "
+            "device; shard the CSR by row ranges (round-3) or use lite "
+            "mode (ship_cold=True) with ShardedResidentGraph")
     # rows_g == n is the pad row: row_ptr[n] == E and the clipped
     # row_ptr[n+1] read also lands on E, so its degree is 0
     rp_lo = jnp.take(g.row_ptr, rows_g, mode="clip")
@@ -295,8 +315,8 @@ def materialize_layer(g: ResidentGraph, ref: ResidentLayerRef,
     w = ev * jnp.take(ref.normfact, lc_safe)
 
     # --- hot / cold split (hot-hot edges live in the resident block) ---
-    r_slot = jnp.take(g.slot_of_node, rows_g, mode="fill", fill_value=-1)
-    c_slot = jnp.take(g.slot_of_node, cols_g, mode="fill", fill_value=-1)
+    r_slot = g.slot_lookup(rows_g)
+    c_slot = g.slot_lookup(cols_g)
     r_hot = r_slot >= 0
     c_hot = c_slot >= 0
     edge_hot = jnp.take(r_hot, lr) & jnp.take(c_hot, lc_safe) & keep
@@ -332,8 +352,8 @@ def _finish_layer(g: ResidentGraph, ref: ResidentLayerRef, rows_g,
 
     # --- hot-slot plumbing (colpos/nfh/rowpos/nf_col) ---
     k = g.k
-    r_slot = jnp.take(g.slot_of_node, rows_g, mode="fill", fill_value=-1)
-    c_slot = jnp.take(g.slot_of_node, cols_g, mode="fill", fill_value=-1)
+    r_slot = g.slot_lookup(rows_g)
+    c_slot = g.slot_lookup(cols_g)
     r_hot = r_slot >= 0
     c_hot = c_slot >= 0
     c_slot_safe = jnp.where(c_hot, c_slot, k)
@@ -364,7 +384,8 @@ def _finish_layer(g: ResidentGraph, ref: ResidentLayerRef, rows_g,
         present_col_slots=present_col_slots, col_cmp_idx=col_cmp_idx,
         n_valid_rows=ref.n_valid_rows, n_valid_cols=ref.n_valid_cols,
         dense=g.dense, dense_t=g.dense_t,
-        nrows=nrows, ncols=ncols, k=k, t_sorted=False)
+        nrows=nrows, ncols=ncols, k=k, t_sorted=False,
+        part_axis=g.part_axis)
 
 
 def materialize_adjs(g: ResidentGraph, adjs, sampled_nodes,

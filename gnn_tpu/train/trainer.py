@@ -75,7 +75,9 @@ def prepare_adjs(batch: "DeviceBatch", agg_state):
     rebuilt here from the HBM-resident CSR (nothing per-edge ever
     crossed the wire); otherwise this is `bind_agg_state`."""
     from gnn_tpu.ops.residentgraph import ResidentGraph, materialize_adjs
-    if agg_state and isinstance(agg_state[0], ResidentGraph):
+    from gnn_tpu.parallel.shardedresident import ShardedResidentGraph
+    if agg_state and isinstance(agg_state[0],
+                                (ResidentGraph, ShardedResidentGraph)):
         return materialize_adjs(agg_state[0], list(batch.adjs),
                                 list(batch.sampled_nodes),
                                 batch.input_nodes)
@@ -101,12 +103,21 @@ class TrainStepFns:
 
 
 def build_step_fns(net, optimizer, sigmoid_loss: bool, mesh,
-                   feature_source, grad_clip: float = 5.0) -> TrainStepFns:
+                   feature_source, grad_clip: float = 5.0,
+                   part_axis: str = None) -> TrainStepFns:
     """Build the jitted DP train step and single-replica eval forward.
 
     ``feature_source`` supplies input features on device — either a
     replicated HBM table or the placement-driven sharded cache with
-    all-to-all halo exchange (`gnn_tpu.parallel.feature_cache`)."""
+    all-to-all halo exchange (`gnn_tpu.parallel.feature_cache`).
+
+    ``part_axis``: name of a model-parallel mesh axis carrying SHARDED
+    aggregation state (`gnn_tpu.parallel.shardedresident`). Batches are
+    then data-parallel over the remaining axes only (replicated over
+    ``part_axis``); the sharded hot matmul's psum makes every part's
+    loss/grads identical, so the gradient psum spans only the replica
+    axes. ``None`` (default): agg_state is replicated, every mesh axis
+    is a data axis — the previous behavior, unchanged."""
 
     def per_device_loss(params, feat_state, agg_state, plan,
                         batch: DeviceBatch, rng):
@@ -120,34 +131,58 @@ def build_step_fns(net, optimizer, sigmoid_loss: bool, mesh,
                            sigmoid_loss)
 
     axes = tuple(mesh.axis_names)
+    # data-parallel (replica) axes: every axis except the model-parallel
+    # part axis. With part_axis=None this is all of them (status quo).
+    rep_axes = tuple(a for a in axes if a != part_axis)
+    if part_axis is not None and part_axis not in axes:
+        raise ValueError(f"part_axis {part_axis!r} not in mesh axes "
+                         f"{axes}")
+    # sharded agg_state (stacked [P, ...] leaves) splits over part_axis
+    # and loses its length-1 leading axis inside shard_map; replicated
+    # agg_state passes through untouched
+    agg_spec = P(part_axis) if part_axis is not None else P()
+    if part_axis is not None:
+        def _local_agg(s):
+            return jax.tree_util.tree_map(lambda a: a[0], s)
+    else:
+        def _local_agg(s):
+            return s
+
+    def _replica_index():
+        # replica index across the data axes only (row-major): parts
+        # within one replica share the batch AND the dropout key
+        idx = jax.lax.axis_index(rep_axes[0])
+        for ax in rep_axes[1:]:
+            idx = idx * mesh.shape[ax] + jax.lax.axis_index(ax)
+        return idx
 
     def _sharded_step(params, opt_state, feat_state, agg_state, batch,
                       plan, rng):
         batch = _squeeze_batch(batch)
-        # global replica index across all mesh axes (row-major)
-        idx = jax.lax.axis_index(axes[0])
-        for ax in axes[1:]:
-            idx = idx * mesh.shape[ax] + jax.lax.axis_index(ax)
+        agg_state = _local_agg(agg_state)
+        idx = _replica_index()
         my_rng = jax.random.fold_in(rng, idx)
         loss, grads = jax.value_and_grad(per_device_loss)(
             params, feat_state, agg_state, plan, batch, my_rng)
         grads = clip_by_global_norm(grads, grad_clip)
         # reference sums gradients across replicas without dividing
-        # (`main.py:159`); on a hybrid mesh the sum spans both axes
-        grads = jax.lax.psum(grads, axes)
-        mean_loss = jax.lax.pmean(loss, axes)
+        # (`main.py:159`); on a hybrid DPxcache mesh the sum spans both
+        # axes (rep_axes == axes there); a sharded-agg part axis is
+        # excluded — its grads are already identical across parts
+        grads = jax.lax.psum(grads, rep_axes)
+        mean_loss = jax.lax.pmean(loss, rep_axes)
         updates, opt_state = optimizer.update(grads, opt_state, params)
         params = optax.apply_updates(params, updates)
         return params, opt_state, mean_loss
 
-    batch_spec = P(axes)
+    batch_spec = P(rep_axes)
     # donate params/opt_state: they are consumed and re-emitted every
     # step, so donation lets XLA update in place instead of holding two
     # copies of model + optimizer memory across the step boundary
     step = jax.jit(jax.shard_map(
         _sharded_step, mesh=mesh,
-        in_specs=(P(), P(), feature_source.state_spec(), P(), batch_spec,
-                  batch_spec, P()),
+        in_specs=(P(), P(), feature_source.state_spec(), agg_spec,
+                  batch_spec, batch_spec, P()),
         out_specs=(P(), P(), P()),
         check_vma=False,
     ), donate_argnums=(0, 1))
@@ -161,9 +196,8 @@ def build_step_fns(net, optimizer, sigmoid_loss: bool, mesh,
         out, so a grouped epoch IS the per-step schedule. Amortizes the
         per-dispatch host+relay latency that floors small-step training
         (~35 ms/call through this environment's TPU relay)."""
-        idx = jax.lax.axis_index(axes[0])
-        for ax in axes[1:]:
-            idx = idx * mesh.shape[ax] + jax.lax.axis_index(ax)
+        agg_state = _local_agg(agg_state)
+        idx = _replica_index()
 
         def body(carry, xs):
             params, opt_state = carry
@@ -173,8 +207,8 @@ def build_step_fns(net, optimizer, sigmoid_loss: bool, mesh,
             loss, grads = jax.value_and_grad(per_device_loss)(
                 params, feat_state, agg_state, plan, batch, my_rng)
             grads = clip_by_global_norm(grads, grad_clip)
-            grads = jax.lax.psum(grads, axes)
-            mean_loss = jax.lax.pmean(loss, axes)
+            grads = jax.lax.psum(grads, rep_axes)
+            mean_loss = jax.lax.pmean(loss, rep_axes)
             updates, new_opt = optimizer.update(grads, opt_state, params)
             new_params = optax.apply_updates(params, updates)
             keep = lambda n, o: jnp.where(v, n, o)
@@ -186,11 +220,11 @@ def build_step_fns(net, optimizer, sigmoid_loss: bool, mesh,
             body, (params, opt_state), (batches, plans, rngs, valid))
         return params, opt_state, losses
 
-    group_spec = P(None, axes)
+    group_spec = P(None, rep_axes)
     multi_step = jax.jit(jax.shard_map(
         _sharded_multi_step, mesh=mesh,
-        in_specs=(P(), P(), feature_source.state_spec(), P(), group_spec,
-                  group_spec, P(), P()),
+        in_specs=(P(), P(), feature_source.state_spec(), agg_spec,
+                  group_spec, group_spec, P(), P()),
         out_specs=(P(), P(), P()),
         check_vma=False,
     ), donate_argnums=(0, 1))
@@ -207,6 +241,7 @@ def build_step_fns(net, optimizer, sigmoid_loss: bool, mesh,
 
     def _sharded_eval(params, feat_state, agg_state, batch, plan):
         b = _squeeze_batch(batch)
+        agg_state = _local_agg(agg_state)
         x = feature_source.gather(feat_state, plan, b.input_nodes,
                                   b.input_mask)
         adjs = prepare_adjs(b, agg_state)
@@ -217,7 +252,7 @@ def build_step_fns(net, optimizer, sigmoid_loss: bool, mesh,
 
     eval_step = jax.jit(jax.shard_map(
         _sharded_eval, mesh=mesh,
-        in_specs=(P(), feature_source.state_spec(), P(), batch_spec,
+        in_specs=(P(), feature_source.state_spec(), agg_spec, batch_spec,
                   batch_spec),
         out_specs=(batch_spec, batch_spec),
         check_vma=False,
@@ -239,8 +274,8 @@ def build_step_fns(net, optimizer, sigmoid_loss: bool, mesh,
 
         return jax.jit(jax.shard_map(
             _packed, mesh=mesh,
-            in_specs=(P(), P(), feature_source.state_spec(), P(), P(),
-                      batch_spec),
+            in_specs=(P(), P(), feature_source.state_spec(), agg_spec,
+                      P(), batch_spec),
             out_specs=(P(), P(), P()),
             check_vma=False,
         ), donate_argnums=(0, 1))
@@ -256,7 +291,8 @@ def build_step_fns(net, optimizer, sigmoid_loss: bool, mesh,
 
         return jax.jit(jax.shard_map(
             _packed, mesh=mesh,
-            in_specs=(P(), feature_source.state_spec(), P(), batch_spec),
+            in_specs=(P(), feature_source.state_spec(), agg_spec,
+                      batch_spec),
             out_specs=(batch_spec, batch_spec),
             check_vma=False,
         ))
@@ -280,8 +316,8 @@ def build_step_fns(net, optimizer, sigmoid_loss: bool, mesh,
 
         return jax.jit(jax.shard_map(
             _packed, mesh=mesh,
-            in_specs=(P(), P(), feature_source.state_spec(), P(), P(),
-                      batch_spec),
+            in_specs=(P(), P(), feature_source.state_spec(), agg_spec,
+                      P(), batch_spec),
             out_specs=(P(), P(), P()),
             check_vma=False,
         ), donate_argnums=(0, 1))
@@ -300,8 +336,8 @@ def build_step_fns(net, optimizer, sigmoid_loss: bool, mesh,
 
         return jax.jit(jax.shard_map(
             _typed, mesh=mesh,
-            in_specs=(P(), P(), feature_source.state_spec(), P(), P(),
-                      batch_spec),
+            in_specs=(P(), P(), feature_source.state_spec(), agg_spec,
+                      P(), batch_spec),
             out_specs=(P(), P(), P()),
             check_vma=False,
         ), donate_argnums=(0, 1))
@@ -323,8 +359,8 @@ def build_step_fns(net, optimizer, sigmoid_loss: bool, mesh,
 
         return jax.jit(jax.shard_map(
             _typed, mesh=mesh,
-            in_specs=(P(), P(), feature_source.state_spec(), P(), P(),
-                      batch_spec),
+            in_specs=(P(), P(), feature_source.state_spec(), agg_spec,
+                      P(), batch_spec),
             out_specs=(P(), P(), P()),
             check_vma=False,
         ), donate_argnums=(0, 1))
@@ -337,7 +373,8 @@ def build_step_fns(net, optimizer, sigmoid_loss: bool, mesh,
 
         return jax.jit(jax.shard_map(
             _typed, mesh=mesh,
-            in_specs=(P(), feature_source.state_spec(), P(), batch_spec),
+            in_specs=(P(), feature_source.state_spec(), agg_spec,
+                      batch_spec),
             out_specs=(batch_spec, batch_spec),
             check_vma=False,
         ))
@@ -363,7 +400,8 @@ def build_step_fns(net, optimizer, sigmoid_loss: bool, mesh,
 
         return jax.jit(jax.shard_map(
             _packed, mesh=mesh,
-            in_specs=(P(), P(), feature_source.state_spec(), P(), P())
+            in_specs=(P(), P(), feature_source.state_spec(), agg_spec,
+                      P())
             + tuple(batch_spec for _ in chunk_widths),
             out_specs=(P(), P(), P()),
             check_vma=False,

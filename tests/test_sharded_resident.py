@@ -1,0 +1,214 @@
+"""Part-axis-sharded resident graph (gnn_tpu/parallel/shardedresident):
+psum-gather lookups, the partial-psum hot matmul, and the hybrid
+DP x part train step must all agree exactly with the replicated
+resident path (same batches, same math — only the state layout and the
+collectives differ)."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax.sharding import Mesh, PartitionSpec as P
+
+from gnn_tpu.ops.hotdense import HotSpec, build_hot_dense
+from gnn_tpu.ops.residentgraph import ResidentGraph, build_resident_graph
+from gnn_tpu.ops.sparse import spmm, spmm_transpose
+from gnn_tpu.parallel.shardedresident import (ShardedResidentGraph,
+                                              build_sharded_resident,
+                                              local_shard)
+from gnn_tpu.placement.engine import compute_sample_prob
+from gnn_tpu.sampling.ladies import SamplerConfig, ladies_sample
+from gnn_tpu.utils.normalize import build_laplacian
+
+N_PARTS = 4
+
+
+def _part_mesh():
+    if jax.device_count() < N_PARTS:
+        pytest.skip("needs 4 virtual devices")
+    return Mesh(np.asarray(jax.devices()[:N_PARTS]), ("part",))
+
+
+def _setup(graph, hot_k=256, orders=(1, 1), samp=128, batch=64,
+           val_free=True):
+    lap = build_laplacian(graph.adj_full, "graphsage")
+    prob = compute_sample_prob(lap, graph.train_nodes, sum(orders))
+    spec = HotSpec.from_sample_prob(prob, hot_k)
+    dense, dense_t = build_hot_dense(lap, spec, np.float32)
+    cfg = SamplerConfig(batch_size=batch, samp_num=samp, orders=orders,
+                        num_nodes=graph.adj_full.shape[0],
+                        num_classes=graph.num_classes, hot_spec=spec,
+                        adj_format="resident", compress=False,
+                        resident_ship_cold=True,
+                        resident_val_free=val_free)
+    host = build_resident_graph(lap, spec, dense, dense_t)
+    n, k = host.pop("n"), host.pop("k")
+    host.pop("val_free")
+    g_rep = ResidentGraph(**{f: jnp.asarray(v) for f, v in host.items()},
+                          n=n, k=k)
+    g_sh, const = build_sharded_resident(lap, spec, dense, dense_t,
+                                         N_PARTS)
+    assert const is True  # binary synthetic adjacency
+    return lap, spec, cfg, g_rep, g_sh
+
+
+def test_sharded_lookups_match_table(small_graph):
+    mesh = _part_mesh()
+    lap, spec, cfg, g_rep, g_sh = _setup(small_graph)
+    n = lap.shape[0]
+    rng = np.random.default_rng(0)
+    # mix of real ids, the pad id n, and ids inside the last shard's
+    # padded tail
+    ids = np.concatenate([rng.integers(0, n, 500),
+                          [n, n - 1, 0, N_PARTS * g_sh.nsh - 1]])
+    ids = jnp.asarray(ids.astype(np.int32))
+
+    def f(gs, ids):
+        g = local_shard(gs)
+        return (g.slot_lookup(ids)[None], g.rowval_lookup(ids)[None])
+
+    slots, rowv = jax.jit(jax.shard_map(
+        f, mesh=mesh, in_specs=(P("part"), P()),
+        out_specs=(P("part"), P("part")), check_vma=False))(g_sh, ids)
+    slots, rowv = np.asarray(slots), np.asarray(rowv)
+    want_slot = np.asarray(g_rep.slot_lookup(ids))
+    want_rv = np.asarray(g_rep.rowval_lookup(ids))
+    # rowval_lookup differs on the pad id by design (clip vs 0) — both
+    # are masked downstream; compare real ids exactly
+    real = np.asarray(ids) < n
+    for p in range(N_PARTS):
+        np.testing.assert_array_equal(slots[p], want_slot)
+        np.testing.assert_allclose(rowv[p][real], want_rv[real])
+
+
+@pytest.mark.parametrize("val_free", [True, False])
+@pytest.mark.parametrize("orders", [(1, 1), (1, 0, 1)])
+def test_sharded_materialize_matches_replicated(small_graph, orders,
+                                                val_free):
+    """Forward and transpose aggregation through the sharded blocks
+    (partial matmul + psum) equal the replicated resident rebuild on
+    every part."""
+    mesh = _part_mesh()
+    lap, spec, cfg, g_rep, g_sh = _setup(small_graph, orders=orders,
+                                         val_free=val_free)
+    mb = ladies_sample(cfg, 5, small_graph.train_nodes[:64], lap,
+                       small_graph.labels)
+    adjs = list(mb.adjs)
+    samp = [jnp.asarray(s) for s in mb.sampled_nodes]
+    inp = jnp.asarray(mb.input_nodes)
+
+    from gnn_tpu.ops.residentgraph import materialize_adjs
+    ref_adjs = materialize_adjs(g_rep, adjs, samp, inp)
+    rng = np.random.default_rng(1)
+    xs = [None if a is None else
+          jnp.asarray(rng.normal(size=(a.ncols, 8)).astype(np.float32))
+          for a in ref_adjs]
+    gs = [None if a is None else
+          jnp.asarray(rng.normal(size=(a.nrows, 8)).astype(np.float32))
+          for a in ref_adjs]
+
+    def f(g_stacked, adjs, samp, inp, xs, gs):
+        g = local_shard(g_stacked)
+        mat = materialize_adjs(g, adjs, samp, inp)
+        ys = [spmm(a, x)[None] for a, x in zip(mat, xs) if a is not None]
+        dxs = [spmm_transpose(a, gg)[None]
+               for a, gg in zip(mat, gs) if a is not None]
+        return ys, dxs
+
+    ys, dxs = jax.jit(jax.shard_map(
+        f, mesh=mesh,
+        in_specs=(P("part"), P(), P(), P(), P(), P()),
+        out_specs=(P("part"), P("part")), check_vma=False))(
+        g_sh, adjs, samp, inp, xs, gs)
+
+    li = 0
+    for l, a in enumerate(ref_adjs):
+        if a is None:
+            continue
+        want_y = np.asarray(spmm(a, xs[l]))
+        want_dx = np.asarray(spmm_transpose(a, gs[l]))
+        got_y, got_dx = np.asarray(ys[li]), np.asarray(dxs[li])
+        li += 1
+        for p in range(N_PARTS):
+            np.testing.assert_allclose(got_y[p], want_y, rtol=2e-5,
+                                       atol=2e-5, err_msg=f"l{l} p{p}")
+            np.testing.assert_allclose(got_dx[p], want_dx, rtol=2e-5,
+                                       atol=2e-5, err_msg=f"l{l} p{p}")
+
+
+def test_sharded_train_step_matches_dp(small_graph):
+    """One DP(2) x part(4) hybrid train step == the plain DP(2) step
+    with the replicated resident graph: identical loss and parameters
+    (the sharded hot psum reconstructs the same layer outputs, and the
+    gradient psum spans only the data axis)."""
+    if jax.device_count() < 8:
+        pytest.skip("needs 8 virtual devices")
+    import optax
+
+    from gnn_tpu.models.gnn import build_model
+    from gnn_tpu.parallel.mesh import make_mesh, put_replicated
+    from gnn_tpu.parallel.multihost import make_hybrid_mesh
+    from gnn_tpu.sampling.ladies import to_device_batch
+    from gnn_tpu.sampling.pipeline import BatchPipeline
+    from gnn_tpu.train.trainer import (ReplicatedFeatures,
+                                       build_step_fns, prepare_adjs)
+
+    lap, spec, cfg, g_rep, g_sh = _setup(small_graph)
+    pipe = BatchPipeline(cfg, lap, small_graph.labels, world_size=2,
+                         pool_num=2)
+    mbs = list(pipe.train_epoch(small_graph.train_nodes, epoch=0))[:2]
+    net = build_model("graphsage", nhid=16, orders=cfg.orders,
+                      num_classes=small_graph.num_classes)
+    feats = ReplicatedFeatures(small_graph.feats)
+    opt = optax.adam(0.05)
+
+    batch0 = to_device_batch(mbs[0])
+    one = jax.tree_util.tree_map(lambda a: a[0], batch0)
+    x0 = jnp.zeros((one.input_nodes.shape[0], small_graph.feats.shape[1]),
+                   jnp.float32)
+    params0 = net.init(jax.random.PRNGKey(0), x0,
+                       prepare_adjs(one, (g_rep,)),
+                       list(one.sampled_nodes))
+    rng = jax.random.PRNGKey(7)
+
+    results = {}
+    for name, mesh, agg, part_axis in [
+            ("dp", make_mesh(2), (g_rep,), None),
+            ("hybrid", make_hybrid_mesh(dp=2, part=N_PARTS), (g_sh,),
+             "part")]:
+        fns = build_step_fns(net, opt, False, mesh, feats,
+                             part_axis=part_axis)
+        # fresh buffers per mesh: the donated train step deletes its
+        # inputs, and device_put can alias on the CPU backend
+        copy = jax.tree_util.tree_map(jnp.array, params0)
+        params = put_replicated(mesh, copy)
+        opt_state = put_replicated(mesh, opt.init(copy))
+        feat_state = put_replicated(mesh, feats.state())
+        losses = []
+        for mb in mbs:
+            batch = to_device_batch(mb)
+            plan = feats.plan(mb)
+            params, opt_state, loss = fns.train_step(
+                params, opt_state, feat_state, agg, batch, plan, rng)
+            losses.append(float(loss))
+        results[name] = (jax.tree_util.tree_map(np.asarray, params),
+                         losses)
+
+    np.testing.assert_allclose(results["hybrid"][1], results["dp"][1],
+                               rtol=1e-5, atol=1e-6)
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_allclose(a, b, rtol=2e-4,
+                                                atol=2e-5),
+        results["hybrid"][0], results["dp"][0])
+
+
+def test_sharded_memory_divides(small_graph):
+    """The per-part resident footprint is ~1/P of the replicated one
+    (the reason this mode exists: MAG240M-class state per chip)."""
+    lap, spec, cfg, g_rep, g_sh = _setup(small_graph)
+    rep_bytes = sum(np.asarray(a).nbytes for a in
+                    jax.tree_util.tree_leaves(
+                        (g_rep.slot_of_node, g_rep.row_val, g_rep.dense,
+                         g_rep.dense_t)))
+    part_bytes = sum(np.asarray(a).nbytes // N_PARTS for a in
+                     jax.tree_util.tree_leaves(g_sh))
+    assert part_bytes <= rep_bytes / N_PARTS * 1.05
