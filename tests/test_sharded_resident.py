@@ -201,6 +201,72 @@ def test_sharded_train_step_matches_dp(small_graph):
         results["hybrid"][0], results["dp"][0])
 
 
+def test_sharded_multi_step_and_eval_match_dp(small_graph):
+    """The grouped lax.scan train path and the sharded eval path also
+    work with part-sharded aggregation state: G=2 steps in one dispatch
+    match the plain DP multi-step, and eval losses agree."""
+    if jax.device_count() < 8:
+        pytest.skip("needs 8 virtual devices")
+    import optax
+
+    from gnn_tpu.models.gnn import build_model
+    from gnn_tpu.parallel.mesh import make_mesh, put_replicated
+    from gnn_tpu.parallel.multihost import make_hybrid_mesh
+    from gnn_tpu.sampling.ladies import to_device_batch
+    from gnn_tpu.sampling.pipeline import BatchPipeline
+    from gnn_tpu.train.trainer import (ReplicatedFeatures,
+                                       build_step_fns, prepare_adjs)
+
+    lap, spec, cfg, g_rep, g_sh = _setup(small_graph)
+    pipe = BatchPipeline(cfg, lap, small_graph.labels, world_size=2,
+                         pool_num=2)
+    mbs = list(pipe.train_epoch(small_graph.train_nodes, epoch=0))[:2]
+    net = build_model("graphsage", nhid=16, orders=cfg.orders,
+                      num_classes=small_graph.num_classes)
+    feats = ReplicatedFeatures(small_graph.feats)
+    opt = optax.adam(0.05)
+
+    batch0 = to_device_batch(mbs[0])
+    one = jax.tree_util.tree_map(lambda a: a[0], batch0)
+    x0 = jnp.zeros((one.input_nodes.shape[0], small_graph.feats.shape[1]),
+                   jnp.float32)
+    params0 = net.init(jax.random.PRNGKey(0), x0,
+                       prepare_adjs(one, (g_rep,)),
+                       list(one.sampled_nodes))
+    rng = jax.random.PRNGKey(7)
+    rngs = jnp.stack([rng, jax.random.fold_in(rng, 1)])
+    valid = jnp.array([True, True])
+
+    gmb, n_valid = next(iter(pipe.train_epoch_grouped(
+        small_graph.train_nodes, epoch=0, group=2)))
+    assert n_valid == 2
+    batches = to_device_batch(gmb)
+    plans = ()
+
+    results = {}
+    for name, mesh, agg, part_axis in [
+            ("dp", make_mesh(2), (g_rep,), None),
+            ("hybrid", make_hybrid_mesh(dp=2, part=N_PARTS), (g_sh,),
+             "part")]:
+        fns = build_step_fns(net, opt, False, mesh, feats,
+                             part_axis=part_axis)
+        copy = jax.tree_util.tree_map(jnp.array, params0)
+        params = put_replicated(mesh, copy)
+        opt_state = put_replicated(mesh, opt.init(copy))
+        feat_state = put_replicated(mesh, feats.state())
+        params, opt_state, losses = fns.train_multi_step(
+            params, opt_state, feat_state, agg, batches, plans, rngs,
+            valid)
+        _, eloss = fns.eval_step(params, feat_state, agg, batch0,
+                                 feats.plan(mbs[0]))
+        results[name] = (np.asarray(losses), np.asarray(eloss))
+
+    np.testing.assert_allclose(results["hybrid"][0], results["dp"][0],
+                               rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(results["hybrid"][1], results["dp"][1],
+                               rtol=1e-5, atol=1e-6)
+
+
 def test_sharded_memory_divides(small_graph):
     """The per-part resident footprint is ~1/P of the replicated one
     (the reason this mode exists: MAG240M-class state per chip)."""
