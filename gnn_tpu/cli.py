@@ -71,6 +71,13 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--hot_k", type=int, default=16384,
                    help="hot-subgraph size (top-K nodes by sample_prob) "
                         "for --adj_format hot")
+    p.add_argument("--resident_parts", type=int, default=0,
+                   help="shard the resident state (slot table, row "
+                        "values, hot blocks) over a 'part' mesh axis of "
+                        "this size (resident format only): training "
+                        "runs DP(n_devices) x part on a hybrid mesh — "
+                        "for graphs whose resident state exceeds one "
+                        "chip's HBM (gnn_tpu.parallel.shardedresident)")
     p.add_argument("--hot_dtype", type=str, default="bfloat16",
                    choices=["float32", "bfloat16"],
                    help="resident hot-block dtype; bfloat16 (default) "
@@ -270,11 +277,26 @@ def main(argv=None) -> int:
         source = CachedFeatures(graph.feats, placement, dtype=feat_dtype)
     else:
         source = ReplicatedFeatures(graph.feats, dtype=feat_dtype)
-    trainer = Trainer(net, pipe, graph.feats, mesh=make_mesh(n_devices),
+    if args.resident_parts > 1:
+        # DP(n_devices) x part(resident_parts) hybrid mesh with the
+        # resident state sharded over 'part'
+        if args.adj_format != "resident":
+            raise SystemExit("--resident_parts needs --adj_format "
+                             "resident")
+        if args.feature_cache:
+            raise SystemExit("--resident_parts with --feature_cache is "
+                             "not supported yet (both claim the 'part' "
+                             "axis)")
+        from gnn_tpu.parallel.multihost import make_hybrid_mesh
+        mesh = make_hybrid_mesh(dp=n_devices, part=args.resident_parts)
+    else:
+        mesh = make_mesh(n_devices)
+    trainer = Trainer(net, pipe, graph.feats, mesh=mesh,
                       lr=args.lr, sigmoid_loss=args.sigmoid_loss,
                       seed=args.seed, feature_source=source,
                       hot_dense=hot_dense,
                       resident_graph=resident_graph,
+                      resident_parts=args.resident_parts,
                       steps_per_dispatch=args.steps_per_dispatch)
 
     rank_chunks = None

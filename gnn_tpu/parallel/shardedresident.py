@@ -100,6 +100,35 @@ def local_shard(g_stacked) -> "ShardedResidentGraph":
     return jax.tree_util.tree_map(lambda a: a[0], g_stacked)
 
 
+def shard_resident_state(rg: dict, n_parts: int,
+                         axis: str = PART_AXIS) -> "ShardedResidentGraph":
+    """Convert a `build_resident_graph` host dict into stacked part
+    shards (the Trainer-facing entry: the dict already carries the slot
+    table, row values and dense blocks). The CSR members (row_ptr/
+    col_idx/val) are dropped — the sharded path is lite-mode only and
+    needs no device CSR (see module docstring)."""
+    n, k = int(rg["n"]), int(rg["k"])
+    if k % n_parts:
+        raise ValueError(f"hot slot count k={k} (a multiple of 128) "
+                         f"must divide by n_parts={n_parts}")
+    ksh = k // n_parts
+    nsh = -(-n // n_parts)
+    slot = np.full(n_parts * nsh, -1, np.int32)
+    slot[:n] = np.asarray(rg["slot_of_node"], np.int32)
+    rvp = np.zeros(n_parts * nsh, np.float32)
+    rvp[:n] = np.asarray(rg["row_val"], np.float32)
+    d = np.asarray(rg["dense"])
+    dt = np.asarray(rg["dense_t"])
+    return ShardedResidentGraph(
+        slot_shard=slot.reshape(n_parts, nsh),
+        row_val_shard=rvp.reshape(n_parts, nsh),
+        dense=np.stack([d[:, p * ksh:(p + 1) * ksh]
+                        for p in range(n_parts)]),
+        dense_t=np.stack([dt[:, p * ksh:(p + 1) * ksh]
+                          for p in range(n_parts)]),
+        n=n, k=k, nsh=nsh, part_axis=axis)
+
+
 def build_sharded_resident(lap: sp.csr_matrix, spec: HotSpec, dense,
                            dense_t, n_parts: int, axis: str = PART_AXIS):
     """Host-side stacked shards (leading axis = part, for in_spec

@@ -34,8 +34,7 @@ import optax
 from jax.sharding import PartitionSpec as P
 
 from gnn_tpu.parallel.feature_cache import ReplicatedFeatures
-from gnn_tpu.parallel.mesh import (data_sharded, make_mesh, put_batch,
-                                   put_grouped_batch, put_replicated,
+from gnn_tpu.parallel.mesh import (make_mesh, put_replicated,
                                    replicated as replicated_sharding)
 from gnn_tpu.sampling.ladies import DeviceBatch, to_device_batch
 from gnn_tpu.train.loss import calc_f1, masked_loss, predict_proba
@@ -473,7 +472,8 @@ class Trainer:
     def __init__(self, net, pipeline, feats: np.ndarray, mesh=None,
                  lr: float = 0.01, sigmoid_loss: bool = True,
                  seed: int = 0, feature_source=None, hot_dense=None,
-                 steps_per_dispatch: int = 1, resident_graph=None):
+                 steps_per_dispatch: int = 1, resident_graph=None,
+                 resident_parts: int = 0):
         self.net = net
         self.pipeline = pipeline
         self.mesh = mesh if mesh is not None else make_mesh(
@@ -481,8 +481,30 @@ class Trainer:
         self.feature_source = (feature_source if feature_source is not None
                                else ReplicatedFeatures(feats))
         self.optimizer = optax.adam(lr)
+        # resident_parts > 1: shard the resident-graph state over the
+        # mesh's 'part' axis (gnn_tpu.parallel.shardedresident) — for
+        # graphs whose slot table / hot blocks exceed one chip's HBM.
+        # Batches stay data-parallel over the remaining axes.
+        self.part_axis = None
+        if resident_parts and resident_parts > 1:
+            if resident_graph is None:
+                raise ValueError("resident_parts needs resident_graph")
+            from gnn_tpu.parallel.multihost import PART_AXIS
+            if (PART_AXIS not in self.mesh.axis_names
+                    or self.mesh.shape[PART_AXIS] != resident_parts):
+                raise ValueError(
+                    f"resident_parts={resident_parts} needs a mesh with "
+                    f"a '{PART_AXIS}' axis of that size (got "
+                    f"{dict(self.mesh.shape)}); use make_hybrid_mesh")
+            self.part_axis = PART_AXIS
+        self._rep_axes = tuple(a for a in self.mesh.axis_names
+                               if a != self.part_axis)
+        from jax.sharding import NamedSharding as _NS
+        self._batch_sh = _NS(self.mesh, P(self._rep_axes))
+        self._gbatch_sh = _NS(self.mesh, P(None, self._rep_axes))
         self.fns = build_step_fns(net, self.optimizer, sigmoid_loss,
-                                  self.mesh, self.feature_source)
+                                  self.mesh, self.feature_source,
+                                  part_axis=self.part_axis)
         self.sigmoid_loss = sigmoid_loss
         # >1: run this many train steps per dispatch (one H2D + one jitted
         # lax.scan), amortizing per-call host/relay latency
@@ -530,7 +552,28 @@ class Trainer:
         # adj_format='hot', replicated across the mesh once at setup —
         # never re-shipped per step
         self.agg_state = ()
-        if resident_graph is not None:
+        self._init_agg_state = None  # replicated view for net.init only
+        if resident_graph is not None and self.part_axis is not None:
+            # part-sharded resident state: stacked [P, ...] shards,
+            # device_put split over the part axis. Param init runs one
+            # forward through a REPLICATED view (flax init is eager, so
+            # this briefly materializes the full blocks on the default
+            # device — init at beyond-one-chip scale is round-3 work;
+            # shapes, not adjacency values, determine the params)
+            from gnn_tpu.ops.residentgraph import ResidentGraph
+            from gnn_tpu.parallel.shardedresident import \
+                shard_resident_state
+            g_sh = shard_resident_state(dict(resident_graph),
+                                        resident_parts)
+            shp = NamedSharding(self.mesh, P(self.part_axis))
+            self.agg_state = (jax.tree_util.tree_map(
+                lambda a: jax.device_put(jnp.asarray(a), shp), g_sh),)
+            rg = dict(resident_graph)
+            rg.pop("val_free", None)
+            n, k = rg.pop("n"), rg.pop("k")
+            self._init_agg_state = (ResidentGraph(
+                **{f: np.asarray(v) for f, v in rg.items()}, n=n, k=k),)
+        elif resident_graph is not None:
             # resident-graph mode (adj_format='resident'): full CSR +
             # hot tables + dense blocks live in HBM; per-step payloads
             # carry only node ids + normfact (gnn_tpu.ops.residentgraph)
@@ -558,8 +601,10 @@ class Trainer:
         one = jax.tree_util.tree_map(lambda a: a[0], batch)
         x = jnp.asarray(np.zeros(
             (one.input_nodes.shape[0], self.n_feats), np.float32))
+        init_agg = (self._init_agg_state if self._init_agg_state
+                    is not None else self.agg_state)
         self.params = self.net.init(jax.random.PRNGKey(0), x,
-                                    prepare_adjs(one, self.agg_state),
+                                    prepare_adjs(one, init_agg),
                                     list(one.sampled_nodes))
         self.opt_state = self.optimizer.init(self.params)
         self.params = put_replicated(self.mesh, self.params)
@@ -612,7 +657,7 @@ class Trainer:
                     out=None if self._buf_pool is None else
                     self._buf_pool.get(
                         spec.ws, spec.row_bytes + packbuf.TRAILER_BYTES))
-                dev_buf = jax.device_put(buf, data_sharded(self.mesh))
+                dev_buf = jax.device_put(buf, self._batch_sh)
                 t2 = time.perf_counter()
                 t_move += t2 - t1
                 self.params, self.opt_state, loss = self._packed_fn(
@@ -621,8 +666,8 @@ class Trainer:
                 self._last_host_batch, self._last_host_plan = batch, plan
                 self._last_dev_batch = None
             else:
-                dev_batch = put_batch(self.mesh, batch)
-                dev_plan = put_batch(self.mesh, plan)
+                dev_batch = self._put_b(batch)
+                dev_plan = self._put_b(plan)
                 t2 = time.perf_counter()
                 t_move += t2 - t1
                 # per-step dropout key: fold_in(epoch_key, step) — the
@@ -657,10 +702,21 @@ class Trainer:
                             sample_wait_time=t_sample,
                             total_time=t_total)
 
+    def _put_b(self, tree):
+        """device_put a stacked [ws, ...] batch tree: leading axis over
+        the replica axes (replicated over a part axis when present)."""
+        return jax.tree_util.tree_map(
+            lambda a: jax.device_put(a, self._batch_sh), tree)
+
+    def _put_gb(self, tree):
+        """device_put a grouped [G, ws, ...] tree (group axis whole)."""
+        return jax.tree_util.tree_map(
+            lambda a: jax.device_put(a, self._gbatch_sh), tree)
+
     def _put_pools(self, pools):
         """device_put each typed pool from a worker thread (parallel
         wire streams; see transport study in RESULTS.md)."""
-        sh = data_sharded(self.mesh)
+        sh = self._batch_sh
         if len(pools) <= 1 or self._xfer is None:
             return jax.device_put(pools, sh)
         futs = {d: self._xfer.submit(jax.device_put, a, sh)
@@ -753,7 +809,7 @@ class Trainer:
                     out=None if self._buf_pool is None else
                     self._buf_pool.get(
                         spec.ws, spec.row_bytes + packbuf.TRAILER_BYTES))
-                dev_buf = jax.device_put(buf, data_sharded(self.mesh))
+                dev_buf = jax.device_put(buf, self._batch_sh)
                 t2 = time.perf_counter()
                 t_move += t2 - t1
                 self.params, self.opt_state, losses = self._packed_fn(
@@ -763,8 +819,8 @@ class Trainer:
                 self._last_host_batch, self._last_host_plan = batch, plan
                 self._last_dev_batch = None
             else:
-                dev_batch = put_grouped_batch(self.mesh, batch)
-                dev_plan = put_grouped_batch(self.mesh, plan)
+                dev_batch = self._put_gb(batch)
+                dev_plan = self._put_gb(plan)
                 t2 = time.perf_counter()
                 t_move += t2 - t1
                 # per-step keys: fold_in(epoch_key, global step index) —
@@ -835,10 +891,11 @@ class Trainer:
             # once here for the isolated-op timing
             if getattr(self, "_last_host_batch", None) is None:
                 return (float("nan"),) * 3
-            put = (put_grouped_batch if
-                   getattr(self, "_last_is_grouped", False) else put_batch)
-            self._last_dev_batch = put(self.mesh, self._last_host_batch)
-            self._last_plan = put(self.mesh, self._last_host_plan) \
+            put = (self._put_gb if
+                   getattr(self, "_last_is_grouped", False) else
+                   self._put_b)
+            self._last_dev_batch = put(self._last_host_batch)
+            self._last_plan = put(self._last_host_plan) \
                 if self._last_host_plan != () else ()
         from gnn_tpu.ops.sparse import spmm, spmm_transpose
 
@@ -926,6 +983,39 @@ class Trainer:
             # device-side feature gather); with packed transport this
             # also collapses each dispatch's H2D to one array
             return self._evaluate_sharded(target_nodes, batch_size)
+        if self.part_axis is not None and self.params is not None:
+            # part-sharded aggregation state lives only inside the
+            # shard_mapped step fns — run val batches through eval_step
+            # with the batch repeated across the replica axes (every
+            # replica computes the same batch; row 0 is the answer)
+            ws = int(np.prod([self.mesh.shape[a]
+                              for a in self._rep_axes]))
+            total_f1 = total_n = 0
+            total_loss = 0.0
+            n_batches = 0
+            rep = lambda a: np.repeat(np.asarray(a), ws, axis=0)
+            for mb in self.pipeline.eval_batches(target_nodes,
+                                                 batch_size, mode):
+                batch = jax.tree_util.tree_map(rep, to_device_batch(mb))
+                plan = jax.tree_util.tree_map(
+                    rep, self.feature_source.plan(mb))
+                outs, losses = self.fns.eval_step(
+                    self.params, self.feat_state, self.agg_state,
+                    self._put_b(batch), self._put_b(plan))
+                labels = mb.labels[0]
+                mask = mb.label_mask[0].astype(bool)
+                proba = np.asarray(predict_proba(np.asarray(outs)[0],
+                                                 self.sigmoid_loss))
+                f1_mic, _ = calc_f1(labels[mask],
+                                    proba[: labels.shape[0]][mask],
+                                    self.sigmoid_loss)
+                n = int(mask.sum())
+                total_f1 += f1_mic * n
+                total_n += n
+                total_loss += float(np.asarray(losses)[0])
+                n_batches += 1
+            return (total_f1 / max(total_n, 1),
+                    total_loss / max(n_batches, 1))
         total_f1 = 0.0
         total_n = 0
         total_loss = 0.0
@@ -987,12 +1077,12 @@ class Trainer:
                     out=None if self._buf_pool is None else
                     self._buf_pool.get(
                         spec.ws, spec.row_bytes + packbuf.TRAILER_BYTES))
-                dev_buf = jax.device_put(buf, data_sharded(self.mesh))
+                dev_buf = jax.device_put(buf, self._batch_sh)
                 outs, losses = fn(self.params, self.feat_state,
                                   self.agg_state, dev_buf)
             else:
-                dev_batch = put_batch(self.mesh, batch)
-                dev_plan = put_batch(self.mesh, plan)
+                dev_batch = self._put_b(batch)
+                dev_plan = self._put_b(plan)
                 outs, losses = self.fns.eval_step(
                     self.params, self.feat_state, self.agg_state,
                     dev_batch, dev_plan)

@@ -267,6 +267,51 @@ def test_sharded_multi_step_and_eval_match_dp(small_graph):
                                rtol=1e-5, atol=1e-6)
 
 
+def test_sharded_trainer_e2e_matches_replicated(small_graph):
+    """Full Trainer plumbing (`resident_parts=4` on the hybrid mesh):
+    one epoch of training + val evaluation + full test sweep match the
+    replicated resident trainer (same seeds; only the state layout and
+    collectives differ)."""
+    if jax.device_count() < 8:
+        pytest.skip("needs 8 virtual devices")
+    from gnn_tpu.models.gnn import build_model
+    from gnn_tpu.parallel.mesh import make_mesh
+    from gnn_tpu.parallel.multihost import make_hybrid_mesh
+    from gnn_tpu.sampling.pipeline import BatchPipeline
+    from gnn_tpu.train.trainer import Trainer
+
+    lap, spec, cfg, g_rep, g_sh = _setup(small_graph)
+    from gnn_tpu.ops.hotdense import build_hot_dense
+    from gnn_tpu.ops.residentgraph import build_resident_graph
+    dense, dense_t = build_hot_dense(lap, spec, np.float32)
+    host = build_resident_graph(lap, spec, dense, dense_t)
+
+    results = {}
+    for name, mesh, parts in [
+            ("rep", make_mesh(2), 0),
+            ("sharded", make_hybrid_mesh(dp=2, part=N_PARTS), N_PARTS)]:
+        pipe = BatchPipeline(cfg, lap, small_graph.labels, world_size=2,
+                             pool_num=2)
+        net = build_model("graphsage", nhid=32, orders=cfg.orders,
+                          num_classes=small_graph.num_classes)
+        tr = Trainer(net, pipe, small_graph.feats, mesh=mesh, lr=0.05,
+                     sigmoid_loss=False, seed=3, resident_graph=host,
+                     resident_parts=parts)
+        m = tr.train_epoch(small_graph.train_nodes, epoch=0)
+        f1, vloss = tr.evaluate(small_graph.valid_nodes, 128, "val")
+        test_f1 = tr.test(small_graph.test_nodes, batch_size=128)
+        results[name] = (m.train_loss, vloss, f1, test_f1)
+
+    assert results["sharded"][0] == pytest.approx(results["rep"][0],
+                                                  abs=2e-4)
+    assert results["sharded"][1] == pytest.approx(results["rep"][1],
+                                                  abs=2e-3)
+    assert results["sharded"][2] == pytest.approx(results["rep"][2],
+                                                  abs=2e-2)
+    assert results["sharded"][3] == pytest.approx(results["rep"][3],
+                                                  abs=2e-2)
+
+
 def test_sharded_memory_divides(small_graph):
     """The per-part resident footprint is ~1/P of the replicated one
     (the reason this mode exists: MAG240M-class state per chip)."""
