@@ -886,6 +886,10 @@ class Trainer:
         shapes make the cost epoch-invariant."""
         if getattr(self, "_op_buckets", None) is not None:
             return self._op_buckets
+        if self.part_axis is not None:
+            # isolated-op timing materializes layers outside shard_map,
+            # which cannot hold part-sharded aggregation state
+            return (float("nan"),) * 3
         if getattr(self, "_last_dev_batch", None) is None:
             # packed transport keeps the last batch host-side; ship it
             # once here for the isolated-op timing

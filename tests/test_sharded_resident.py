@@ -312,6 +312,52 @@ def test_sharded_trainer_e2e_matches_replicated(small_graph):
                                                   abs=2e-2)
 
 
+def _sharded_trainer(graph):
+    from gnn_tpu.models.gnn import build_model
+    from gnn_tpu.ops.hotdense import build_hot_dense
+    from gnn_tpu.ops.residentgraph import build_resident_graph
+    from gnn_tpu.parallel.multihost import make_hybrid_mesh
+    from gnn_tpu.sampling.pipeline import BatchPipeline
+    from gnn_tpu.train.trainer import Trainer
+
+    lap, spec, cfg, g_rep, g_sh = _setup(graph)
+    dense, dense_t = build_hot_dense(lap, spec, np.float32)
+    host = build_resident_graph(lap, spec, dense, dense_t)
+    pipe = BatchPipeline(cfg, lap, graph.labels, world_size=2,
+                         pool_num=2)
+    net = build_model("graphsage", nhid=32, orders=cfg.orders,
+                      num_classes=graph.num_classes)
+    return Trainer(net, pipe, graph.feats,
+                   mesh=make_hybrid_mesh(dp=2, part=N_PARTS), lr=0.05,
+                   sigmoid_loss=False, seed=3, resident_graph=host,
+                   resident_parts=N_PARTS)
+
+
+def test_sharded_resume_reproduces_loss_curve(small_graph, tmp_path):
+    """Exact-replay resume holds with part-sharded aggregation state
+    (checkpoints carry params/opt_state only; the sharded state is
+    rebuilt at construction, and sampling/dropout are epoch-keyed)."""
+    if jax.device_count() < 8:
+        pytest.skip("needs 8 virtual devices")
+    tr_full = _sharded_trainer(small_graph)
+    hist_full = tr_full.fit(small_graph.train_nodes,
+                            small_graph.valid_nodes, epochs=3, log=False)
+    ck = str(tmp_path / "sh_ck")
+    tr_a = _sharded_trainer(small_graph)
+    tr_a.fit(small_graph.train_nodes, small_graph.valid_nodes, epochs=1,
+             log=False, checkpoint_dir=ck)
+    del tr_a
+    tr_b = _sharded_trainer(small_graph)
+    hist_b = tr_b.fit(small_graph.train_nodes, small_graph.valid_nodes,
+                      epochs=3, log=False, checkpoint_dir=ck,
+                      resume=True)
+    assert [m.epoch for m in hist_b] == [1, 2]
+    for m_resumed in hist_b:
+        np.testing.assert_allclose(
+            m_resumed.train_loss, hist_full[m_resumed.epoch].train_loss,
+            rtol=1e-5)
+
+
 def test_sharded_memory_divides(small_graph):
     """The per-part resident footprint is ~1/P of the replicated one
     (the reason this mode exists: MAG240M-class state per chip)."""
