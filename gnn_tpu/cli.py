@@ -275,6 +275,12 @@ def main(argv=None) -> int:
         else _np.float32
     if args.feature_cache:
         source = CachedFeatures(graph.feats, placement, dtype=feat_dtype)
+    elif args.resident_parts > 1:
+        # shard the feature table over the same 'part' axis as the
+        # resident state (per-chip feature HBM divides by P too)
+        from gnn_tpu.parallel.feature_cache import PartShardedFeatures
+        source = PartShardedFeatures(graph.feats, args.resident_parts,
+                                     dtype=feat_dtype)
     else:
         source = ReplicatedFeatures(graph.feats, dtype=feat_dtype)
     if args.resident_parts > 1:

@@ -75,6 +75,57 @@ class ReplicatedFeatures:
         return x * input_mask[:, None]
 
 
+class PartShardedFeatures:
+    """Feature table sharded by NODE RANGES over the hybrid mesh's
+    ``part`` axis — the feature-side companion of the part-sharded
+    resident graph (`gnn_tpu.parallel.shardedresident`), for tables
+    that do not fit one chip (MAG240M: 244M x 768 f16 is ~350 GB).
+
+    Each part holds rows ``[p*nsh, (p+1)*nsh)``; with the batch
+    replicated over ``part`` (``Trainer(resident_parts=N)``), a gather
+    is a local masked take + one psum over ``part`` — every row has
+    exactly one owner, so the sum IS the gather, and per-chip feature
+    HBM and gather read-bytes divide by P. Unlike
+    :class:`CachedFeatures` this needs no placement, no plan and no
+    host fallback rows — the whole table is on the mesh."""
+
+    def __init__(self, feats: np.ndarray, n_parts: int,
+                 axis: str = "part", dtype=np.float32):
+        self.dtype = np.dtype(dtype)
+        self.feats = np.asarray(feats, self.dtype)  # host copy (eval)
+        n, f = self.feats.shape
+        self.n_parts = int(n_parts)
+        self.axis = axis
+        self.nsh = -(-n // self.n_parts)
+        stack = np.zeros((self.n_parts, self.nsh, f), self.dtype)
+        stack.reshape(-1, f)[:n] = self.feats
+        self._stack = stack
+
+    def state(self):
+        return jnp.asarray(self._stack)
+
+    def state_spec(self):
+        from jax.sharding import PartitionSpec as P
+        return P(self.axis)
+
+    def plan(self, mb: MiniBatch):
+        return ()
+
+    def gather(self, state, plan, input_nodes, input_mask):
+        shard = state[0]  # in_spec P(part) leaves a length-1 lead axis
+        lo = jax.lax.axis_index(self.axis) * self.nsh
+        loc = input_nodes.astype(jnp.int32) - lo
+        ok = (loc >= 0) & (loc < self.nsh)
+        rows = jnp.take(shard, jnp.clip(loc, 0, self.nsh - 1), axis=0)
+        x = jnp.where(ok[:, None], rows.astype(jnp.float32), 0.0)
+        x = jax.lax.psum(x, self.axis)
+        return x * input_mask[:, None]
+
+    def host_gather(self, input_nodes, input_mask):
+        x = self.feats[input_nodes].astype(np.float32)
+        return x * input_mask[:, None]
+
+
 @struct.dataclass
 class GatherPlan:
     """Device-facing gather plan for one stacked minibatch.

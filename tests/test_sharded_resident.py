@@ -286,6 +286,7 @@ def test_sharded_trainer_e2e_matches_replicated(small_graph):
     dense, dense_t = build_hot_dense(lap, spec, np.float32)
     host = build_resident_graph(lap, spec, dense, dense_t)
 
+    from gnn_tpu.parallel.feature_cache import PartShardedFeatures
     results = {}
     for name, mesh, parts in [
             ("rep", make_mesh(2), 0),
@@ -294,9 +295,14 @@ def test_sharded_trainer_e2e_matches_replicated(small_graph):
                              pool_num=2)
         net = build_model("graphsage", nhid=32, orders=cfg.orders,
                           num_classes=small_graph.num_classes)
+        # the sharded config also shards the FEATURE table over 'part'
+        # (psum gather) — equality vs the replicated-table run below
+        # proves the whole sharded input path exact
+        src = (PartShardedFeatures(small_graph.feats, parts)
+               if parts else None)
         tr = Trainer(net, pipe, small_graph.feats, mesh=mesh, lr=0.05,
                      sigmoid_loss=False, seed=3, resident_graph=host,
-                     resident_parts=parts)
+                     resident_parts=parts, feature_source=src)
         m = tr.train_epoch(small_graph.train_nodes, epoch=0)
         f1, vloss = tr.evaluate(small_graph.valid_nodes, 128, "val")
         test_f1 = tr.test(small_graph.test_nodes, batch_size=128)
