@@ -135,8 +135,10 @@ def main(argv=None) -> int:
     # start warm (GNN_TPU_COMP_CACHE=  disables)
     cache_dir = os.environ.get(
         "GNN_TPU_COMP_CACHE",
-        os.path.join(os.path.expanduser("~"), ".cache",
-                     "jax_comp_cache"))
+        os.environ.get(
+            "JAX_COMPILATION_CACHE_DIR",
+            os.path.join(os.path.expanduser("~"), ".cache",
+                         "jax_comp_cache")))
     if cache_dir:
         try:
             jax.config.update("jax_compilation_cache_dir", cache_dir)
@@ -152,17 +154,6 @@ def main(argv=None) -> int:
             jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
         except Exception:
             pass
-    # persistent compilation cache: repeat runs skip minutes of XLA
-    # compiles for the big train-step programs
-    try:
-        cache_dir = os.environ.get(
-            "JAX_COMPILATION_CACHE_DIR",
-            os.path.join(os.path.expanduser("~"), ".cache",
-                         "jax_comp_cache"))
-        jax.config.update("jax_compilation_cache_dir", cache_dir)
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
-    except Exception:
-        pass
 
     from gnn_tpu.data.loaders import load_dataset
     from gnn_tpu.models.gnn import build_model

@@ -83,6 +83,33 @@ def prepare_adjs(batch: "DeviceBatch", agg_state):
     return bind_agg_state(batch.adjs, agg_state)
 
 
+def init_stub_adjs(adjs):
+    """Shape-only adjacency stand-ins for parameter initialization.
+
+    Flax ``init`` is eager, so running it through the real resident
+    rebuild would materialize the full ``[k, k]`` hot blocks on the
+    default device — at the very scale ``resident_parts`` exists for
+    (resident state > one chip's HBM) that init would OOM. Parameters
+    depend only on feature widths (every ``nn.Dense`` infers its fan-in
+    from the input's trailing dim; LayerNorm widths come from
+    ``orders``), never on adjacency *values*, so a 1-edge zero-valued
+    COO of the same padded (nrows, ncols) yields bit-identical params
+    (asserted against the replicated-path init in
+    ``tests/test_sharded_resident.py``)."""
+    from gnn_tpu.ops import sparse as sops
+    from gnn_tpu.ops.residentgraph import ResidentLayerRef
+    out = []
+    for a in adjs:
+        if isinstance(a, ResidentLayerRef):
+            out.append(jax.tree_util.tree_map(jnp.asarray, sops.pack_coo(
+                np.zeros(1, np.int64), np.zeros(1, np.int64),
+                np.zeros(1, np.float32), int(np.asarray(a.n_valid_rows)),
+                int(np.asarray(a.n_valid_cols)), a.nrows, a.ncols)))
+        else:
+            out.append(a)
+    return out
+
+
 @dataclasses.dataclass
 class TrainStepFns:
     train_step: Callable
@@ -552,15 +579,12 @@ class Trainer:
         # adj_format='hot', replicated across the mesh once at setup —
         # never re-shipped per step
         self.agg_state = ()
-        self._init_agg_state = None  # replicated view for net.init only
         if resident_graph is not None and self.part_axis is not None:
             # part-sharded resident state: stacked [P, ...] shards,
-            # device_put split over the part axis. Param init runs one
-            # forward through a REPLICATED view (flax init is eager, so
-            # this briefly materializes the full blocks on the default
-            # device — init at beyond-one-chip scale is round-3 work;
-            # shapes, not adjacency values, determine the params)
-            from gnn_tpu.ops.residentgraph import ResidentGraph
+            # device_put split over the part axis. Param init never
+            # materializes the full blocks — it runs through shape-only
+            # COO stand-ins (see `init_stub_adjs`), so per-chip HBM is
+            # bounded by the 1/P shards from the start.
             from gnn_tpu.parallel.shardedresident import \
                 shard_resident_state
             g_sh = shard_resident_state(dict(resident_graph),
@@ -568,11 +592,6 @@ class Trainer:
             shp = NamedSharding(self.mesh, P(self.part_axis))
             self.agg_state = (jax.tree_util.tree_map(
                 lambda a: jax.device_put(jnp.asarray(a), shp), g_sh),)
-            rg = dict(resident_graph)
-            rg.pop("val_free", None)
-            n, k = rg.pop("n"), rg.pop("k")
-            self._init_agg_state = (ResidentGraph(
-                **{f: np.asarray(v) for f, v in rg.items()}, n=n, k=k),)
         elif resident_graph is not None:
             # resident-graph mode (adj_format='resident'): full CSR +
             # hot tables + dense blocks live in HBM; per-step payloads
@@ -601,10 +620,13 @@ class Trainer:
         one = jax.tree_util.tree_map(lambda a: a[0], batch)
         x = jnp.asarray(np.zeros(
             (one.input_nodes.shape[0], self.n_feats), np.float32))
-        init_agg = (self._init_agg_state if self._init_agg_state
-                    is not None else self.agg_state)
-        self.params = self.net.init(jax.random.PRNGKey(0), x,
-                                    prepare_adjs(one, init_agg),
+        if self.part_axis is not None:
+            # sharded resident state cannot (and must not) be
+            # materialized replicated for init — use shape-only stubs
+            adjs = init_stub_adjs(list(one.adjs))
+        else:
+            adjs = prepare_adjs(one, self.agg_state)
+        self.params = self.net.init(jax.random.PRNGKey(0), x, adjs,
                                     list(one.sampled_nodes))
         self.opt_state = self.optimizer.init(self.params)
         self.params = put_replicated(self.mesh, self.params)
@@ -886,10 +908,6 @@ class Trainer:
         shapes make the cost epoch-invariant."""
         if getattr(self, "_op_buckets", None) is not None:
             return self._op_buckets
-        if self.part_axis is not None:
-            # isolated-op timing materializes layers outside shard_map,
-            # which cannot hold part-sharded aggregation state
-            return (float("nan"),) * 3
         if getattr(self, "_last_dev_batch", None) is None:
             # packed transport keeps the last batch host-side; ship it
             # once here for the isolated-op timing
@@ -909,7 +927,6 @@ class Trainer:
             last_batch = jax.tree_util.tree_map(lambda a: a[0], last_batch)
             last_plan = jax.tree_util.tree_map(lambda a: a[0], last_plan)
         one = jax.tree_util.tree_map(lambda a: a[0], last_batch)
-        adjs = prepare_adjs(one, self.agg_state)
         widths = self._layer_widths()
         on_tpu = jax.default_backend() == "tpu"
 
@@ -926,36 +943,77 @@ class Trainer:
 
         t_fwd = t_bwd = 0.0
         rng = np.random.default_rng(0)
-        for l, adj in enumerate(adjs):
-            if adj is None:
-                continue
-            w = widths[l] if l < len(widths) else widths[-1]
-            x = jnp.asarray(rng.normal(size=(adj.ncols, w)).astype(
-                np.float32))
-            g = jnp.asarray(rng.normal(size=(adj.nrows, w)).astype(
-                np.float32))
-            # the adjacency MUST ride as an argument, not a closure —
-            # a closure would bake its arrays (including the GB-scale
-            # resident hot blocks) into the timing jit as constants
-            t_fwd += timeit(lambda u, a: spmm(a, u), x, adj)
-            t_bwd += timeit(lambda u, a: spmm_transpose(a, u), g, adj)
+        if self.part_axis is not None:
+            # part-sharded aggregation state only exists inside
+            # shard_map, so each layer's isolated op is timed as a
+            # shard_mapped probe: the resident rebuild of layer l + one
+            # spmm/spmm_transpose over the sharded hot blocks (incl.
+            # their psum). Slightly wider scope than the replicated
+            # branch (which times the op on a pre-materialized layer),
+            # but that's the true per-step cost of the sharded path.
+            from gnn_tpu.ops.residentgraph import ResidentLayerRef
+            agg_spec = P(self.part_axis)
+            batch_spec = P(self._rep_axes)
+
+            def make_probe(l, transpose):
+                def inner(x, agg_state, batch):
+                    b = _squeeze_batch(batch)
+                    agg = jax.tree_util.tree_map(lambda a: a[0],
+                                                 agg_state)
+                    adj = prepare_adjs(b, agg)[l]
+                    return (spmm_transpose(adj, x) if transpose
+                            else spmm(adj, x))
+                return jax.shard_map(
+                    inner, mesh=self.mesh,
+                    in_specs=(P(), agg_spec, batch_spec),
+                    out_specs=P(), check_vma=False)
+
+            for l, a in enumerate(list(one.adjs)):
+                if not isinstance(a, ResidentLayerRef):
+                    continue
+                w = widths[l] if l < len(widths) else widths[-1]
+                x = jnp.asarray(rng.normal(size=(a.ncols, w)).astype(
+                    np.float32))
+                g = jnp.asarray(rng.normal(size=(a.nrows, w)).astype(
+                    np.float32))
+                t_fwd += timeit(make_probe(l, False), x,
+                                self.agg_state, last_batch)
+                t_bwd += timeit(make_probe(l, True), g,
+                                self.agg_state, last_batch)
+        else:
+            adjs = prepare_adjs(one, self.agg_state)
+            for l, adj in enumerate(adjs):
+                if adj is None:
+                    continue
+                w = widths[l] if l < len(widths) else widths[-1]
+                x = jnp.asarray(rng.normal(size=(adj.ncols, w)).astype(
+                    np.float32))
+                g = jnp.asarray(rng.normal(size=(adj.nrows, w)).astype(
+                    np.float32))
+                # the adjacency MUST ride as an argument, not a closure —
+                # a closure would bake its arrays (including the GB-scale
+                # resident hot blocks) into the timing jit as constants
+                t_fwd += timeit(lambda u, a: spmm(a, u), x, adj)
+                t_bwd += timeit(lambda u, a: spmm_transpose(a, u), g, adj)
 
         # communication: the gradient psum (`main.py:149-168`'s manual
         # all-reduce, which also flattens grads into one vector) + the
-        # feature cache's all_to_all gather, if any
+        # feature cache's all_to_all gather, if any. The psum spans the
+        # replica axes — under part sharding grads are already identical
+        # across parts, so the data axes are its real scope.
         t_comm = 0.0
         if self.params is not None:
             flat = jnp.concatenate(
                 [jnp.ravel(p) for p in
                  jax.tree_util.tree_leaves(self.params)])
-            axes = tuple(self.mesh.axis_names)
+            axes = self._rep_axes
             psum_fn = jax.shard_map(
                 lambda g: jax.lax.psum(g, axes), mesh=self.mesh,
                 in_specs=P(), out_specs=P(), check_vma=False)
             t_comm = timeit(psum_fn, flat)
         if hasattr(self.feature_source, "plan") and \
                 last_plan not in ((), None):
-            b_spec = P(tuple(self.mesh.axis_names))
+            b_spec = P(self._rep_axes)
             gather_fn = jax.jit(jax.shard_map(
                 lambda fs, pl, bat: self.feature_source.gather(
                     fs, pl, bat.input_nodes[0], bat.input_mask[0]),

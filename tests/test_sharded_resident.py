@@ -364,6 +364,83 @@ def test_sharded_resume_reproduces_loss_curve(small_graph, tmp_path):
             rtol=1e-5)
 
 
+def test_sharded_init_shape_only_and_all_leaves_sharded(small_graph,
+                                                        monkeypatch):
+    """Param init with ``resident_parts`` must (a) never run the
+    resident rebuild eagerly (that would materialize the full [k, k]
+    blocks on the default device — the OOM `resident_parts` exists to
+    avoid), (b) yield bit-identical params to the replicated-path init
+    (params depend on shapes only), and (c) leave NO unsharded leaf in
+    the trainer's aggregation state."""
+    if jax.device_count() < 8:
+        pytest.skip("needs 8 virtual devices")
+    from gnn_tpu.models.gnn import build_model
+    from gnn_tpu.ops.hotdense import build_hot_dense
+    from gnn_tpu.ops.residentgraph import build_resident_graph
+    from gnn_tpu.parallel.mesh import make_mesh
+    from gnn_tpu.parallel.multihost import make_hybrid_mesh
+    from gnn_tpu.sampling.pipeline import BatchPipeline
+    from gnn_tpu.train.trainer import Trainer
+
+    lap, spec, cfg, g_rep, g_sh = _setup(small_graph)
+    dense, dense_t = build_hot_dense(lap, spec, np.float32)
+    host = build_resident_graph(lap, spec, dense, dense_t)
+
+    def build(parts):
+        pipe = BatchPipeline(cfg, lap, small_graph.labels, world_size=2,
+                             pool_num=2)
+        net = build_model("graphsage", nhid=32, orders=cfg.orders,
+                          num_classes=small_graph.num_classes)
+        mesh = (make_hybrid_mesh(dp=2, part=N_PARTS) if parts
+                else make_mesh(2))
+        return Trainer(net, pipe, small_graph.feats, mesh=mesh, lr=0.05,
+                       sigmoid_loss=False, seed=3, resident_graph=host,
+                       resident_parts=parts)
+
+    tr_rep = build(0)
+    tr_sh = build(N_PARTS)
+
+    # (c) every array leaf of the sharded agg_state is part-sharded
+    leaves = jax.tree_util.tree_leaves(tr_sh.agg_state)
+    assert leaves, "sharded agg_state has no leaves?"
+    for leaf in leaves:
+        assert not leaf.sharding.is_fully_replicated, leaf.shape
+        assert leaf.sharding.spec[0] == "part", leaf.sharding.spec
+
+    # (a) init must not touch the resident rebuild (shape-only stubs)
+    import gnn_tpu.ops.residentgraph as rgmod
+
+    def boom(*a, **k):
+        raise AssertionError("materialize_adjs ran during param init")
+
+    batch = tr_sh._peek_batch(small_graph.train_nodes)
+    monkeypatch.setattr(rgmod, "materialize_adjs", boom)
+    tr_sh._init_params(batch)
+    monkeypatch.undo()
+    tr_rep._init_params(batch)
+
+    # (b) bit-identical params (flax param RNG depends only on module
+    # structure and input shapes, never on adjacency values)
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_array_equal(np.asarray(a),
+                                                   np.asarray(b)),
+        tr_sh.params, tr_rep.params)
+
+
+def test_sharded_op_timing_produces_numbers(small_graph):
+    """`--op_timing` on the part-sharded path: the shard_mapped probes
+    must return finite spmm fwd/bwd + communication buckets (this used
+    to return NaN under part sharding)."""
+    if jax.device_count() < 8:
+        pytest.skip("needs 8 virtual devices")
+    tr = _sharded_trainer(small_graph)
+    tr.train_epoch(small_graph.train_nodes, epoch=0)
+    fwd, bwd, comm = tr.measure_op_buckets()
+    assert np.isfinite(fwd) and fwd > 0
+    assert np.isfinite(bwd) and bwd > 0
+    assert np.isfinite(comm) and comm > 0
+
+
 def test_sharded_memory_divides(small_graph):
     """The per-part resident footprint is ~1/P of the replicated one
     (the reason this mode exists: MAG240M-class state per chip)."""
