@@ -216,6 +216,12 @@ class CachedFeatures:
             stack[d, : len(b)] = self.feats[b]
         self._buffer_stack = stack
         self.remote_bucket_min = remote_bucket_min
+        # padded plan-output buffers, reused across steps (fresh numpy
+        # allocations pay ~70 us/page first-touch faults on this host —
+        # ~50 ms/step at canonical shapes). Reuse is only safe when
+        # device_put COPIES host memory (TPU); the CPU backend can alias
+        # numpy buffers zero-copy, so there we allocate fresh.
+        self._plan_bufs = {}
 
     def state(self):
         return jnp.asarray(self._buffer_stack)
@@ -224,62 +230,96 @@ class CachedFeatures:
         from jax.sharding import PartitionSpec as P
         return P(self.axis)
 
+    def _get_plan_bufs(self, ws: int, D: int, R: int, H: int):
+        """Pooled padded plan outputs (TPU: device_put copies, reuse is
+        safe and skips first-touch page faults; CPU: fresh arrays, since
+        device_put there can alias numpy memory zero-copy)."""
+        import jax
+        F = self.feats.shape[1]
+        shape_key = (ws, D, R, H, F)
+        if jax.default_backend() == "cpu":
+            return (np.zeros((ws, D, R), np.int32),
+                    np.empty((ws, D, R), np.int32),
+                    np.empty((ws, H, F), self.dtype),
+                    np.empty((ws, H), np.int32))
+        bufs = self._plan_bufs.get(shape_key)
+        if bufs is None:
+            bufs = (np.zeros((ws, D, R), np.int32),
+                    np.empty((ws, D, R), np.int32),
+                    np.empty((ws, H, F), self.dtype),
+                    np.empty((ws, H), np.int32))
+            # pre-fault every page once so the steady-state fill never
+            # stalls on the kernel (gnn_tpu.parallel.packbuf.BufferPool
+            # does the same for the transport staging buffers)
+            for b in bufs[1:]:
+                b.fill(0)
+            self._plan_bufs[shape_key] = bufs
+        return bufs
+
     def plan(self, mb: MiniBatch) -> GatherPlan:
-        """Build the padded gather plan on the host (numpy).
+        """Build the padded gather plan on the host (numpy, vectorized).
 
         Plan leaves carry a leading ``world_size`` axis (sharded like the
         batch); rank ``r = d * part + p`` serves/receives only within its
         DP group ``d``, so each group's sub-plan is an independent copy
-        of the 1-D construction."""
+        of the 1-D construction.
+
+        One stable argsort per rank groups input positions by owner
+        (-2 invalid, -1 host, 0..D-1 devices) — O(ws*C log C) instead of
+        the old O(ws*D*C) flatnonzero scans — and the padded outputs are
+        pooled + pre-faulted. Measured at D=8 canonical shapes
+        (C=25088, F=602): plan machinery ~10 ms per stacked 8-rank
+        minibatch (was 56 ms at F=64, far worse at F=602); the host-row
+        feature copy adds ~2 ms per % of host-resident inputs — that
+        part is the actual data movement (`main.py:134`'s CPU gather),
+        not plan overhead. Details in benchmarks/RESULTS.md."""
         D = self.num_devs
-        ws = np.asarray(mb.input_nodes).shape[0]
-        assert ws == self.world_size, (ws, self.world_size)
-        dp = ws // D
         nodes = np.asarray(mb.input_nodes)      # [ws, C]
         masks = np.asarray(mb.input_mask)       # [ws, C]
-        C = nodes.shape[1]
+        ws, C = nodes.shape
+        assert ws == self.world_size, (ws, self.world_size)
 
-        slots_rolist: List[List[np.ndarray]] = [[None] * D
-                                                for _ in range(ws)]
-        pos_rolist: List[List[np.ndarray]] = [[None] * D
-                                              for _ in range(ws)]
-        host_rows_list: List[np.ndarray] = []
-        host_pos_list: List[np.ndarray] = []
-        max_remote = 1
-        max_host = 1
-        for r in range(ws):
-            p_req = r % D
-            valid = masks[r] > 0
-            ids = nodes[r]
-            owner = np.where(
-                valid, self.placement.device_id_of_nodes[p_req, ids], -2)
-            slot = self.placement.idx_of_nodes_on_device[p_req, ids]
-            for o in range(D):
-                sel = np.flatnonzero(owner == o)
-                slots_rolist[r][o] = slot[sel].astype(np.int32)
-                pos_rolist[r][o] = sel.astype(np.int32)
-                max_remote = max(max_remote, len(sel))
-            hsel = np.flatnonzero(owner == -1)
-            host_rows_list.append(self.feats[ids[hsel]])
-            host_pos_list.append(hsel.astype(np.int32))
-            max_host = max(max_host, len(hsel))
+        p_req = np.arange(ws) % D
+        owner = self.placement.device_id_of_nodes[p_req[:, None], nodes]
+        owner = np.where(masks > 0, owner, -2)          # [ws, C]
+        slot = self.placement.idx_of_nodes_on_device[p_req[:, None],
+                                                     nodes]
+        order = np.argsort(owner, axis=1, kind="stable")
+        # slots in owner-grouped order, one vectorized gather (the
+        # per-(rank, owner) groups below are then contiguous slices)
+        slot_sorted = np.take_along_axis(slot, order, axis=1)
+        flat = (owner + 2) + (np.arange(ws) * (D + 2))[:, None]
+        counts = np.bincount(flat.ravel(),
+                             minlength=ws * (D + 2)).reshape(ws, D + 2)
+        bounds = np.concatenate(
+            [np.zeros((ws, 1), np.int64), np.cumsum(counts, axis=1)],
+            axis=1)
+        R = bucket_size(max(int(counts[:, 2:].max()), 1),
+                        self.remote_bucket_min)
+        H = bucket_size(max(int(counts[:, 1].max()), 1),
+                        self.remote_bucket_min)
 
-        R = bucket_size(max_remote, self.remote_bucket_min)
-        H = bucket_size(max_host, self.remote_bucket_min)
-        slot_by_owner = np.zeros((ws, D, R), np.int32)
-        pos_by_rank = np.full((ws, D, R), C, np.int32)  # C == dropped
-        host_rows = np.zeros((ws, H, self.feats.shape[1]), self.dtype)
-        host_pos = np.full((ws, H), C, np.int32)
+        slot_by_owner, pos_by_rank, host_rows, host_pos = \
+            self._get_plan_bufs(ws, D, R, H)
+        # pad semantics: pos_by_rank/host_pos == C -> dropped by the XLA
+        # scatter; slot_by_owner pads (zeros, or stale in-range slots
+        # from a pooled buffer) are read but their rows land at C and
+        # are dropped; host_rows pads are never read (their target is C)
+        pos_by_rank.fill(C)
+        host_pos.fill(C)
         for r in range(ws):
-            d_grp, p_req = r // D, r % D
+            d_grp, p = r // D, r % D
             for o in range(D):
-                s = slots_rolist[r][o]
-                # rank (d_grp, o) serves rank (d_grp, p_req)'s request
-                slot_by_owner[d_grp * D + o, p_req, : len(s)] = s
-                pos_by_rank[r, o, : len(s)] = pos_rolist[r][o]
-            hr = host_rows_list[r]
-            host_rows[r, : len(hr)] = hr
-            host_pos[r, : len(hr)] = host_pos_list[r]
+                lo, hi = bounds[r, o + 2], bounds[r, o + 3]
+                # rank (d_grp, o) serves rank (d_grp, p)'s request
+                slot_by_owner[d_grp * D + o, p, : hi - lo] = \
+                    slot_sorted[r, lo: hi]
+                pos_by_rank[r, o, : hi - lo] = order[r, lo: hi]
+            hsel = order[r, bounds[r, 1]: bounds[r, 2]]
+            if len(hsel):
+                np.take(self.feats, nodes[r, hsel], axis=0,
+                        out=host_rows[r, : len(hsel)])
+            host_pos[r, : len(hsel)] = hsel
         return GatherPlan(slot_by_owner=slot_by_owner,
                           pos_by_rank=pos_by_rank,
                           host_rows=host_rows, host_pos=host_pos)
