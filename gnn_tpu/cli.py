@@ -179,8 +179,15 @@ def main(argv=None) -> int:
                 "naive" if args.naive else "greedy")
     per_dev = int(args.buffer_size * n)
     print("buffer_size: ", per_dev, flush=True)
+    # composed mode (--resident_parts + --feature_cache): the cache
+    # shards over the SAME 'part' axis as the resident state, so the
+    # placement distributes over resident_parts buffers (one per part),
+    # not over the DP ranks
+    placement_devs = (args.resident_parts
+                      if args.resident_parts > 1 and args.feature_cache
+                      else n_devices)
     placement = create_placement(
-        lap, graph.train_nodes, per_dev=per_dev, num_devs=n_devices,
+        lap, graph.train_nodes, per_dev=per_dev, num_devs=placement_devs,
         num_conv_layers=sum(orders), alpha=args.alpha, strategy=strategy,
         cache_dir=args.save_dir, dataset=args.dataset.replace("/", "_"))
 
@@ -264,7 +271,14 @@ def main(argv=None) -> int:
     import numpy as _np
     feat_dtype = _jnp.bfloat16 if args.feat_dtype == "bfloat16" \
         else _np.float32
-    if args.feature_cache:
+    if args.feature_cache and args.resident_parts > 1:
+        # placement-driven cache sharded over the resident state's
+        # 'part' axis: both memory scalings compose (per-chip resident
+        # AND feature HBM divide by resident_parts)
+        from gnn_tpu.parallel.feature_cache import PartCachedFeatures
+        source = PartCachedFeatures(graph.feats, placement,
+                                    dtype=feat_dtype)
+    elif args.feature_cache:
         source = CachedFeatures(graph.feats, placement, dtype=feat_dtype)
     elif args.resident_parts > 1:
         # shard the feature table over the same 'part' axis as the
@@ -280,10 +294,6 @@ def main(argv=None) -> int:
         if args.adj_format != "resident":
             raise SystemExit("--resident_parts needs --adj_format "
                              "resident")
-        if args.feature_cache:
-            raise SystemExit("--resident_parts with --feature_cache is "
-                             "not supported yet (both claim the 'part' "
-                             "axis)")
         from gnn_tpu.parallel.multihost import make_hybrid_mesh
         mesh = make_hybrid_mesh(dp=n_devices, part=args.resident_parts)
     else:

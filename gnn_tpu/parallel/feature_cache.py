@@ -62,7 +62,7 @@ class ReplicatedFeatures:
         from jax.sharding import PartitionSpec as P
         return P()
 
-    def plan(self, mb: MiniBatch):
+    def plan(self, mb: MiniBatch, pooled: bool = True):
         return ()
 
     def gather(self, state, plan, input_nodes, input_mask):
@@ -108,7 +108,7 @@ class PartShardedFeatures:
         from jax.sharding import PartitionSpec as P
         return P(self.axis)
 
-    def plan(self, mb: MiniBatch):
+    def plan(self, mb: MiniBatch, pooled: bool = True):
         return ()
 
     def gather(self, state, plan, input_nodes, input_mask):
@@ -119,6 +119,144 @@ class PartShardedFeatures:
         rows = jnp.take(shard, jnp.clip(loc, 0, self.nsh - 1), axis=0)
         x = jnp.where(ok[:, None], rows.astype(jnp.float32), 0.0)
         x = jax.lax.psum(x, self.axis)
+        return x * input_mask[:, None]
+
+    def host_gather(self, input_nodes, input_mask):
+        x = self.feats[input_nodes].astype(np.float32)
+        return x * input_mask[:, None]
+
+
+@struct.dataclass
+class PartGatherPlan:
+    """Per-step plan for :class:`PartCachedFeatures`: canonical owner +
+    buffer slot per input id (host-built from the placement maps) and
+    the host-fallback rows. Leaves carry a leading data-parallel rank
+    axis, sharded like the batch (replicated over ``part``)."""
+
+    owner: jnp.ndarray      # int32 [ws, C]; owning part, -1 = host
+    slot: jnp.ndarray       # int32 [ws, C]; buffer slot on that part
+    host_rows: jnp.ndarray  # [ws, H, F]
+    host_pos: jnp.ndarray   # int32 [ws, H]; C == dropped
+
+
+class PartCachedFeatures:
+    """Placement-driven feature cache composed with the part-sharded
+    resident state (``Trainer(resident_parts=P)``): the two memory
+    scalings share the ``part`` axis — the resident slot/row tables and
+    hot blocks shard one set of arrays, this class shards the feature
+    buffers, so per-chip HBM for BOTH divides by P.
+
+    Layout: the placement's per-device buffers (``preprocess.py:397-399``)
+    stack to ``[P, per_dev, F]``, sharded over ``part`` and replicated
+    over ``data``. The batch is replicated over ``part`` in this mode, so
+    the all_to_all formulation of :class:`CachedFeatures` (which needs a
+    distinct request per mesh rank) degenerates; instead each part
+    gathers the rows it owns from its local buffer and ONE psum over
+    ``part`` assembles the input block — ownership comes from a
+    canonical combined map built at setup (the first device whose own
+    view holds the node locally), under which every buffered node
+    resolves to exactly ONE part, so the sum IS the gather even for
+    nodes the placement replicated on several devices. Host-resident
+    rows (owner -1) ride in the plan exactly like
+    :class:`CachedFeatures`.
+
+    ICI cost note: the psum moves the full ``[C, F]`` block per hop
+    (C*F*4 bytes; ~60 MB at canonical shapes) where a slot-exchange
+    all_to_all would move only owned rows (~C*F*4/P). That is the price
+    of batch replication over ``part``; at v5e ICI bandwidth (~400 GB/s
+    per link) the psum is ~0.15 ms/hop — noise next to the sharded hot
+    matmul it composes with. A request-sharded formulation would need
+    per-part batches, i.e. a 2-D sampler, which the minibatch pipeline
+    does not have."""
+
+    def __init__(self, feats: np.ndarray, placement: Placement,
+                 axis: str = "part", dtype=np.float32,
+                 remote_bucket_min: int = 256):
+        self.dtype = np.dtype(dtype)
+        self.feats = np.asarray(feats, self.dtype)
+        self.placement = placement
+        self.axis = axis
+        self.num_devs = placement.num_devs
+        per_dev = max(len(b) for b in placement.buffers)
+        self.per_dev = per_dev
+        stack = np.zeros((self.num_devs, per_dev, self.feats.shape[1]),
+                         self.dtype)
+        for d, b in enumerate(placement.buffers):
+            stack[d, : len(b)] = self.feats[b]
+        self._buffer_stack = stack
+        self.remote_bucket_min = remote_bucket_min
+        self._plan_bufs = {}
+        # canonical single-owner map: the first device whose OWN view
+        # holds the node locally (``device_id_of_nodes[d, n] == d``).
+        # Placement may replicate a node on several devices (greedy's
+        # top block) or record it only in its owner's view (pagraph) —
+        # this resolves every buffered node to exactly one contributing
+        # part, which the psum-gather requires
+        did = placement.device_id_of_nodes
+        n = did.shape[1]
+        local = did == np.arange(self.num_devs)[:, None]
+        has = local.any(axis=0)
+        self._owner_map = np.where(
+            has, np.argmax(local, axis=0), -1).astype(np.int32)
+        self._slot_map = placement.idx_of_nodes_on_device[
+            np.maximum(self._owner_map, 0), np.arange(n)].astype(np.int32)
+
+    def state(self):
+        return jnp.asarray(self._buffer_stack)
+
+    def state_spec(self):
+        from jax.sharding import PartitionSpec as P
+        return P(self.axis)
+
+    def plan(self, mb: MiniBatch, pooled: bool = True) -> PartGatherPlan:
+        """Canonical owner/slot per input id + host rows. Rows are
+        independent per DP rank (no cross-rank coupling), so any leading
+        width works (training ships ws=dp rows; eval may ship 1).
+        ``pooled=False``: fresh output arrays, for callers that keep
+        several plans live (grouped dispatch stacks G of them)."""
+        import jax
+        nodes = np.asarray(mb.input_nodes)
+        masks = np.asarray(mb.input_mask)
+        ws, C = nodes.shape
+        owner = np.where(masks > 0, self._owner_map[nodes], -2)
+        slot = np.where(owner >= 0, self._slot_map[nodes],
+                        0).astype(np.int32)
+        H = bucket_size(max(int((owner == -1).sum(axis=1).max()), 1),
+                        self.remote_bucket_min)
+        key = (ws, H, self.feats.shape[1])
+        bufs = None if not pooled or jax.default_backend() == "cpu" \
+            else self._plan_bufs.get(key)
+        if bufs is None:
+            bufs = (np.empty((ws, H, self.feats.shape[1]), self.dtype),
+                    np.empty((ws, H), np.int32))
+            bufs[0].fill(0)  # pre-fault once (70 us/page on this host)
+            if pooled and jax.default_backend() != "cpu":
+                self._plan_bufs[key] = bufs
+        host_rows, host_pos = bufs
+        host_pos.fill(C)
+        for r in range(ws):
+            hsel = np.flatnonzero(owner[r] == -1)
+            if len(hsel):
+                np.take(self.feats, nodes[r, hsel], axis=0,
+                        out=host_rows[r, : len(hsel)])
+            host_pos[r, : len(hsel)] = hsel
+        return PartGatherPlan(owner=owner.astype(np.int32), slot=slot,
+                              host_rows=host_rows, host_pos=host_pos)
+
+    def gather(self, state, plan: PartGatherPlan, input_nodes,
+               input_mask):
+        """Inside shard_map: local buffer shard [1, per_dev, F]; plan
+        leaves squeezed to their per-rank row. One psum over ``part``."""
+        buf = state[0]
+        owner = plan.owner[0]
+        slotv = plan.slot[0]
+        p = jax.lax.axis_index(self.axis)
+        mine = owner == p
+        rows = jnp.take(buf, jnp.where(mine, slotv, 0), axis=0)
+        x = jnp.where(mine[:, None], rows.astype(jnp.float32), 0.0)
+        x = jax.lax.psum(x, self.axis)
+        x = x.at[plan.host_pos[0]].set(
+            plan.host_rows[0].astype(jnp.float32), mode="drop")
         return x * input_mask[:, None]
 
     def host_gather(self, input_nodes, input_mask):
@@ -143,15 +281,37 @@ class GatherPlan:
     host_pos: jnp.ndarray        # int32 [D, H]
 
 
-def stack_gather_plans(plans: List["GatherPlan"], input_cap: int):
-    """Stack per-step :class:`GatherPlan`s along a new leading (group)
-    axis for multi-step-per-dispatch training. Steps may have landed in
-    different remote/host buckets; pad to the group max first (pad slots
-    read buffer row 0 and land at position ``input_cap`` — one past the
-    input tensor's end, dropped by XLA scatter, exactly like the in-plan
-    padding)."""
+def stack_gather_plans(plans, input_cap: int):
+    """Stack per-step :class:`GatherPlan`s (or :class:`PartGatherPlan`s)
+    along a new leading (group) axis for multi-step-per-dispatch
+    training. Steps may have landed in different remote/host buckets;
+    pad to the group max first (pad slots read buffer row 0 and land at
+    position ``input_cap`` — one past the input tensor's end, dropped by
+    XLA scatter, exactly like the in-plan padding). Callers must build
+    the per-step plans with ``pooled=False`` — pooled plan outputs are
+    overwritten by the next ``plan()`` call, and the copy here happens
+    only after ALL G plans exist."""
     if not plans or plans[0] == ():
         return ()
+    if isinstance(plans[0], PartGatherPlan):
+        H = max(p.host_pos.shape[-1] for p in plans)
+
+        def pad_h(a, fill):
+            if a.shape[1] == H:
+                return a
+            widths = [(0, 0), (0, H - a.shape[1])] + \
+                [(0, 0)] * (a.ndim - 2)
+            return np.pad(a, widths, constant_values=fill)
+
+        return PartGatherPlan(
+            owner=np.stack([np.asarray(p.owner) for p in plans]),
+            slot=np.stack([np.asarray(p.slot) for p in plans]),
+            host_rows=np.stack(
+                [pad_h(np.asarray(p.host_rows), 0) for p in plans]),
+            host_pos=np.stack(
+                [pad_h(np.asarray(p.host_pos), input_cap)
+                 for p in plans]),
+        )
 
     def pad_last(a, m, fill):
         if a.shape[-1] == m:
@@ -230,14 +390,18 @@ class CachedFeatures:
         from jax.sharding import PartitionSpec as P
         return P(self.axis)
 
-    def _get_plan_bufs(self, ws: int, D: int, R: int, H: int):
+    def _get_plan_bufs(self, ws: int, D: int, R: int, H: int,
+                       pooled: bool = True):
         """Pooled padded plan outputs (TPU: device_put copies, reuse is
         safe and skips first-touch page faults; CPU: fresh arrays, since
-        device_put there can alias numpy memory zero-copy)."""
+        device_put there can alias numpy memory zero-copy).
+        ``pooled=False`` forces fresh arrays — required whenever several
+        plans must be live at once (grouped multi-step dispatch stacks G
+        plans before shipping; pooling there would alias steps)."""
         import jax
         F = self.feats.shape[1]
         shape_key = (ws, D, R, H, F)
-        if jax.default_backend() == "cpu":
+        if not pooled or jax.default_backend() == "cpu":
             return (np.zeros((ws, D, R), np.int32),
                     np.empty((ws, D, R), np.int32),
                     np.empty((ws, H, F), self.dtype),
@@ -256,7 +420,7 @@ class CachedFeatures:
             self._plan_bufs[shape_key] = bufs
         return bufs
 
-    def plan(self, mb: MiniBatch) -> GatherPlan:
+    def plan(self, mb: MiniBatch, pooled: bool = True) -> GatherPlan:
         """Build the padded gather plan on the host (numpy, vectorized).
 
         Plan leaves carry a leading ``world_size`` axis (sharded like the
@@ -300,7 +464,7 @@ class CachedFeatures:
                         self.remote_bucket_min)
 
         slot_by_owner, pos_by_rank, host_rows, host_pos = \
-            self._get_plan_bufs(ws, D, R, H)
+            self._get_plan_bufs(ws, D, R, H, pooled=pooled)
         # pad semantics: pos_by_rank/host_pos == C -> dropped by the XLA
         # scatter; slot_by_owner pads (zeros, or stale in-range slots
         # from a pooled buffer) are read but their rows land at C and

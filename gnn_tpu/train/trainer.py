@@ -778,13 +778,15 @@ class Trainer:
         return fn
 
     def _grouped_plan(self, mb, group: int):
-        """Per-step feature gather plans stacked along the group axis."""
+        """Per-step feature gather plans stacked along the group axis.
+        ``pooled=False``: all G plans must be live until the stack below
+        copies them; the per-step pooled buffers would alias."""
         import types
         plans = []
         for g in range(group):
             shim = types.SimpleNamespace(input_nodes=mb.input_nodes[g],
                                          input_mask=mb.input_mask[g])
-            plans.append(self.feature_source.plan(shim))
+            plans.append(self.feature_source.plan(shim, pooled=False))
         from gnn_tpu.parallel.feature_cache import stack_gather_plans
         return stack_gather_plans(plans, mb.input_nodes.shape[-1])
 
