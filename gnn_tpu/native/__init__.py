@@ -23,9 +23,18 @@ _TRIED = False
 
 
 def _build(so_path: str) -> None:
+    # build to a pid-suffixed temp + atomic rename: multi-controller
+    # runs start several processes at once and a half-written .so must
+    # never be dlopen'd by a sibling
+    tmp = f"{so_path}.{os.getpid()}.tmp"
     cmd = ["g++", "-O3", "-march=native", "-fopenmp", "-shared", "-fPIC",
-           "-std=c++17", _SRC, "-o", so_path]
-    subprocess.run(cmd, check=True, capture_output=True)
+           "-std=c++17", _SRC, "-o", tmp]
+    try:
+        subprocess.run(cmd, check=True, capture_output=True)
+        os.replace(tmp, so_path)
+    finally:
+        if os.path.exists(tmp):
+            os.unlink(tmp)
 
 
 def get_lib():

@@ -452,3 +452,79 @@ def test_sharded_memory_divides(small_graph):
     part_bytes = sum(np.asarray(a).nbytes // N_PARTS for a in
                      jax.tree_util.tree_leaves(g_sh))
     assert part_bytes <= rep_bytes / N_PARTS * 1.05
+
+
+def _per_device_committed_bytes(tree):
+    """Sum of COMMITTED backend buffer bytes per device over every array
+    leaf — `Shard.data.nbytes` is the real allocated shard buffer, not a
+    shape-derived estimate (a replicated leaf contributes its full size
+    on EVERY device; a part-sharded leaf 1/P on each)."""
+    per_dev = {}
+    for leaf in jax.tree_util.tree_leaves(tree):
+        if not hasattr(leaf, "addressable_shards"):
+            continue
+        seen = set()
+        for s in leaf.addressable_shards:
+            if s.device in seen:  # one buffer per device per leaf
+                continue
+            seen.add(s.device)
+            per_dev[s.device] = per_dev.get(s.device, 0) + s.data.nbytes
+    return per_dev
+
+
+def test_sharded_trainer_hbm_divides_by_P(small_graph):
+    """Memory-honest evidence for the sharded-resident claims: build the
+    Trainer at a K where the resident blocks dominate (2x [K,K] f32 =
+    32 MiB, >> params/features) and assert each device's COMMITTED bytes
+    for (agg_state, feat_state) are ~1/P of the replicated trainer's —
+    measured from backend shard buffers, not array shapes."""
+    if jax.device_count() < 8:
+        pytest.skip("needs 8 virtual devices")
+    from gnn_tpu.data.synthetic import make_powerlaw_graph
+    from gnn_tpu.models.gnn import build_model
+    from gnn_tpu.ops.hotdense import HotSpec, build_hot_dense
+    from gnn_tpu.ops.residentgraph import build_resident_graph
+    from gnn_tpu.parallel.feature_cache import PartShardedFeatures
+    from gnn_tpu.parallel.mesh import make_mesh
+    from gnn_tpu.parallel.multihost import make_hybrid_mesh
+    from gnn_tpu.sampling.pipeline import BatchPipeline
+    from gnn_tpu.train.trainer import Trainer
+
+    P_ = 8
+    graph = make_powerlaw_graph(6000, 10, 32, 7, seed=0)
+    lap = build_laplacian(graph.adj_full, "graphsage")
+    prob = compute_sample_prob(lap, graph.train_nodes, 2)
+    spec = HotSpec.from_sample_prob(prob, 2048)
+    assert spec.k == 2048
+    dense, dense_t = build_hot_dense(lap, spec, np.float32)
+    host = build_resident_graph(lap, spec, dense, dense_t)
+    cfg = SamplerConfig(batch_size=32, samp_num=64, orders=(1, 1),
+                        num_nodes=6000, num_classes=7, hot_spec=spec,
+                        adj_format="resident", compress=False,
+                        resident_ship_cold=True, resident_val_free=True)
+
+    footprints = {}
+    for name, mesh, parts in [
+            ("rep", make_mesh(1), 0),
+            ("sharded", make_hybrid_mesh(dp=1, part=P_), P_)]:
+        pipe = BatchPipeline(cfg, lap, graph.labels, world_size=1,
+                             pool_num=2)
+        net = build_model("graphsage", nhid=16, orders=(1, 1),
+                          num_classes=7)
+        src = (PartShardedFeatures(graph.feats, parts) if parts
+               else None)
+        tr = Trainer(net, pipe, graph.feats, mesh=mesh, lr=0.05,
+                     sigmoid_loss=False, seed=3, resident_graph=host,
+                     resident_parts=parts, feature_source=src)
+        footprints[name] = _per_device_committed_bytes(
+            (tr.agg_state, tr.feat_state))
+        del tr
+
+    rep_total = sum(footprints["rep"].values())  # one device, full copy
+    assert rep_total > 32 * 2 ** 20  # the 2x[K,K] blocks dominate
+    sharded = footprints["sharded"]
+    assert len(sharded) == P_, "state missing on some devices"
+    for dev, nbytes in sharded.items():
+        # per-chip committed bytes divide by P (pad rows allow ~6%)
+        assert nbytes <= rep_total / P_ * 1.06, (
+            dev, nbytes, rep_total / P_)
