@@ -47,7 +47,13 @@ def log(*a):
 
 HBM_GBPS = 819e9    # TPU v5e
 MXU_FLOPS = 197e12  # TPU v5e bf16 peak
-K_HOT = 16384       # resident hot-block slots for the 'hot' strategy
+# resident hot-block slots for the 'hot'/'hotstream' strategies. The
+# deployed CLI path runs K=32768 bf16 (RESULTS.md hot-block sweep); the
+# bench cache stores the hot COO at K_MAX so any K <= K_MAX slices out
+# as the leading principal block (hot_order is sample-prob-descending).
+K_HOT = int(__import__("os").environ.get("GNN_TPU_BENCH_HOT_K",
+                                         "32768"))
+K_MAX = 49152
 
 
 def _generate_cache(path):
@@ -98,7 +104,7 @@ def _generate_cache(path):
             f"normfact{i}": nf.astype(np.float32)})
         prev_nodes = prev
     prob = compute_sample_prob(lap, g.train_nodes, 3)
-    hot_order = np.argsort(-prob, kind="stable")[:K_HOT].astype(np.int64)
+    hot_order = np.argsort(-prob, kind="stable")[:K_MAX].astype(np.int64)
     sub = lap[hot_order, :][:, hot_order].tocoo()
     payload.update({"sample_prob_n": lap.shape[0], "hot_order": hot_order,
                     "hs_r": sub.row.astype(np.int32),
@@ -109,6 +115,41 @@ def _generate_cache(path):
     np.savez_compressed(path, **payload)
     log(f"cache written: {os.path.getsize(path) / 2**20:.0f} MiB")
     return np.load(path)
+
+
+def _load_hot_cache(here, z):
+    """Hot COO at K_MAX (v3 sidecar). The v2 minibatch cache carried the
+    hot block at K=16384 only; rather than regenerate the whole
+    minibatch, the K_MAX slice lives in its own file (built once from
+    the deterministic graph)."""
+    import os
+
+    import numpy as np
+
+    if len(z["hot_order"]) >= K_MAX:  # freshly generated v3 cache
+        return z["hot_order"], z["hs_r"], z["hs_c"], z["hs_v"]
+    side = os.path.join(here, "bench_cache", f"hotcoo_{K_MAX}.npz")
+    if os.path.exists(side):
+        s = np.load(side)
+        return s["hot_order"], s["rows"], s["cols"], s["vals"]
+    from gnn_tpu.data.synthetic import make_powerlaw_graph
+    from gnn_tpu.placement.engine import compute_sample_prob
+    from gnn_tpu.utils.normalize import build_laplacian
+
+    log(f"building hot COO at K_MAX={K_MAX} (one-time)...")
+    g = make_powerlaw_graph(232965, 100, 8, 41, seed=0)
+    lap = build_laplacian(g.adj_full, "graphsage")
+    prob = compute_sample_prob(lap, g.train_nodes, 3)
+    hot_order = np.argsort(-prob, kind="stable")[:K_MAX].astype(np.int64)
+    sub = lap[hot_order, :][:, hot_order].tocoo()
+    with open(side + ".tmp", "wb") as f:
+        np.savez(f, hot_order=hot_order,
+                 rows=sub.row.astype(np.int32),
+                 cols=sub.col.astype(np.int32),
+                 vals=sub.data.astype(np.float32))
+    os.replace(side + ".tmp", side)
+    s = np.load(side)
+    return s["hot_order"], s["rows"], s["cols"], s["vals"]
 
 
 def _chain_time_cal(fn, x, args, n, null_fn=None):
@@ -152,19 +193,28 @@ def main():
     z = np.load(cache) if os.path.exists(cache) else _generate_cache(cache)
     n_layers = int(z["n_layers"])
 
-    # hot-block setup (resident; built once — mirrors e2e setup cost)
-    hot_order = z["hot_order"]
+    # hot-block setup (resident; built once — mirrors e2e setup cost).
+    # hot_order is sample-prob-descending, so the K_HOT block is the
+    # leading principal submatrix of the cached K_MAX COO.
+    hot_order_full, hs_r, hs_c, hs_v = _load_hot_cache(here, z)
+    k_used = min(K_HOT, len(hot_order_full))
+    hot_order = np.asarray(hot_order_full[:k_used], np.int64)
+    keep = (hs_r < k_used) & (hs_c < k_used)
+    hs_r, hs_c, hs_v = hs_r[keep], hs_c[keep], hs_v[keep]
     n_nodes = int(z["sample_prob_n"])
-    k_pad = ((len(hot_order) + 127) // 128) * 128
+    k_pad = ((k_used + 127) // 128) * 128
     slot = np.full(n_nodes, -1, np.int32)
-    slot[hot_order] = np.arange(len(hot_order), dtype=np.int32)
+    slot[hot_order] = np.arange(k_used, dtype=np.int32)
     spec = HotSpec(hot_nodes=hot_order, slot_of_node=slot, k=k_pad)
-    D = np.zeros((k_pad, k_pad), np.float32)
-    D[z["hs_r"], z["hs_c"]] = z["hs_v"]
+    # densify straight into bf16 (a K=32768 f32 block would be 4+4 GB
+    # of host RAM for no reason; the device copy is bf16 on TPU anyway)
     ddt = jnp.bfloat16 if on_tpu else jnp.float32
-    D_dev = jnp.asarray(D, ddt)
-    DT_dev = jnp.asarray(np.ascontiguousarray(D.T), ddt)
-    log(f"hot block: K={k_pad}, nnz={len(z['hs_v'])}, "
+    D = np.zeros((k_pad, k_pad), ddt)
+    D[hs_r, hs_c] = hs_v.astype(ddt)
+    D_dev = jnp.asarray(D)
+    DT_dev = jnp.asarray(np.ascontiguousarray(D.T))
+    del D
+    log(f"hot block: K={k_pad}, nnz={len(hs_v)}, "
         f"{2 * D_dev.size * D_dev.dtype.itemsize / 2**20:.0f} MiB "
         f"resident incl. transpose")
 
@@ -221,6 +271,57 @@ def main():
                 bind_dense([a], d, dt)[0], u)),
             (hot, D_dev, DT_dev),
             hot_floor)
+
+        # hotstream: resident hot block + edge-stream tile-densify cold
+        # (gnn_tpu/ops/pallas_edgestream) — the cold residual runs at
+        # ~the dense MXU cost of its occupied tiles instead of the
+        # 20-50 ns/edge gather wall; rank-1 values (rv[r] * nf[c], the
+        # val-free resident factorization) mean no per-edge values exist
+        from gnn_tpu.ops.hotdense import hot_block_forward, \
+            hot_block_transpose
+        from gnn_tpu.ops.pallas_edgestream import (edge_stream_spmm,
+                                                   pack_edge_tiles)
+        live = vals != 0
+        hr = spec.slot_of_node[prev] >= 0
+        hc = spec.slot_of_node[after] >= 0
+        cold_m = live & ~(hr[rows] & hc[cols])
+        cr, cc, cv = rows[cold_m], cols[cold_m], vals[cold_m]
+        rv = np.zeros(R, np.float32)
+        if len(cr):
+            nf_safe = np.where(normfact[cc] > 0, normfact[cc], 1.0)
+            rv[cr] = cv / nf_safe
+            rank1_err = float(np.abs(rv[cr] * normfact[cc] - cv).max())
+        else:
+            rank1_err = 0.0
+        nf_pad = np.zeros(C, np.float32)
+        nf_pad[: len(normfact)] = normfact
+        if on_tpu and rank1_err < 1e-5:
+            # bk=256 halves the entry count vs 128 and measured 1.5x fwd
+            # / 3.4x bwd over segsum (bk=128 was 1.0x/2.3x) — wider col
+            # tiles amortize the per-entry one-hot build
+            es_bm, es_bk, es_ecap = 128, 256, 256
+            tiles = jax.tree_util.tree_map(
+                jnp.asarray,
+                pack_edge_tiles(cr.astype(np.int64), cc.astype(np.int64),
+                                R, C, bm=es_bm, bk=es_bk, ecap=es_ecap))
+            rvj, nfj = jnp.asarray(rv), jnp.asarray(nf_pad)
+            nb_es = tiles.blk_rc.shape[0]
+            hs_floor = (2.0 * max(rh_pad, ch_pad) * k_pad * n_feats
+                        / MXU_FLOPS
+                        + 2.0 * nb_es * es_bm * es_bk
+                        * (n_feats + es_ecap) / MXU_FLOPS)
+            cand["hotstream"] = (
+                (lambda u, a, d, t, rv_, nf_:
+                 hot_block_forward(a, d, u)
+                 + edge_stream_spmm(t, u, rv_, nf_)),
+                (hot, D_dev, tiles, rvj, nfj),
+                (lambda u, a, dt, t, rv_, nf_:
+                 hot_block_transpose(a, dt, u)
+                 + edge_stream_spmm(t, u, rv_, nf_, transpose=True)),
+                (hot, DT_dev, tiles, rvj, nfj),
+                hs_floor)
+            log(f"  layer {li} hotstream: {nb_es} tile entries, "
+                f"rank1 err {rank1_err:.1e}")
 
         if on_tpu:
             live = vals != 0

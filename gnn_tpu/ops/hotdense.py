@@ -325,6 +325,61 @@ def bind_dense(adjs: List[object], dense, dense_t) -> List[object]:
     return out
 
 
+def hot_block_forward(adj: HotDenseAdj, dense, x: jnp.ndarray
+                      ) -> jnp.ndarray:
+    """The resident-block half of ``A @ x`` (no cold residual): gather
+    cols to slot space, row-compacted MXU matmul, gather back through
+    the compaction map. ``dense`` is passed explicitly so callers that
+    compose their own cold path (edge-stream kernel, bench candidates)
+    need no bound adj."""
+    if adj.part_axis is not None:
+        # sharded blocks (1/P of the slot columns each): every part
+        # contributes D[:, lo:hi][prs] @ xh[lo:hi] and ONE psum over
+        # the part axis restores the full row-compacted product —
+        # flops, block HBM and the xh gather all shrink by P, the
+        # cold residual is computed replicated (it is ~2 ms) and
+        # added once outside the psum
+        ksh = dense.shape[1]
+        lo = jax.lax.axis_index(adj.part_axis) * ksh
+        colpos = jax.lax.dynamic_slice(adj.colpos, (lo,), (ksh,))
+        nfh = jax.lax.dynamic_slice(adj.nfh, (lo,), (ksh,))
+    else:
+        colpos, nfh = adj.colpos, adj.nfh
+    xh = jnp.take(x, colpos, axis=0, mode="fill", fill_value=0)
+    xh = xh * nfh[:, None].astype(x.dtype)
+    d_rows = jnp.take(dense, adj.present_row_slots, axis=0)
+    yh_c = jnp.dot(d_rows, xh.astype(dense.dtype),
+                   preferred_element_type=jnp.float32)
+    if adj.part_axis is not None:
+        yh_c = jax.lax.psum(yh_c, adj.part_axis)
+    return jnp.take(yh_c, adj.row_cmp_idx, axis=0, mode="fill",
+                    fill_value=0).astype(x.dtype)
+
+
+def hot_block_transpose(adj: HotDenseAdj, dense_t, g: jnp.ndarray
+                        ) -> jnp.ndarray:
+    """The resident-block half of ``A^T @ g`` (no cold residual),
+    symmetric to :func:`hot_block_forward` with roles swapped."""
+    if adj.part_axis is not None:
+        # symmetric to the forward: part p holds D^T[:, lo:hi]
+        # (= D[lo:hi, :]^T), gathers only its slot range of g, and the
+        # psum restores the full compacted transpose product
+        ksh = dense_t.shape[1]
+        lo = jax.lax.axis_index(adj.part_axis) * ksh
+        rowpos = jax.lax.dynamic_slice(adj.rowpos, (lo,), (ksh,))
+    else:
+        rowpos = adj.rowpos
+    gh = jnp.take(g, rowpos, axis=0, mode="fill", fill_value=0)
+    dt_rows = jnp.take(dense_t, adj.present_col_slots, axis=0)
+    dh_c = jnp.dot(dt_rows, gh.astype(dense_t.dtype),
+                   preferred_element_type=jnp.float32)
+    if adj.part_axis is not None:
+        dh_c = jax.lax.psum(dh_c, adj.part_axis)
+    dx_hot = jnp.take(dh_c, adj.col_cmp_idx, axis=0, mode="fill",
+                      fill_value=0)
+    return (dx_hot * adj.nf_col[:, None]).astype(g.dtype)
+
+
 def hot_forward(adj: HotDenseAdj, x: jnp.ndarray) -> jnp.ndarray:
     """``y = A @ x`` with A = resident hot block + cold COO residual."""
     assert adj.dense is not None, (
@@ -333,31 +388,7 @@ def hot_forward(adj: HotDenseAdj, x: jnp.ndarray) -> jnp.ndarray:
     # cold residual (row-sorted segment-sum)
     y = sparse_ops._coo_aggregate(adj.rows, adj.cols, adj.vals, x,
                                   adj.nrows, sorted_rows=True)
-    # hot block: gather cols to slot space, row-compacted MXU matmul,
-    # gather back through the compaction map
-    if adj.part_axis is not None:
-        # sharded blocks (1/P of the slot columns each): every part
-        # contributes D[:, lo:hi][prs] @ xh[lo:hi] and ONE psum over
-        # the part axis restores the full row-compacted product —
-        # flops, block HBM and the xh gather all shrink by P, the
-        # cold residual is computed replicated (it is ~2 ms) and
-        # added once outside the psum
-        ksh = adj.dense.shape[1]
-        lo = jax.lax.axis_index(adj.part_axis) * ksh
-        colpos = jax.lax.dynamic_slice(adj.colpos, (lo,), (ksh,))
-        nfh = jax.lax.dynamic_slice(adj.nfh, (lo,), (ksh,))
-    else:
-        colpos, nfh = adj.colpos, adj.nfh
-    xh = jnp.take(x, colpos, axis=0, mode="fill", fill_value=0)
-    xh = xh * nfh[:, None].astype(x.dtype)
-    d_rows = jnp.take(adj.dense, adj.present_row_slots, axis=0)
-    yh_c = jnp.dot(d_rows, xh.astype(adj.dense.dtype),
-                   preferred_element_type=jnp.float32)
-    if adj.part_axis is not None:
-        yh_c = jax.lax.psum(yh_c, adj.part_axis)
-    y_hot = jnp.take(yh_c, adj.row_cmp_idx, axis=0, mode="fill",
-                     fill_value=0)
-    return y + y_hot.astype(x.dtype)
+    return y + hot_block_forward(adj, adj.dense, x)
 
 
 def hot_transpose(adj: HotDenseAdj, g: jnp.ndarray) -> jnp.ndarray:
@@ -366,21 +397,4 @@ def hot_transpose(adj: HotDenseAdj, g: jnp.ndarray) -> jnp.ndarray:
     assert adj.dense_t is not None
     dx = sparse_ops._coo_aggregate(adj.cols_t, adj.rows_t, adj.vals_t, g,
                                    adj.ncols, sorted_rows=adj.t_sorted)
-    if adj.part_axis is not None:
-        # symmetric to the forward: part p holds D^T[:, lo:hi]
-        # (= D[lo:hi, :]^T), gathers only its slot range of g, and the
-        # psum restores the full compacted transpose product
-        ksh = adj.dense_t.shape[1]
-        lo = jax.lax.axis_index(adj.part_axis) * ksh
-        rowpos = jax.lax.dynamic_slice(adj.rowpos, (lo,), (ksh,))
-    else:
-        rowpos = adj.rowpos
-    gh = jnp.take(g, rowpos, axis=0, mode="fill", fill_value=0)
-    dt_rows = jnp.take(adj.dense_t, adj.present_col_slots, axis=0)
-    dh_c = jnp.dot(dt_rows, gh.astype(adj.dense_t.dtype),
-                   preferred_element_type=jnp.float32)
-    if adj.part_axis is not None:
-        dh_c = jax.lax.psum(dh_c, adj.part_axis)
-    dx_hot = jnp.take(dh_c, adj.col_cmp_idx, axis=0, mode="fill",
-                      fill_value=0)
-    return dx + (dx_hot * adj.nf_col[:, None]).astype(g.dtype)
+    return dx + hot_block_transpose(adj, adj.dense_t, g)

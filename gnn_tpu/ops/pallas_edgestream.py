@@ -1,0 +1,356 @@
+"""Edge-stream SpMM: build each occupied adjacency tile ON THE MXU from
+packed edge coordinates, then matmul it — no scatter, no shipped tiles.
+
+The cold-residual aggregation of the resident hot-block path
+(`gnn_tpu.ops.hotdense`) was gather/scatter-bound at 20-50 ns/edge in
+every XLA formulation tried (benchmarks/RESULTS.md: sorted segment-sum,
+ELL, densify-matmul all land there, because TPU has no gather hardware
+— the reference's per-edge CUDA kernel `cuda_spmm.cu:163-212` has no
+TPU analog). XLA's scatter-densify costs 27 ms for 2.1 M edges, which
+killed on-device densification in round 1.
+
+This kernel removes the per-edge work entirely. For one (row-tile,
+col-tile) tile with edges e = (lr_e, lc_e):
+
+    R[bm, E]  = (iota_r == lr_e) * rv[lr_e]      one VPU compare
+    C[bk, E]  = (iota_c == lc_e) * nf[lc_e]      one VPU compare
+    A[bm, bk] = R @ C^T                          one small MXU pass
+    y_tile   += A @ x_tile                       the dense matmul
+
+so tile densification is two broadcast compares and an [bm, E] x
+[E, bk] matmul — cost independent of which positions the edges hit.
+Per-edge values never materialize: row-normalized (and sym-normalized)
+laplacians on binary adjacencies factor RANK-1 over a tile,
+``val(r, c) = rv[r] * nf[c]`` (the val-free resident mode,
+`gnn_tpu/ops/residentgraph.py`), and the factors fold into the one-hot
+operands. The edge payload is 4 bytes/edge (packed coords), and the
+aggregation cost collapses to ~the dense MXU cost of the occupied
+tiles — at LADIES cold-residual densities every tile is occupied, so
+this is the dense-matmul speed of light for the layer shape, with no
+per-step densification and no resident [R, C] operand.
+
+Memory plan (v5e: ~120 MB usable VMEM measured):
+  * x (the dense operand) fully VMEM-resident, like
+    `pallas_spmm.stream_spmm` — read once from HBM;
+  * coords SHIP as int16 (2 bytes/edge — same as the lite format's
+    int16 cols) and are cast to an int32 [n_rows, 128] grid by one XLA
+    elementwise pass outside the kernel (Mosaic cannot issue dynamic
+    single-sublane loads of packed 16-bit types). The kernel reads the
+    grid through TWO consecutive (16, 128)-row block views whose
+    indices derive from the prefetched entry offsets — Pallas manages
+    their DMA pipeline, and because entries visit edges in packed
+    order, CONSECUTIVE ENTRIES USUALLY MAP TO THE SAME BLOCKS (one
+    16-row block holds ~2048 edges ≈ dozens of entries), so block
+    fetches amortize across entries instead of paying per-entry DMA
+    latency (a manual per-entry double-buffered DMA measured ~630 ns
+    of stall per entry — the latency, not the bytes);
+  * rv / nf ride as [n, 1] VMEM columns sliced per tile;
+  * entry tables (packed tile ids + edge offsets/counts + transpose
+    visit order) ride in SMEM via scalar prefetch.
+
+The transpose direction reuses the SAME edge buffer and tables: a
+col-tile-major visit permutation (``t_order``) drives the grid and the
+one-hot roles swap. One shipped copy serves forward and backward.
+"""
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import struct
+
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+# edges per coord row (the lane width) and coord rows per block view.
+# An entry's edges live in [off, off + cnt); the two consecutive block
+# views cover rows [b*BLK_ROWS, (b+2)*BLK_ROWS) with b = off's block,
+# so ecap <= BLK_ROWS * EC keeps every entry inside the pair.
+EC = 128
+BLK_ROWS = 16
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+@struct.dataclass
+class EdgeTiles:
+    """Tile-grouped edge stream for one sampled layer (both directions).
+
+    ``coords`` flattens to ``(lr << 8) | lc`` per edge — row AND column
+    LOCAL TO THEIR TILE (the one-hots need no base subtraction), int16:
+    bm <= 128 and bk <= 256 keep the pack in 15 bits.
+    Entry i owns flat edges ``[off[0, i], off[0, i] + off[1, i])`` with
+    at most ``ecap`` edges (heavier tiles split across entries).
+    ``blk_rc`` is (rt << 16) | ct sorted rt-major (forward visit order);
+    ``t_order`` permutes entries into ct-major order for the transpose.
+    Sentinel zero-edge entries guarantee every row-tile AND col-tile is
+    visited at least once (output blocks zero-initialize on first
+    visit); pad entries point at tile (n_rt-1, n_ct-1), which sorts
+    last in both orders."""
+
+    coords: jnp.ndarray   # int16 [n_coord_rows, EC]
+    blk_rc: jnp.ndarray   # int32 [NB]
+    off: jnp.ndarray      # int32 [2, NB + 1]: row 0 = offset, 1 = count
+    t_order: jnp.ndarray  # int32 [NB]
+    nrows: int = struct.field(pytree_node=False)
+    ncols: int = struct.field(pytree_node=False)
+    bm: int = struct.field(pytree_node=False)
+    bk: int = struct.field(pytree_node=False)
+    ecap: int = struct.field(pytree_node=False)
+
+
+def pack_edge_tiles(rows: np.ndarray, cols: np.ndarray,
+                    nrows_pad: int, ncols_pad: int, bm: int = 128,
+                    bk: int = 128, ecap: int = 256,
+                    nb_pad: Optional[int] = None,
+                    e_pad: Optional[int] = None) -> EdgeTiles:
+    """Host-side packing: COO pattern -> tile-grouped edge stream.
+
+    Values do NOT ship — the kernel applies the rank-1 ``rv[r] * nf[c]``
+    factorization (val-free laplacians); weighted graphs keep the
+    segment-sum path. ``nb_pad``/``e_pad`` bucket the array sizes for
+    shape-stable jits across steps."""
+    assert nrows_pad % bm == 0 and ncols_pad % bk == 0
+    assert ecap <= BLK_ROWS * EC, (ecap, BLK_ROWS)
+    assert bm <= 128 and bk <= 256, (bm, bk)  # int16 coord pack
+    n_rt, n_ct = nrows_pad // bm, ncols_pad // bk
+    assert n_rt < (1 << 15) and n_ct < (1 << 16), (n_rt, n_ct)
+    rows = np.asarray(rows, np.int64)
+    cols = np.asarray(cols, np.int64)
+    tr, tc = rows // bm, cols // bk
+    key = tr * n_ct + tc
+    order = np.argsort(key, kind="stable")
+    rows_s, cols_s, key_s = rows[order], cols[order], key[order]
+    uniq, counts = np.unique(key_s, return_counts=True)
+
+    # split heavy tiles into ceil(cnt/ecap) entries
+    n_ent = np.maximum(-(-counts // ecap), 1)
+    ent_tile = np.repeat(np.arange(len(uniq)), n_ent)
+    within = (np.arange(len(ent_tile))
+              - np.repeat(np.cumsum(n_ent) - n_ent, n_ent))
+    tile_start = np.concatenate([[0], np.cumsum(counts)])[:-1]
+    ent_off = (tile_start[ent_tile] + within * ecap).astype(np.int64)
+    ent_cnt = np.minimum(counts[ent_tile] - within * ecap, ecap)
+    ent_rc = ((uniq[ent_tile] // n_ct).astype(np.int64) << 16) \
+        | (uniq[ent_tile] % n_ct).astype(np.int64)
+
+    # sentinel zero-edge entries for unvisited row-tiles / col-tiles so
+    # their output blocks are zeroed on the respective pass
+    miss_rt = np.setdiff1d(np.arange(n_rt), np.unique(uniq // n_ct))
+    miss_ct = np.setdiff1d(np.arange(n_ct), np.unique(uniq % n_ct))
+    sent_rc = np.concatenate([miss_rt.astype(np.int64) << 16,
+                              miss_ct.astype(np.int64)])
+    if len(sent_rc):
+        ent_rc = np.concatenate([ent_rc, sent_rc])
+        ent_off = np.concatenate(
+            [ent_off, np.zeros(len(sent_rc), np.int64)])
+        ent_cnt = np.concatenate(
+            [ent_cnt, np.zeros(len(sent_rc), np.int64)])
+
+    # forward visit order: (rt, ct); entries of one tile stay adjacent
+    fwd = np.argsort(ent_rc, kind="stable")
+    ent_rc, ent_off, ent_cnt = ent_rc[fwd], ent_off[fwd], ent_cnt[fwd]
+    nb = len(ent_rc)
+    if nb_pad is None:
+        nb_pad = max(_round_up(nb, 8), 8)
+    if nb > nb_pad:
+        raise ValueError(f"{nb} entries > nb_pad {nb_pad}")
+
+    e_used = len(rows_s)
+    if e_pad is None:
+        e_pad = max(_round_up(e_used, EC), EC)
+    if e_used > e_pad:
+        raise ValueError(f"{e_used} edges > e_pad {e_pad}")
+    # +2*BLK_ROWS coord rows of tail pad: the b+1 block view of an
+    # entry near the end must stay in bounds
+    n_cr = e_pad // EC + 2 * BLK_ROWS
+    coords = np.zeros(n_cr * EC, np.int16)
+    lr = rows_s - (rows_s // bm) * bm
+    lc = cols_s - (cols_s // bk) * bk
+    coords[:e_used] = ((lr << 8) | lc).astype(np.int16)
+    coords = coords.reshape(n_cr, EC)
+
+    # pad entries carry zero edges and point at tile (n_rt-1, n_ct-1):
+    # the sentinels above guarantee that tile id occurs, and it sorts
+    # LAST in both visit orders, so a pad entry can never be the first
+    # visit of an output block (which would re-zero written results)
+    pad_rc = ((n_rt - 1) << 16) | (n_ct - 1)
+    blk_rc = np.full(nb_pad, pad_rc, np.int32)
+    blk_rc[:nb] = ent_rc.astype(np.int32)
+    offcnt = np.zeros((2, nb_pad + 1), np.int32)
+    offcnt[0, :nb] = ent_off
+    offcnt[1, :nb] = ent_cnt
+
+    # transpose order: (ct, rt) over ALL nb_pad entries (pads sort last)
+    t_key = ((blk_rc.astype(np.int64) & 0xFFFF) << 16) | \
+        (blk_rc.astype(np.int64) >> 16)
+    t_ord = np.argsort(t_key, kind="stable").astype(np.int32)
+
+    return EdgeTiles(coords=coords, blk_rc=blk_rc, off=offcnt,
+                     t_order=t_ord,
+                     nrows=int(nrows_pad), ncols=int(ncols_pad),
+                     bm=bm, bk=bk, ecap=ecap)
+
+
+def _edge_stream_kernel(ord_ref, rc_ref, offcnt_ref, ca_ref, cb_ref,
+                        x_ref, rv_ref, nf_ref, out_ref, *,
+                        bm: int, bk: int, ecap: int, transpose: bool):
+    j = pl.program_id(1)
+
+    def ent(i):
+        return ord_ref[i]
+
+    def out_tile(i):
+        rc = rc_ref[ent(i)]
+        return (rc & 0xFFFF) if transpose else (rc >> 16)
+
+    # zero the output block on its first visit (visit order is sorted by
+    # the output tile id, so revisits are consecutive)
+    first = jnp.logical_or(j == 0, out_tile(j) != out_tile(
+        jnp.maximum(j - 1, 0)))
+
+    @pl.when(first)
+    def _():
+        out_ref[:] = jnp.zeros_like(out_ref)
+
+    rc = rc_ref[ent(j)]
+    rt = rc >> 16
+    ct = rc & 0xFFFF
+    off = offcnt_ref[0, ent(j)]
+    cnt = offcnt_ref[1, ent(j)]
+    base_edge = (off // (BLK_ROWS * EC)) * (BLK_ROWS * EC)
+
+    rvt = rv_ref[pl.ds(rt * bm, bm), :]                  # [bm, 1]
+    nft = nf_ref[pl.ds(ct * bk, bk), :]                  # [bk, 1]
+    io_r = jax.lax.broadcasted_iota(jnp.int32, (bm, EC), 0)
+    io_c = jax.lax.broadcasted_iota(jnp.int32, (bk, EC), 0)
+    io_e = jax.lax.broadcasted_iota(jnp.int32, (1, EC), 1)
+
+    def w_body(w, acc):
+        # coord row w of the entry's 2-block window (Pallas pipelines
+        # the two 16-row block views; consecutive entries usually share
+        # them, so no per-entry DMA latency is paid)
+        wa = jnp.minimum(w, BLK_ROWS - 1)
+        wb = jnp.clip(w - BLK_ROWS, 0, BLK_ROWS - 1)
+        ca = ca_ref[pl.ds(wa, 1), :]
+        cb = cb_ref[pl.ds(wb, 1), :]
+        cw = jnp.where(w < BLK_ROWS, ca, cb)             # [1, EC] int32
+        eidx = base_edge + w * EC + io_e
+        valid = jnp.logical_and(eidx >= off, eidx < off + cnt)
+        lr = jnp.where(valid, cw >> 8, bm)               # [1, EC]
+        lc = jnp.where(valid, cw & 0xFF, bk)
+        # one-hot operands with the rank-1 value factors folded in
+        R = jnp.where(io_r == lr, rvt, 0.0)              # [bm, EC]
+        C = jnp.where(io_c == lc, nft, 0.0)              # [bk, EC]
+        if transpose:
+            d = jax.lax.dot_general(
+                C, R, dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32)      # [bk, bm]
+        else:
+            d = jax.lax.dot_general(
+                R, C, dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32)      # [bm, bk]
+        return acc + d
+
+    d0 = off - base_edge
+    w_lo = d0 // EC
+    w_hi = (d0 + cnt + EC - 1) // EC
+    a_shape = (bk, bm) if transpose else (bm, bk)
+    a = jax.lax.fori_loop(w_lo, jnp.where(cnt > 0, w_hi, w_lo), w_body,
+                          jnp.zeros(a_shape, jnp.float32))
+
+    if transpose:
+        start = pl.multiple_of(rt * bm, bm)
+        xb = x_ref[pl.ds(start, bm), :]
+    else:
+        start = pl.multiple_of(ct * bk, bk)
+        xb = x_ref[pl.ds(start, bk), :]
+    out_ref[:] += jnp.dot(a, xb, preferred_element_type=jnp.float32
+                          ).astype(out_ref.dtype)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("transpose", "f_tile", "interpret"))
+def edge_stream_spmm(tiles: EdgeTiles, x: jnp.ndarray,
+                     rv: jnp.ndarray, nf: jnp.ndarray,
+                     transpose: bool = False, f_tile: int = 0,
+                     interpret: bool = False) -> jnp.ndarray:
+    """``y = A @ x`` (or ``A^T @ x``) where ``A[r, c] = rv[r] * nf[c]``
+    on the packed edge set and 0 elsewhere.
+
+    ``rv``: [nrows] row factors (the row-constant laplacian values);
+    ``nf``: [ncols] column factors (normfact). For the transpose
+    direction pass the same tiles and factors — ``x`` then has nrows
+    rows and the result ncols."""
+    bm, bk, ecap = tiles.bm, tiles.bk, tiles.ecap
+    nb = tiles.blk_rc.shape[0]
+    n_out = tiles.ncols if transpose else tiles.nrows
+    n_in = tiles.nrows if transpose else tiles.ncols
+    C_, F = x.shape
+    assert C_ == n_in, (C_, n_in)
+    assert rv.shape == (tiles.nrows,), rv.shape
+    assert nf.shape == (tiles.ncols,), nf.shape
+    if f_tile == 0:
+        budget = 72 * 1024 * 1024 // max(C_ * x.dtype.itemsize, 1)
+        f_tile = min(_round_up(F, 128), max(128, (budget // 128) * 128))
+    if C_ * f_tile * x.dtype.itemsize > 100 * 1024 * 1024:
+        raise ValueError(
+            f"edge_stream_spmm: x block ({C_}x{f_tile}) exceeds VMEM; "
+            f"shard the layer or fall back to the COO path")
+    n_ft = pl.cdiv(F, f_tile)
+
+    ord_arr = (tiles.t_order if transpose
+               else jnp.arange(nb, dtype=jnp.int32))
+    out_blk = bk if transpose else bm
+
+    def out_map(f, j, ord_, rc, offcnt):
+        rcj = rc[ord_[j]]
+        t = (rcj & 0xFFFF) if transpose else (rcj >> 16)
+        return (t, f)
+
+    kernel = functools.partial(_edge_stream_kernel, bm=bm, bk=bk,
+                               ecap=ecap, transpose=transpose)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,   # ord, blk_rc, off/cnt
+        grid=(n_ft, nb),
+        in_specs=[
+            # two consecutive block views of the coord grid: Pallas
+            # pipelines their DMA and skips refetch when consecutive
+            # entries map to the same blocks (the common case — one
+            # block holds BLK_ROWS*EC = 2048 edges)
+            pl.BlockSpec((BLK_ROWS, EC),
+                         lambda f, j, o, r, oc:
+                         (oc[0, o[j]] // (BLK_ROWS * EC), 0)),
+            pl.BlockSpec((BLK_ROWS, EC),
+                         lambda f, j, o, r, oc:
+                         (oc[0, o[j]] // (BLK_ROWS * EC) + 1, 0)),
+            pl.BlockSpec((C_, f_tile),
+                         lambda f, j, o, r, oc: (0, f)),  # x resident
+            pl.BlockSpec(memory_space=pltpu.VMEM),        # rv [nrows, 1]
+            pl.BlockSpec(memory_space=pltpu.VMEM),        # nf [ncols, 1]
+        ],
+        out_specs=pl.BlockSpec((out_blk, f_tile), out_map),
+    )
+    flops = 2 * nb * (bm * 2 * EC * bk + bm * bk * F)
+    bytes_accessed = (tiles.coords.size * 4
+                      + C_ * F * x.dtype.itemsize
+                      + n_out * F * 4)
+    call = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((n_out, F), x.dtype),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=110 * 1024 * 1024),
+        cost_estimate=pl.CostEstimate(flops=flops,
+                                      bytes_accessed=bytes_accessed,
+                                      transcendentals=0),
+        interpret=interpret,
+    )
+    c32 = tiles.coords.astype(jnp.int32)
+    return call(ord_arr, tiles.blk_rc, tiles.off, c32, c32,
+                x, rv.reshape(-1, 1), nf.reshape(-1, 1))

@@ -1,0 +1,113 @@
+"""Edge-stream SpMM kernel tests (gnn_tpu/ops/pallas_edgestream).
+
+The kernel densifies each occupied tile on the MXU from packed edge
+coords (one-hot compare matmuls — no scatter) with the rank-1
+``rv[r] * nf[c]`` value factorization of val-free laplacians. On CPU
+these run in interpreter mode; the oracle is the dense rank-1-masked
+matmul (the reference authors' own validation trick,
+`custom_sparse_ops.py:25`)."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+import scipy.sparse as sp
+
+from jax.experimental.pallas import tpu as pltpu
+
+from gnn_tpu.ops.pallas_edgestream import (EdgeTiles, edge_stream_spmm,
+                                           pack_edge_tiles)
+
+
+def _dense_oracle(rows, cols, rv, nf, nr, nc):
+    d = np.zeros((nr, nc), np.float32)
+    d[rows, cols] = rv[rows] * nf[cols]
+    return d
+
+
+def _run(tiles, x, rv, nf, transpose=False):
+    with pltpu.force_tpu_interpret_mode():
+        return np.asarray(edge_stream_spmm(
+            jax.tree_util.tree_map(jnp.asarray, tiles), jnp.asarray(x),
+            jnp.asarray(rv), jnp.asarray(nf), transpose=transpose,
+            interpret=True))
+
+
+@pytest.mark.parametrize("nr,nc,f,dens,ecap", [
+    (128, 256, 128, 0.05, 64),
+    (256, 384, 256, 0.01, 256),
+    (384, 128, 160, 0.30, 128),   # heavy tiles -> entry splitting
+])
+def test_edge_stream_matches_dense(nr, nc, f, dens, ecap):
+    rng = np.random.RandomState(0)
+    m = sp.random(nr, nc, density=dens, format="coo", random_state=rng,
+                  dtype=np.float32)
+    rows = m.row.astype(np.int64)
+    cols = m.col.astype(np.int64)
+    # drop accidental duplicates (graphs have none; the one-hot matmul
+    # would sum them, the dense assignment would not)
+    _, ui = np.unique(rows * nc + cols, return_index=True)
+    rows, cols = rows[ui], cols[ui]
+    rv = rng.rand(nr).astype(np.float32) + 0.5
+    nf = rng.rand(nc).astype(np.float32) + 0.5
+    tiles = pack_edge_tiles(rows, cols, nr, nc, bm=128, bk=128,
+                            ecap=ecap)
+    x = rng.randn(nc, f).astype(np.float32)
+    g = rng.randn(nr, f).astype(np.float32)
+    dense = _dense_oracle(rows, cols, rv, nf, nr, nc)
+
+    y = _run(tiles, x, rv, nf)
+    np.testing.assert_allclose(y, dense @ x, rtol=1e-4, atol=1e-4)
+    dx = _run(tiles, g, rv, nf, transpose=True)
+    np.testing.assert_allclose(dx, dense.T @ g, rtol=1e-4, atol=1e-4)
+
+
+def test_edge_stream_empty_and_sparse_tiles():
+    rng = np.random.RandomState(1)
+    nr, nc, f = 256, 384, 128
+    # edges only in row-tile 0 and col-tile 2: every other row/col tile
+    # is covered by sentinels (zeroed, not garbage)
+    rows = rng.randint(0, 128, 40).astype(np.int64)
+    cols = (256 + rng.randint(0, 128, 40)).astype(np.int64)
+    _, ui = np.unique(rows * nc + cols, return_index=True)
+    rows, cols = rows[ui], cols[ui]
+    rv = np.ones(nr, np.float32)
+    nf = np.ones(nc, np.float32)
+    tiles = pack_edge_tiles(rows, cols, nr, nc)
+    x = rng.randn(nc, f).astype(np.float32)
+    dense = _dense_oracle(rows, cols, rv, nf, nr, nc)
+    y = _run(tiles, x, rv, nf)
+    np.testing.assert_allclose(y, dense @ x, rtol=1e-4, atol=1e-4)
+    dx = _run(tiles, rng.randn(nr, f).astype(np.float32), rv, nf,
+              transpose=True)
+    assert np.all(np.isfinite(dx))
+
+    # fully empty edge set: all-zero outputs, both directions
+    t0 = pack_edge_tiles(np.zeros(0, np.int64), np.zeros(0, np.int64),
+                         128, 128)
+    y0 = _run(t0, x[:128], rv[:128], nf[:128])
+    np.testing.assert_array_equal(y0, 0)
+
+
+def test_edge_stream_bucketed_shapes_and_padding():
+    """nb_pad / e_pad bucketing (shape-stable jits across steps): padded
+    entries must not corrupt any output block."""
+    rng = np.random.RandomState(2)
+    nr, nc, f = 256, 256, 128
+    m = sp.random(nr, nc, density=0.02, format="coo", random_state=rng,
+                  dtype=np.float32)
+    rows, cols = m.row.astype(np.int64), m.col.astype(np.int64)
+    _, ui = np.unique(rows * nc + cols, return_index=True)
+    rows, cols = rows[ui], cols[ui]
+    rv = rng.rand(nr).astype(np.float32)
+    nf = rng.rand(nc).astype(np.float32)
+    tight = pack_edge_tiles(rows, cols, nr, nc)
+    padded = pack_edge_tiles(rows, cols, nr, nc,
+                             nb_pad=tight.blk_rc.shape[0] + 37,
+                             e_pad=len(rows) + 300)
+    x = rng.randn(nc, f).astype(np.float32)
+    dense = _dense_oracle(rows, cols, rv, nf, nr, nc)
+    np.testing.assert_allclose(_run(padded, x, rv, nf), dense @ x,
+                               rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(
+        _run(padded, x, rv, nf, transpose=True), dense.T @ x,
+        rtol=1e-4, atol=1e-4)
