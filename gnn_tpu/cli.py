@@ -78,6 +78,14 @@ def build_parser() -> argparse.ArgumentParser:
                         "runs DP(n_devices) x part on a hybrid mesh — "
                         "for graphs whose resident state exceeds one "
                         "chip's HBM (gnn_tpu.parallel.shardedresident)")
+    p.add_argument("--resident_stream", type=str, default="auto",
+                   choices=["auto", "on", "off"],
+                   help="ship the resident cold residual as tile-grouped"
+                        " packed coords and aggregate it with the Pallas"
+                        " edge-stream kernel (1.5x fwd / 3.4x bwd vs the"
+                        " segment-sum on chip). 'auto' = on for TPU "
+                        "backends when the laplacian is val-free, off "
+                        "elsewhere (the kernel runs interpreted off-TPU)")
     p.add_argument("--hot_dtype", type=str, default="bfloat16",
                    choices=["float32", "bfloat16"],
                    help="resident hot-block dtype; bfloat16 (default) "
@@ -254,13 +262,20 @@ def main(argv=None) -> int:
                   f"+{resident_graph['val'].nbytes / 2**20:.0f} MiB "
                   "(cols+vals) in HBM", flush=True)
 
+    val_free = bool(resident_graph and resident_graph.get("val_free"))
+    stream_tiles = (args.resident_stream == "on"
+                    or (args.resident_stream == "auto" and val_free
+                        and jax.default_backend() == "tpu"))
+    if stream_tiles and not val_free:
+        raise SystemExit("--resident_stream on needs a val-free "
+                         "(row-constant) laplacian in resident format")
     cfg = SamplerConfig(
         batch_size=args.batch_size, samp_num=args.samp_num, orders=orders,
         num_nodes=n, num_classes=graph.num_classes, sampler=args.sampler,
         scale_factor=scale_factor, adj_format=args.adj_format,
         hot_spec=hot_spec,
-        resident_val_free=bool(resident_graph
-                               and resident_graph.get("val_free")))
+        resident_val_free=val_free,
+        resident_stream_tiles=stream_tiles)
     pipe = BatchPipeline(cfg, lap, graph.labels, world_size=n_devices,
                          pool_num=args.pool_num,
                          per_rank_skew=per_rank_skew,

@@ -110,6 +110,11 @@ def _declare(lib) -> None:
         i64p, i64p, i32p, f32p, i32p, ctypes.c_int64, i32p, f32p, u8p,
         ctypes.c_int64, i32p, i32p, f32p, i32p]
     lib.slice_cols_cold_fused_split.restype = ctypes.c_int64
+    i16p = ctypes.POINTER(ctypes.c_int16)
+    lib.pack_tiles.argtypes = [i32p, i32p, ctypes.c_int64,
+                               ctypes.c_int64, ctypes.c_int64,
+                               ctypes.c_int, ctypes.c_int, i32p, i16p]
+    lib.pack_tiles.restype = None
 
 
 def _ptr(a: np.ndarray, ct):
@@ -200,6 +205,25 @@ def hot_split_native(lib, rows: np.ndarray, cols: np.ndarray,
     n_cold = int(n_cold)
     return (cr[:n_cold], cc[:n_cold], cv[:n_cold],
             crt[:n_cold], cct[:n_cold], cvt[:n_cold])
+
+
+def pack_tiles_native(lib, rows: np.ndarray, cols: np.ndarray,
+                      n_rt: int, n_ct: int, log2_bm: int, log2_bk: int):
+    """Counting-sort a local-id COO into tile-major order: packed int16
+    coords ``(lr << 8) | lc`` plus per-tile counts (dense [n_rt*n_ct]).
+    ~2 ms at canonical cold-layer scale vs ~75 ms for the numpy argsort
+    (`pallas_edgestream.pack_edge_tiles`)."""
+    e = len(rows)
+    rows = np.ascontiguousarray(rows, np.int32)
+    cols = np.ascontiguousarray(cols, np.int32)
+    tile_cnt = np.zeros(n_rt * n_ct, np.int32)
+    coords = np.empty(e, np.int16)
+    lib.pack_tiles(_ptr(rows, ctypes.c_int32), _ptr(cols, ctypes.c_int32),
+                   ctypes.c_int64(e), ctypes.c_int64(n_ct),
+                   ctypes.c_int64(n_rt * n_ct), ctypes.c_int(log2_bm),
+                   ctypes.c_int(log2_bk), _ptr(tile_cnt, ctypes.c_int32),
+                   _ptr(coords, ctypes.c_int16))
+    return coords, tile_cnt
 
 
 def ladies_layer_native(lib, graph: NativeCSR, prev: np.ndarray,

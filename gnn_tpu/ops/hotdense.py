@@ -188,6 +188,19 @@ class HotDenseAdj:
     # (default) = replicated full blocks.
     part_axis: Optional[str] = struct.field(pytree_node=False,
                                             default=None)
+    # edge-stream tile payload for the cold residual (val-free resident
+    # mode, gnn_tpu.ops.pallas_edgestream): when ``es_rc`` is not None
+    # the cold aggregation runs through the tile-densify Pallas kernel
+    # instead of the segment-sum — the packed coords replace
+    # rows/cols/vals entirely (those ship as zero-length arrays).
+    # Measured on-chip at canonical shapes: 1.5x fwd / 3.4x bwd.
+    es_coords: Optional[jnp.ndarray] = None  # int16 [n_cr, 128]
+    es_rc: Optional[jnp.ndarray] = None      # int32 [nb]
+    es_off: Optional[jnp.ndarray] = None     # int32 [2, nb+1]
+    es_ord: Optional[jnp.ndarray] = None     # int32 [nb]
+    es_rv: Optional[jnp.ndarray] = None      # f32 [nrows] row factors
+    es_nf: Optional[jnp.ndarray] = None      # f32 [ncols] col factors
+    es_bk: int = struct.field(pytree_node=False, default=0)
 
     @property
     def shape(self):
@@ -380,14 +393,32 @@ def hot_block_transpose(adj: HotDenseAdj, dense_t, g: jnp.ndarray
     return (dx_hot * adj.nf_col[:, None]).astype(g.dtype)
 
 
+def _cold_edge_stream(adj: HotDenseAdj, u: jnp.ndarray,
+                      transpose: bool) -> jnp.ndarray:
+    """Cold residual via the edge-stream tile-densify kernel (one packed
+    coord buffer serves both directions). Interpreter mode off-TPU so
+    the CPU test mesh runs the identical math."""
+    from gnn_tpu.ops.pallas_edgestream import EdgeTiles, edge_stream_spmm
+    tiles = EdgeTiles(coords=adj.es_coords, blk_rc=adj.es_rc,
+                      off=adj.es_off, t_order=adj.es_ord,
+                      nrows=adj.nrows, ncols=adj.ncols,
+                      bm=128, bk=adj.es_bk, ecap=256)
+    interp = jax.default_backend() != "tpu"
+    return edge_stream_spmm(tiles, u, adj.es_rv, adj.es_nf,
+                            transpose=transpose, interpret=interp)
+
+
 def hot_forward(adj: HotDenseAdj, x: jnp.ndarray) -> jnp.ndarray:
-    """``y = A @ x`` with A = resident hot block + cold COO residual."""
+    """``y = A @ x`` with A = resident hot block + cold residual."""
     assert adj.dense is not None, (
         "HotDenseAdj.dense unbound — wrap the adj list with bind_dense() "
         "inside the jitted step")
-    # cold residual (row-sorted segment-sum)
-    y = sparse_ops._coo_aggregate(adj.rows, adj.cols, adj.vals, x,
-                                  adj.nrows, sorted_rows=True)
+    if adj.es_rc is not None:
+        y = _cold_edge_stream(adj, x, transpose=False)
+    else:
+        # cold residual (row-sorted segment-sum)
+        y = sparse_ops._coo_aggregate(adj.rows, adj.cols, adj.vals, x,
+                                      adj.nrows, sorted_rows=True)
     return y + hot_block_forward(adj, adj.dense, x)
 
 
@@ -395,6 +426,10 @@ def hot_transpose(adj: HotDenseAdj, g: jnp.ndarray) -> jnp.ndarray:
     """``dx = A^T @ g`` — the VJP's backward aggregation (symmetric,
     using the resident transpose block and the col-sorted cold copy)."""
     assert adj.dense_t is not None
-    dx = sparse_ops._coo_aggregate(adj.cols_t, adj.rows_t, adj.vals_t, g,
-                                   adj.ncols, sorted_rows=adj.t_sorted)
+    if adj.es_rc is not None:
+        dx = _cold_edge_stream(adj, g, transpose=True)
+    else:
+        dx = sparse_ops._coo_aggregate(adj.cols_t, adj.rows_t, adj.vals_t,
+                                       g, adj.ncols,
+                                       sorted_rows=adj.t_sorted)
     return dx + hot_block_transpose(adj, adj.dense_t, g)

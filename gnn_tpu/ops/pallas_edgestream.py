@@ -108,26 +108,54 @@ def pack_edge_tiles(rows: np.ndarray, cols: np.ndarray,
                     nrows_pad: int, ncols_pad: int, bm: int = 128,
                     bk: int = 128, ecap: int = 256,
                     nb_pad: Optional[int] = None,
-                    e_pad: Optional[int] = None) -> EdgeTiles:
+                    e_pad: Optional[int] = None,
+                    use_native: bool = True) -> EdgeTiles:
     """Host-side packing: COO pattern -> tile-grouped edge stream.
 
     Values do NOT ship — the kernel applies the rank-1 ``rv[r] * nf[c]``
     factorization (val-free laplacians); weighted graphs keep the
     segment-sum path. ``nb_pad``/``e_pad`` bucket the array sizes for
-    shape-stable jits across steps."""
+    shape-stable jits across steps. The E-sized tile sort runs in the
+    native core when available (~2 ms vs ~75 ms numpy argsort at
+    canonical cold-layer scale — this sits in the per-step path)."""
     assert nrows_pad % bm == 0 and ncols_pad % bk == 0
     assert ecap <= BLK_ROWS * EC, (ecap, BLK_ROWS)
     assert bm <= 128 and bk <= 256, (bm, bk)  # int16 coord pack
     n_rt, n_ct = nrows_pad // bm, ncols_pad // bk
     assert n_rt < (1 << 15) and n_ct < (1 << 16), (n_rt, n_ct)
-    rows = np.asarray(rows, np.int64)
-    cols = np.asarray(cols, np.int64)
-    tr, tc = rows // bm, cols // bk
-    key = tr * n_ct + tc
-    order = np.argsort(key, kind="stable")
-    rows_s, cols_s, key_s = rows[order], cols[order], key[order]
-    uniq, counts = np.unique(key_s, return_counts=True)
+    lib = None
+    if use_native and (bm & (bm - 1)) == 0 and (bk & (bk - 1)) == 0:
+        from gnn_tpu import native as _native
+        lib = _native.get_lib()
+    if lib is not None:
+        from gnn_tpu.native import pack_tiles_native
+        coords_s, tile_cnt = pack_tiles_native(
+            lib, np.asarray(rows, np.int32), np.asarray(cols, np.int32),
+            n_rt, n_ct, bm.bit_length() - 1, bk.bit_length() - 1)
+        occ = np.flatnonzero(tile_cnt)
+        uniq = occ.astype(np.int64)
+        counts = tile_cnt[occ].astype(np.int64)
+    else:
+        rows = np.asarray(rows, np.int64)
+        cols = np.asarray(cols, np.int64)
+        key = (rows // bm) * n_ct + cols // bk
+        order = np.argsort(key, kind="stable")
+        rows_s, cols_s = rows[order], cols[order]
+        uniq, counts = np.unique(key[order], return_counts=True)
+        lr = rows_s - (rows_s // bm) * bm
+        lc = cols_s - (cols_s // bk) * bk
+        coords_s = ((lr << 8) | lc).astype(np.int16)
+    return _build_tiles(coords_s, uniq, counts, nrows_pad, ncols_pad,
+                        bm, bk, ecap, n_rt, n_ct, nb_pad, e_pad)
 
+
+def _build_tiles(coords_s: np.ndarray, uniq: np.ndarray,
+                 counts: np.ndarray, nrows_pad: int, ncols_pad: int,
+                 bm: int, bk: int, ecap: int, n_rt: int, n_ct: int,
+                 nb_pad: Optional[int], e_pad: Optional[int]
+                 ) -> EdgeTiles:
+    """Entry tables + padding from tile-sorted coords and per-tile
+    counts (everything here is O(n_tiles), not O(E))."""
     # split heavy tiles into ceil(cnt/ecap) entries
     n_ent = np.maximum(-(-counts // ecap), 1)
     ent_tile = np.repeat(np.arange(len(uniq)), n_ent)
@@ -161,7 +189,7 @@ def pack_edge_tiles(rows: np.ndarray, cols: np.ndarray,
     if nb > nb_pad:
         raise ValueError(f"{nb} entries > nb_pad {nb_pad}")
 
-    e_used = len(rows_s)
+    e_used = len(coords_s)
     if e_pad is None:
         e_pad = max(_round_up(e_used, EC), EC)
     if e_used > e_pad:
@@ -170,9 +198,7 @@ def pack_edge_tiles(rows: np.ndarray, cols: np.ndarray,
     # entry near the end must stay in bounds
     n_cr = e_pad // EC + 2 * BLK_ROWS
     coords = np.zeros(n_cr * EC, np.int16)
-    lr = rows_s - (rows_s // bm) * bm
-    lc = cols_s - (cols_s // bk) * bk
-    coords[:e_used] = ((lr << 8) | lc).astype(np.int16)
+    coords[:e_used] = coords_s
     coords = coords.reshape(n_cr, EC)
 
     # pad entries carry zero edges and point at tile (n_rt-1, n_ct-1):
@@ -195,6 +221,32 @@ def pack_edge_tiles(rows: np.ndarray, cols: np.ndarray,
                      t_order=t_ord,
                      nrows=int(nrows_pad), ncols=int(ncols_pad),
                      bm=bm, bk=bk, ecap=ecap)
+
+
+def repad_tiles(coords: np.ndarray, blk_rc: np.ndarray, off: np.ndarray,
+                t_order: np.ndarray, nb_pad: int, n_cr: int,
+                n_rt: int, n_ct: int):
+    """Extend a packed tile set to (nb_pad entries, n_cr coord rows) —
+    the re-bucketing the pipeline's stack/group paths need to unify
+    shapes across steps. Pad entries carry zero edges at tile
+    (n_rt-1, n_ct-1), which sorts last in BOTH visit orders (the same
+    convention `pack_edge_tiles` uses), so they can never be the first
+    visit of an output block."""
+    nb = blk_rc.shape[0]
+    if nb == nb_pad and coords.shape[0] == n_cr:
+        return coords, blk_rc, off, t_order
+    assert nb_pad >= nb and n_cr >= coords.shape[0], \
+        ((nb, nb_pad), (coords.shape[0], n_cr))
+    pad_rc = ((n_rt - 1) << 16) | (n_ct - 1)
+    blk2 = np.concatenate(
+        [blk_rc, np.full(nb_pad - nb, pad_rc, np.int32)])
+    off2 = np.zeros((2, nb_pad + 1), np.int32)
+    off2[:, : nb + 1] = off
+    t2 = np.concatenate(
+        [t_order, np.arange(nb, nb_pad, dtype=np.int32)])
+    c2 = np.zeros((n_cr, coords.shape[1]), coords.dtype)
+    c2[: coords.shape[0]] = coords
+    return c2, blk2, off2, t2
 
 
 def _edge_stream_kernel(ord_ref, rc_ref, offcnt_ref, ca_ref, cb_ref,

@@ -158,12 +158,22 @@ class ResidentLayerRef:
     #                                        the device re-expands the
     #                                        row-sorted ids from counts)
     n_cold: Optional[jnp.ndarray] = None  # int32 scalar
+    # edge-stream tile payload (val-free lite mode with
+    # ``stream_tiles``): REPLACES cols/row_cnt — the cold residual ships
+    # as tile-grouped packed int16 coords + entry tables and aggregates
+    # through the Pallas tile-densify kernel
+    # (gnn_tpu.ops.pallas_edgestream) instead of the segment-sum
+    es_coords: Optional[jnp.ndarray] = None  # int16 [n_cr, 128]
+    es_rc: Optional[jnp.ndarray] = None      # int32 [nb]
+    es_off: Optional[jnp.ndarray] = None     # int32 [2, nb+1]
+    es_ord: Optional[jnp.ndarray] = None     # int32 [nb]
     nrows: int = struct.field(pytree_node=False, default=0)
     ncols: int = struct.field(pytree_node=False, default=0)
     e_cap: int = struct.field(pytree_node=False, default=0)
     nnz_cold: int = struct.field(pytree_node=False, default=0)
     rh_pad: int = struct.field(pytree_node=False, default=0)
     ch_pad: int = struct.field(pytree_node=False, default=0)
+    es_bk: int = struct.field(pytree_node=False, default=0)
 
     @property
     def shape(self):
@@ -175,7 +185,8 @@ def pack_resident_ref(spec: HotSpec, lap_indptr, prev, after, normfact,
                       vals=None, ship_cold: bool = True,
                       compress: bool = True,
                       cold_precomputed: bool = False,
-                      val_free: bool = False) -> ResidentLayerRef:
+                      val_free: bool = False,
+                      stream_tiles: bool = False) -> ResidentLayerRef:
     """Host-side companion of the device rebuild.
 
     ``ship_cold=True`` (default, "lite"): ship the row-sorted forward
@@ -204,6 +215,33 @@ def pack_resident_ref(spec: HotSpec, lap_indptr, prev, after, normfact,
     nf = np.zeros(c_cap, np.float32)
     nf[: len(normfact)] = normfact
     kw = {}
+    if ship_cold and stream_tiles and val_free:
+        # tile-grouped packed coords for the edge-stream cold kernel:
+        # same 2 bytes/edge as the int16 cols it replaces, plus ~16
+        # bytes/occupied-tile of entry tables — and the backward comes
+        # free (the transpose visit order reuses the same buffer)
+        from gnn_tpu.ops.pallas_edgestream import (EC, pack_edge_tiles,
+                                                   repad_tiles)
+        es_bk = 256 if c_cap % 256 == 0 else 128
+        e_pad = bucket_size(max(n_cold, 1))
+        assert e_pad % EC == 0, e_pad
+        t = pack_edge_tiles(np.asarray(cr, np.int32),
+                            np.asarray(cc, np.int32), r_cap, c_cap,
+                            bm=128, bk=es_bk, ecap=256, e_pad=e_pad)
+        nb_pad = bucket_size(t.blk_rc.shape[0], 512)
+        c2, rc2, off2, ord2 = repad_tiles(
+            np.asarray(t.coords), np.asarray(t.blk_rc),
+            np.asarray(t.off), np.asarray(t.t_order), nb_pad,
+            t.coords.shape[0], r_cap // 128, c_cap // es_bk)
+        return ResidentLayerRef(
+            normfact=nf,
+            n_valid_rows=np.int32(n_rows), n_valid_cols=np.int32(n_cols),
+            nrows=int(r_cap), ncols=int(c_cap),
+            e_cap=0, nnz_cold=e_pad,
+            rh_pad=bucket_size(max(int(hot_r_flag.sum()), 1), 128),
+            ch_pad=bucket_size(max(int(hot_c_flag.sum()), 1), 128),
+            es_coords=c2, es_rc=rc2, es_off=off2, es_ord=ord2,
+            es_bk=es_bk)
     if ship_cold:
         nnz_pad = bucket_size(max(n_cold, 1))
         cidx = np.int16 if (compress and c_cap <= 32768) else np.int32
@@ -255,6 +293,17 @@ def materialize_layer(g: ResidentGraph, ref: ResidentLayerRef,
     valid_c = jnp.arange(ncols) < ref.n_valid_cols
     rows_g = jnp.where(valid_r, row_ids, n)          # n -> deg 0 below
     cols_g = jnp.where(valid_c, col_ids, n)
+
+    if ref.es_rc is not None:
+        # edge-stream tile payload: no per-edge COO on device at all —
+        # the cold aggregation runs the packed coords through the
+        # Pallas tile-densify kernel with rank-1 values
+        # rv[r] * normfact[c] (val-free laplacians)
+        z_i = jnp.zeros(0, jnp.int32)
+        z_f = jnp.zeros(0, jnp.float32)
+        return _finish_layer(g, ref, rows_g, cols_g, z_i, z_i, z_f,
+                             jnp.int32(0),
+                             es_rv=g.rowval_lookup(rows_g))
 
     if ref.cols is not None:
         # lite mode: only the forward cold cols (+ optionally values)
@@ -336,7 +385,8 @@ def materialize_layer(g: ResidentGraph, ref: ResidentLayerRef,
 
 
 def _finish_layer(g: ResidentGraph, ref: ResidentLayerRef, rows_g,
-                  cols_g, rr, cc, vv, n_cold) -> HotDenseAdj:
+                  cols_g, rr, cc, vv, n_cold,
+                  es_rv=None) -> HotDenseAdj:
     """Shared tail of the device rebuild: transpose copy + all hot-slot
     plumbing (the arrays the hot format used to ship per step)."""
     nrows, ncols = ref.nrows, ref.ncols
@@ -377,6 +427,11 @@ def _finish_layer(g: ResidentGraph, ref: ResidentLayerRef, rows_g,
     present_col_slots = jnp.zeros(ref.ch_pad, jnp.int32).at[
         jnp.where(c_hot, cpos, ref.ch_pad)].set(c_slot, mode="drop")
 
+    es_kw = {}
+    if es_rv is not None:
+        es_kw = dict(es_coords=ref.es_coords, es_rc=ref.es_rc,
+                     es_off=ref.es_off, es_ord=ref.es_ord,
+                     es_rv=es_rv, es_nf=ref.normfact, es_bk=ref.es_bk)
     return HotDenseAdj(
         rows=rr, cols=cc, vals=vv, rows_t=rt, cols_t=ct, vals_t=vt,
         colpos=colpos, nfh=nfh, rowpos=rowpos, nf_col=nf_col,
@@ -385,7 +440,7 @@ def _finish_layer(g: ResidentGraph, ref: ResidentLayerRef, rows_g,
         n_valid_rows=ref.n_valid_rows, n_valid_cols=ref.n_valid_cols,
         dense=g.dense, dense_t=g.dense_t,
         nrows=nrows, ncols=ncols, k=k, t_sorted=False,
-        part_axis=g.part_axis)
+        part_axis=g.part_axis, **es_kw)
 
 
 def materialize_adjs(g: ResidentGraph, adjs, sampled_nodes,

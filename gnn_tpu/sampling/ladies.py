@@ -114,6 +114,13 @@ class SamplerConfig:
     # edge VALUES are then recomputed on device as row_val * normfact
     # and never ship (the CLI sets this from build_resident_graph)
     resident_val_free: bool = False
+    # val-free lite mode only: ship the cold residual as tile-grouped
+    # packed coords and aggregate it with the Pallas edge-stream kernel
+    # (gnn_tpu.ops.pallas_edgestream) instead of the segment-sum —
+    # measured 1.5x fwd / 3.4x bwd on chip. Off-TPU the kernel runs in
+    # interpreter mode (slow; tests only), so the CLI enables this on
+    # TPU backends by default and leaves it off elsewhere.
+    resident_stream_tiles: bool = False
 
     def layer_caps(self) -> List[int]:
         """Static per-level node-count caps, bottom-up.
@@ -226,7 +233,8 @@ def _pack_adj(cfg: SamplerConfig, rows, cols, vals, n_rows, n_cols,
                                  ship_cold=cfg.resident_ship_cold,
                                  compress=cfg.compress,
                                  cold_precomputed=cold_precomputed,
-                                 val_free=cfg.resident_val_free)
+                                 val_free=cfg.resident_val_free,
+                                 stream_tiles=cfg.resident_stream_tiles)
     if cfg.adj_format == "blocked":
         # bucket max_blk so shapes are stable-ish across steps
         return sparse_ops.pack_blocked(

@@ -144,6 +144,21 @@ def stack_minibatches(mbs: Sequence[MiniBatch]) -> MiniBatch:
                     a, cols=_ext(a.cols),
                     rows=_ext(a.rows, a.nrows - 1),
                     vals=_ext(a.vals)) for a in layer]
+            if layer[0].es_rc is not None:
+                # edge-stream tile payload: unify entry count and coord
+                # rows across the group (pad entries carry zero edges)
+                from gnn_tpu.ops.pallas_edgestream import repad_tiles
+                nbp = max(x.es_rc.shape[0] for x in layer)
+                ncr = max(x.es_coords.shape[0] for x in layer)
+                fixed = []
+                for a in layer:
+                    c2, rc2, off2, ord2 = repad_tiles(
+                        a.es_coords, a.es_rc, a.es_off, a.es_ord, nbp,
+                        ncr, a.nrows // 128, a.ncols // a.es_bk)
+                    fixed.append(dataclasses.replace(
+                        a, es_coords=c2, es_rc=rc2, es_off=off2,
+                        es_ord=ord2))
+                layer = fixed
             layer = [dataclasses.replace(
                 a,
                 e_cap=max(x.e_cap for x in layer),

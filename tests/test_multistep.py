@@ -20,20 +20,30 @@ from gnn_tpu.utils.normalize import build_laplacian
 
 
 def _make_trainer(graph, world_size, spd, adj_format="coo", seed=0,
-                  feature_cache=False, batch_size=64):
+                  feature_cache=False, batch_size=64,
+                  stream_tiles=False):
     lap = build_laplacian(graph.adj_full, "graphsage")
     hot_spec = None
     hot_dense = None
-    if adj_format == "hot":
+    resident_graph = None
+    if adj_format in ("hot", "resident"):
         from gnn_tpu.ops.hotdense import HotSpec, build_hot_dense
         from gnn_tpu.placement.engine import compute_sample_prob
         prob = compute_sample_prob(lap, graph.train_nodes, 2)
         hot_spec = HotSpec.from_sample_prob(prob, 256)
         hot_dense = build_hot_dense(lap, hot_spec)
+    if adj_format == "resident":
+        from gnn_tpu.ops.residentgraph import build_resident_graph
+        resident_graph = build_resident_graph(lap, hot_spec,
+                                              hot_dense[0], hot_dense[1])
+        hot_dense = None
     cfg = SamplerConfig(batch_size=batch_size, samp_num=128, orders=(1, 1),
                         num_nodes=graph.adj_full.shape[0],
                         num_classes=graph.num_classes,
-                        adj_format=adj_format, hot_spec=hot_spec)
+                        adj_format=adj_format, hot_spec=hot_spec,
+                        resident_ship_cold=True,
+                        resident_val_free=adj_format == "resident",
+                        resident_stream_tiles=stream_tiles)
     pipe = BatchPipeline(cfg, lap, graph.labels, world_size=world_size,
                          pool_num=2, seed=seed)
     net = build_model("graphsage", nhid=32, orders=(1, 1),
@@ -49,6 +59,7 @@ def _make_trainer(graph, world_size, spd, adj_format="coo", seed=0,
     return Trainer(net, pipe, graph.feats, mesh=make_mesh(world_size),
                    lr=0.05, sigmoid_loss=False, seed=seed,
                    feature_source=source, hot_dense=hot_dense,
+                   resident_graph=resident_graph,
                    steps_per_dispatch=spd)
 
 
@@ -103,6 +114,20 @@ def test_multistep_matches_per_step(small_graph, adj_format):
         assert abs(m1.train_loss - mG.train_loss) < 1e-4
     _params_close(tr1.params, trG.params)
     _params_close(tr1.opt_state, trG.opt_state)
+
+
+def test_multistep_stream_tiles_matches_per_step(small_graph):
+    """G=4 grouped training with the edge-stream cold payload (tile
+    repadding across group members + the scan) matches per-step."""
+    tr1 = _make_trainer(small_graph, 2, 1, adj_format="resident",
+                        stream_tiles=True)
+    trG = _make_trainer(small_graph, 2, 4, adj_format="resident",
+                        stream_tiles=True)
+    m1 = tr1.train_epoch(small_graph.train_nodes, 0)
+    mG = trG.train_epoch(small_graph.train_nodes, 0)
+    assert trG._last_epoch_steps == tr1._last_epoch_steps
+    assert abs(m1.train_loss - mG.train_loss) < 1e-4
+    _params_close(tr1.params, trG.params)
 
 
 def test_multistep_with_feature_cache(small_graph):

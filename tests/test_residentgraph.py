@@ -19,7 +19,8 @@ from gnn_tpu.utils.normalize import build_laplacian
 
 
 def _setup(graph, hot_k=256, orders=(1, 1), samp=128, batch=64,
-           sampler="ladies", ship_cold=False, val_free=False):
+           sampler="ladies", ship_cold=False, val_free=False,
+           stream_tiles=False):
     lap = build_laplacian(graph.adj_full, "graphsage")
     prob = compute_sample_prob(lap, graph.train_nodes, sum(orders))
     spec = HotSpec.from_sample_prob(prob, hot_k)
@@ -29,7 +30,8 @@ def _setup(graph, hot_k=256, orders=(1, 1), samp=128, batch=64,
               num_classes=graph.num_classes, hot_spec=spec,
               sampler=sampler, compress=False,
               resident_ship_cold=ship_cold,
-              resident_val_free=ship_cold and val_free)
+              resident_val_free=ship_cold and val_free,
+              resident_stream_tiles=stream_tiles)
     cfg_hot = SamplerConfig(adj_format="hot", **kw)
     cfg_res = SamplerConfig(adj_format="resident", **kw)
     host = build_resident_graph(lap, spec, dense, dense_t)
@@ -41,13 +43,15 @@ def _setup(graph, hot_k=256, orders=(1, 1), samp=128, batch=64,
 
 
 @pytest.mark.parametrize("orders", [(1, 1), (1, 0, 1)])
-@pytest.mark.parametrize("ship_cold,val_free",
-                         [(False, False), (True, False), (True, True)])
+@pytest.mark.parametrize("ship_cold,val_free,stream",
+                         [(False, False, False), (True, False, False),
+                          (True, True, False), (True, True, True)])
 def test_materialized_layer_matches_host_pack(small_graph, orders,
-                                              ship_cold, val_free):
+                                              ship_cold, val_free,
+                                              stream):
     lap, spec, dense, dense_t, cfg_hot, cfg_res, g = _setup(
         small_graph, orders=orders, ship_cold=ship_cold,
-        val_free=val_free)
+        val_free=val_free, stream_tiles=stream)
     tgt = small_graph.train_nodes[:64]
     mb_hot = ladies_sample(cfg_hot, 5, tgt, lap, small_graph.labels)
     mb_res = ladies_sample(cfg_res, 5, tgt, lap, small_graph.labels)
@@ -134,6 +138,51 @@ def test_resident_e2e_training_matches_hot(small_graph, ship_cold):
         losses[name] = (m.train_loss, vloss, f1)
     assert losses["res"][0] == pytest.approx(losses["hot"][0], abs=2e-4)
     assert losses["res"][1] == pytest.approx(losses["hot"][1], abs=2e-3)
+
+
+def test_stream_tiles_e2e_training_matches_segsum(small_graph):
+    """DP training with the edge-stream cold payload matches the
+    segment-sum lite payload (same seeds; interpret-mode kernel on the
+    CPU mesh runs exact f32, so losses agree to float tolerance)."""
+    from gnn_tpu.models.gnn import build_model
+    from gnn_tpu.parallel.mesh import make_mesh
+    from gnn_tpu.sampling.pipeline import BatchPipeline
+    from gnn_tpu.train.trainer import Trainer
+
+    losses = {}
+    for name, stream in [("segsum", False), ("stream", True)]:
+        lap, spec, dense, dense_t, _, cfg_res, g = _setup(
+            small_graph, ship_cold=True, val_free=True,
+            stream_tiles=stream)
+        host = build_resident_graph(lap, spec, dense, dense_t)
+        pipe = BatchPipeline(cfg_res, lap, small_graph.labels,
+                             world_size=2, pool_num=2)
+        net = build_model("graphsage", nhid=32, orders=cfg_res.orders,
+                          num_classes=small_graph.num_classes)
+        tr = Trainer(net, pipe, small_graph.feats, mesh=make_mesh(2),
+                     lr=0.05, sigmoid_loss=False, seed=3,
+                     resident_graph=host)
+        m = tr.train_epoch(small_graph.train_nodes, epoch=0)
+        f1, vloss = tr.evaluate(small_graph.valid_nodes, 128, "val")
+        losses[name] = (m.train_loss, vloss, f1)
+    assert losses["stream"][0] == pytest.approx(losses["segsum"][0],
+                                                abs=2e-4)
+    assert losses["stream"][1] == pytest.approx(losses["segsum"][1],
+                                                abs=2e-3)
+
+
+def test_stream_tiles_payload_replaces_cold_coo(small_graph):
+    """Stream-tiles payload ships coords + entry tables and NO cold
+    COO arrays (cols/row_cnt/vals are None)."""
+    lap, spec, dense, dense_t, _, cfg_res, g = _setup(
+        small_graph, ship_cold=True, val_free=True, stream_tiles=True)
+    tgt = small_graph.train_nodes[:64]
+    mb = ladies_sample(cfg_res, 11, tgt, lap, small_graph.labels)
+    ref = mb.adjs[-1]
+    assert ref.es_rc is not None and ref.es_coords is not None
+    assert ref.cols is None and ref.row_cnt is None and ref.vals is None
+    assert ref.es_coords.dtype == np.int16
+    assert ref.es_bk in (128, 256)
 
 
 def test_resident_subgraph_sampler(small_graph):
