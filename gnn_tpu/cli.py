@@ -63,11 +63,14 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--n_devices", type=int, default=0,
                    help="mesh size (0 = all available devices)")
     p.add_argument("--adj_format", type=str, default="resident",
-                   choices=["coo", "blocked", "hot", "resident"],
+                   choices=["coo", "blocked", "hot", "resident",
+                            "pattern"],
                    help="'hot' = resident hot-subgraph dense block + cold "
                         "COO residual (fastest device path); 'coo' = "
                         "portable chunked segment-sum; 'blocked' = Pallas "
-                        "tile stream")
+                        "tile stream; 'pattern' = pattern-only compressed "
+                        "edges for attention models (GAT default: values "
+                        "are computed on device, ~2 bytes/edge)")
     p.add_argument("--hot_k", type=int, default=16384,
                    help="hot-subgraph size (top-K nodes by sample_prob) "
                         "for --adj_format hot")
@@ -209,12 +212,19 @@ def main(argv=None) -> int:
         if scale_factor <= 1.0:
             scale_factor = 1.0  # tuner may raise it during training
 
+    if args.adj_format == "pattern" and args.model != "gat":
+        raise SystemExit("--adj_format pattern is attention-only (the "
+                         "aggregation weights are computed on device); "
+                         "use coo/hot/resident for graphsage/gcn/gin")
     if args.model == "gat" and args.adj_format in ("hot", "resident"):
-        # GAT's attention consumes the raw edge list (per-edge softmax);
-        # the hot decomposition doesn't apply — fall back to COO
-        print("--model gat uses the COO edge list; overriding "
-              f"--adj_format {args.adj_format} -> coo", flush=True)
-        args.adj_format = "coo"
+        # GAT's attention consumes the raw edge list (per-edge softmax
+        # with data-dependent values), so the rank-1 hot decomposition
+        # doesn't apply — but the PATTERN-only transport does: values
+        # never ship (computed on device from q.k), edges ride as int16
+        # cols + per-row counts (~2 bytes/edge, resident-lite-class)
+        print("--model gat ships pattern-only edges; overriding "
+              f"--adj_format {args.adj_format} -> pattern", flush=True)
+        args.adj_format = "pattern"
 
     hot_spec = None
     hot_dense = None

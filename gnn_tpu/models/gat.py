@@ -23,22 +23,34 @@ from gnn_tpu.ops import sparse as sparse_ops
 from gnn_tpu.ops.pallas_sddmm import sddmm_reference
 
 
-def _coo_to_tilewise(adj: sparse_ops.COOAdj, bm: int = 128,
-                     bk: int = 128):
+def _edges_of(adj):
+    """``(rows int32, cols int32, live bool)`` of a sampled layer —
+    value-carrying :class:`~gnn_tpu.ops.sparse.COOAdj` (live = nonzero
+    val) or the pattern-only :class:`~gnn_tpu.ops.sparse.PatternAdj`
+    (GAT's resident-class transport: ~2 bytes/edge, rows re-expanded
+    from per-row counts on device)."""
+    if isinstance(adj, sparse_ops.PatternAdj):
+        return adj.expand()
+    return (adj.rows.astype(jnp.int32), adj.cols.astype(jnp.int32),
+            adj.vals != 0)
+
+
+def _coo_to_tilewise(adj, bm: int = 128, bk: int = 128):
     """Device-side: occupied-tile ids + per-tile 0/1 masks from a padded
-    COO (tile set derived statically is not possible for traced COO, so
-    this uses ALL tiles — fine at minibatch scale for the jnp path)."""
+    COO/pattern layer (tile set derived statically is not possible for
+    traced edges, so this uses ALL tiles — fine at minibatch scale for
+    the jnp path)."""
     n_rt = adj.nrows // bm
     n_ct = adj.ncols // bk
     rt = jnp.repeat(jnp.arange(n_rt, dtype=jnp.int32), n_ct)
     ct = jnp.tile(jnp.arange(n_ct, dtype=jnp.int32), n_rt)
     blk_rc = (rt << 16) | ct
     mask = jnp.zeros((n_rt * n_ct, bm, bk), jnp.float32)
-    tile = (adj.rows // bm) * n_ct + (adj.cols // bk)
-    lr = adj.rows % bm
-    lc = adj.cols % bk
-    live = (adj.vals != 0).astype(jnp.float32)
-    mask = mask.at[tile, lr, lc].add(live)
+    rows, cols, live = _edges_of(adj)
+    tile = (rows // bm) * n_ct + (cols // bk)
+    lr = rows % bm
+    lc = cols % bk
+    mask = mask.at[tile, lr, lc].add(live.astype(jnp.float32))
     return blk_rc, jnp.minimum(mask, 1.0)
 
 
@@ -72,11 +84,10 @@ _EDGE_CHUNK = 131_072
 _TILE_MASK_LIMIT = 64 * 1024 * 1024
 
 
-def edge_attention_aggregate(adj: sparse_ops.COOAdj, q_pad, k, v,
-                             n_heads: int):
-    """Scalable multi-head edge-softmax attention over a padded COO
-    pattern — O(nnz) memory, so GAT trains at samp_num 8192+ where the
-    tile-mask route would materialize gigabytes.
+def edge_attention_aggregate(adj, q_pad, k, v, n_heads: int):
+    """Scalable multi-head edge-softmax attention over a padded COO or
+    pattern-only layer — O(nnz) memory, so GAT trains at samp_num 8192+
+    where the tile-mask route would materialize gigabytes.
 
     Three passes, each chunked under ``lax.scan`` so peak memory is
     [chunk, n_out]:
@@ -88,9 +99,7 @@ def edge_attention_aggregate(adj: sparse_ops.COOAdj, q_pad, k, v,
     H = n_heads
     n_out = k.shape[1]
     d = n_out // H
-    rows = adj.rows.astype(jnp.int32)
-    cols = adj.cols.astype(jnp.int32)
-    live = (adj.vals != 0)
+    rows, cols, live = _edges_of(adj)
     nnz = rows.shape[0]
     n_chunks = max(-(-nnz // _EDGE_CHUNK), 1)
     pad = n_chunks * _EDGE_CHUNK - nnz
@@ -153,7 +162,7 @@ class GATConv(nn.Module):
     impl: str = "auto"   # 'auto' | 'tile' | 'edge'
 
     @nn.compact
-    def __call__(self, x, adj: sparse_ops.COOAdj, sampled_nodes):
+    def __call__(self, x, adj, sampled_nodes):
         assert self.n_out % self.n_heads == 0
         d = self.n_out // self.n_heads
         q = nn.Dense(self.n_out, name="q")(x)

@@ -108,6 +108,78 @@ class BlockedAdj:
         return (self.nrows, self.ncols)
 
 
+@struct.dataclass
+class PatternAdj:
+    """Pattern-only compressed adjacency for attention models (GAT).
+
+    Attention computes its edge VALUES on device (per-edge softmax of
+    q.k scores), so only the sampled PATTERN needs to cross the wire:
+    int16 cols + per-row counts (edges are row-sorted; the device
+    re-expands row ids with a cumsum — the same trick the resident-lite
+    payload uses). ~2 bytes/edge vs the 6-12 of a value-carrying COO
+    with its transpose copy. No transpose structure ships at all:
+    attention layers differentiate straight through the segment ops, so
+    no custom-VJP transpose aggregation exists.
+    """
+
+    cols: jnp.ndarray     # int16/int32 [nnz_pad]
+    row_cnt: jnp.ndarray  # int32 [nrows]: edges per output row
+    n_edges: jnp.ndarray  # int32 scalar (valid edge count)
+    n_valid_rows: jnp.ndarray  # int32 scalar
+    n_valid_cols: jnp.ndarray  # int32 scalar
+    nrows: int = struct.field(pytree_node=False)
+    ncols: int = struct.field(pytree_node=False)
+
+    @property
+    def shape(self):
+        return (self.nrows, self.ncols)
+
+    @property
+    def nnz_pad(self) -> int:
+        return self.cols.shape[0]
+
+    def expand(self):
+        """Device-side: ``(rows int32 [nnz_pad], cols int32, live
+        bool)`` — rows re-expand from the per-row counts (pad edges sit
+        at the last row), exactly `residentgraph.materialize_layer`'s
+        count expansion."""
+        nnz_pad = self.cols.shape[0]
+        live = jnp.arange(nnz_pad) < self.n_edges
+        cnt = self.row_cnt
+        starts = jnp.cumsum(cnt) - cnt
+        seg = jnp.zeros(nnz_pad + 1, jnp.int32).at[starts].add(
+            1, mode="drop")
+        rows = jnp.cumsum(seg[:nnz_pad]) - 1
+        rows = jnp.where(live, jnp.clip(rows, 0, self.nrows - 1),
+                         self.nrows - 1)
+        return rows, self.cols.astype(jnp.int32), live
+
+
+def pack_pattern(rows: np.ndarray, cols: np.ndarray, n_valid_rows: int,
+                 n_valid_cols: int, nrows_pad: int, ncols_pad: int,
+                 nnz_pad: Optional[int] = None,
+                 compress: bool = True) -> PatternAdj:
+    """Pack a row-sorted edge pattern into a :class:`PatternAdj`."""
+    nnz = len(rows)
+    assert nnz == 0 or np.all(np.diff(rows) >= 0), \
+        "pack_pattern expects row-sorted edges"
+    if nnz_pad is None:
+        nnz_pad = max(_round_up(max(nnz, 1), 512), 512)
+    if nnz > nnz_pad:
+        raise ValueError(f"nnz {nnz} exceeds pad {nnz_pad}")
+    cidx = np.int16 if (compress and ncols_pad <= 32768) else np.int32
+    c = np.zeros(nnz_pad, cidx)
+    c[:nnz] = cols
+    row_cnt = np.bincount(np.asarray(rows, np.int64),
+                          minlength=nrows_pad).astype(np.int32) if nnz \
+        else np.zeros(nrows_pad, np.int32)
+    return PatternAdj(cols=c, row_cnt=row_cnt,
+                      n_edges=np.asarray(nnz, np.int32),
+                      n_valid_rows=np.int32(n_valid_rows),
+                      n_valid_cols=np.int32(n_valid_cols),
+                      nrows=int(nrows_pad), ncols=int(ncols_pad))
+
+
 Adj = COOAdj  # default public alias for typing
 
 

@@ -235,6 +235,13 @@ def _pack_adj(cfg: SamplerConfig, rows, cols, vals, n_rows, n_cols,
                                  cold_precomputed=cold_precomputed,
                                  val_free=cfg.resident_val_free,
                                  stream_tiles=cfg.resident_stream_tiles)
+    if cfg.adj_format == "pattern":
+        # attention transport: values never ship (GAT computes per-edge
+        # scores on device); cols int16 + per-row counts only
+        nnz_pad = bucket_size(max(len(rows), 1))
+        return sparse_ops.pack_pattern(rows, cols, n_rows, n_cols,
+                                       r_cap, c_cap, nnz_pad,
+                                       compress=cfg.compress)
     if cfg.adj_format == "blocked":
         # bucket max_blk so shapes are stable-ish across steps
         return sparse_ops.pack_blocked(

@@ -127,6 +127,15 @@ def stack_minibatches(mbs: Sequence[MiniBatch]) -> MiniBatch:
                     present_row_slots=pad1(a.present_row_slots, rh),
                     present_col_slots=pad1(a.present_col_slots, ch))
                     for a in layer]
+        elif isinstance(layer[0], sparse_ops.PatternAdj):
+            # pattern transport: only the cols array is bucketed (pad
+            # edges expand to the last row and carry live=False)
+            nnz = bucket_size(max(a.cols.shape[0] for a in layer))
+            layer = [a if a.cols.shape[0] == nnz else dataclasses.replace(
+                a, cols=np.concatenate(
+                    [a.cols,
+                     np.zeros(nnz - a.cols.shape[0], a.cols.dtype)]))
+                for a in layer]
         elif type(layer[0]).__name__ == "ResidentLayerRef":
             # normfact/row_cnt share static caps; the shipped cold
             # arrays (lite mode) re-pad to the group-max bucket, and

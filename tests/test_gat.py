@@ -2,6 +2,7 @@
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 import scipy.sparse as sp
 
 from gnn_tpu.models.gat import GATConv, masked_tile_softmax, \
@@ -184,3 +185,65 @@ def test_edge_impl_scales_past_tile_limit(small_graph):
         assert m1.train_loss < m0.train_loss + 0.2
     finally:
         gat_mod._TILE_MASK_LIMIT = old
+
+
+def test_pattern_adj_expand_matches_coo():
+    """PatternAdj (pattern-only transport) re-expands to the same
+    (rows, cols, live) as the value-carrying COO it compresses."""
+    rng = np.random.RandomState(5)
+    adj, rows, cols = _adj(rng, 128, 256)
+    m = sp.coo_matrix((np.ones(len(rows), np.float32), (rows, cols)),
+                      shape=(128, 256)).tocsr().tocoo()  # row-sorted
+    pat = sops.pack_pattern(m.row.astype(np.int32),
+                            m.col.astype(np.int32), 128, 256, 128, 256)
+    r, c, live = jax.tree_util.tree_map(
+        np.asarray,
+        jax.tree_util.tree_map(jnp.asarray, pat).expand())
+    n = int(np.asarray(pat.n_edges))
+    np.testing.assert_array_equal(r[:n], m.row)
+    np.testing.assert_array_equal(c[:n], m.col)
+    assert live[:n].all() and not live[n:].any()
+    assert (r[n:] == 127).all()
+
+
+def test_gat_pattern_transport_matches_coo(small_graph):
+    """GAT trained through the pattern-only transport reproduces the
+    COO-transport run exactly (same seeds; values are device-computed
+    either way), at a fraction of the payload bytes."""
+    from gnn_tpu.models.gnn import build_model
+    from gnn_tpu.parallel.mesh import make_mesh
+    from gnn_tpu.sampling.ladies import SamplerConfig, ladies_sample
+    from gnn_tpu.sampling.pipeline import BatchPipeline
+    from gnn_tpu.train.trainer import Trainer
+    from gnn_tpu.utils.normalize import build_laplacian
+
+    lap = build_laplacian(small_graph.adj_full, "gcn")
+    losses = {}
+    payload = {}
+    for fmt in ("coo", "pattern"):
+        cfg = SamplerConfig(batch_size=64, samp_num=128, orders=(1, 1),
+                            num_nodes=small_graph.adj_full.shape[0],
+                            num_classes=small_graph.num_classes,
+                            adj_format=fmt, compress=True)
+        mb = ladies_sample(cfg, 13, small_graph.train_nodes[:64], lap,
+                           small_graph.labels)
+        payload[fmt] = sum(
+            np.asarray(a).nbytes
+            for adj in mb.adjs if adj is not None
+            for a in jax.tree_util.tree_leaves(adj))
+        pipe = BatchPipeline(cfg, lap, small_graph.labels, world_size=2,
+                             pool_num=2)
+        net = build_model("gat", nhid=16, orders=(1, 1),
+                          num_classes=small_graph.num_classes)
+        tr = Trainer(net, pipe, small_graph.feats, mesh=make_mesh(2),
+                     lr=0.01, sigmoid_loss=False, seed=7)
+        m = tr.train_epoch(small_graph.train_nodes, epoch=0)
+        f1, vloss = tr.evaluate(small_graph.valid_nodes, 128, "val")
+        losses[fmt] = (m.train_loss, vloss, f1)
+    assert losses["pattern"][0] == pytest.approx(losses["coo"][0],
+                                                 abs=1e-5)
+    assert losses["pattern"][1] == pytest.approx(losses["coo"][1],
+                                                 abs=1e-4)
+    # the pattern payload drops the values AND the int16 row ids in
+    # favor of per-row counts: well under half the compressed COO bytes
+    assert payload["pattern"] < payload["coo"] / 2
