@@ -153,3 +153,22 @@ def test_per_rank_skew_differs(small_graph):
     # toward its own buffer
     assert not np.array_equal(np.sort(in0), np.sort(in1))
     assert own0 > 0.6 and own1 > 0.6
+
+
+def test_hop_expand_matches_dense_reference(small_graph):
+    """The frontier-limited span-gather hop expansion equals the dense
+    v*lap formulation the reference uses (`preprocess.py:260-265`)."""
+    import numpy as np
+    from gnn_tpu.placement.engine import _hop_expand
+    from gnn_tpu.utils.normalize import build_laplacian
+    lap = build_laplacian(small_graph.adj_full, "graphsage").tocsr()
+    rng = np.random.default_rng(0)
+    for hops in (1, 2, 3):
+        seeds = rng.choice(lap.shape[0], 25, replace=False)
+        cur = np.asarray(seeds)
+        for _ in range(hops):
+            v = np.zeros(lap.shape[0])
+            v[cur] = 1.0
+            cur = np.union1d(np.flatnonzero((v * lap) != 0), cur)
+        np.testing.assert_array_equal(
+            _hop_expand(lap, seeds, hops), cur)
