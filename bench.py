@@ -296,10 +296,11 @@ def main():
         nf_pad = np.zeros(C, np.float32)
         nf_pad[: len(normfact)] = normfact
         if on_tpu and rank1_err < 1e-5:
-            # bk=256 halves the entry count vs 128 and measured 1.5x fwd
-            # / 3.4x bwd over segsum (bk=128 was 1.0x/2.3x) — wider col
-            # tiles amortize the per-entry one-hot build
-            es_bm, es_bk, es_ecap = 128, 256, 256
+            # 256x256 tiles quarter the entry count vs 128x128 and
+            # measured 1.9x fwd / 4.2x bwd over segsum (128x256 was
+            # 1.5x/3.4x, 128x128 1.0x/2.3x) — bigger tiles amortize the
+            # per-entry one-hot build and grid overhead
+            es_bm, es_bk, es_ecap = 256, 256, 256
             tiles = jax.tree_util.tree_map(
                 jnp.asarray,
                 pack_edge_tiles(cr.astype(np.int64), cc.astype(np.int64),

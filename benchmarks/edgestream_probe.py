@@ -62,6 +62,7 @@ def main():
     K = int(os.environ.get("GNN_TPU_PROBE_K", "16384"))
     ecap = int(os.environ.get("GNN_TPU_PROBE_ECAP", "256"))
     bk = int(os.environ.get("GNN_TPU_PROBE_BK", "128"))
+    bm = int(os.environ.get("GNN_TPU_PROBE_BM", "128"))
     n_feats = 602
     rng = np.random.RandomState(0)
     n_iter = 16
@@ -106,7 +107,7 @@ def main():
         tiles = jax.tree_util.tree_map(
             jnp.asarray,
             pack_edge_tiles(cr.astype(np.int64), cc.astype(np.int64),
-                            R, C, bk=bk, ecap=ecap))
+                            R, C, bm=bm, bk=bk, ecap=ecap))
         nb = tiles.blk_rc.shape[0]
         rvj, nfj = jnp.asarray(rv), jnp.asarray(normfact)
         y_k = np.asarray(edge_stream_spmm(tiles, x, rvj, nfj))

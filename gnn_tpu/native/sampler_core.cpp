@@ -410,7 +410,7 @@ void pack_tiles(const int32_t* rows, const int32_t* cols, int64_t e,
     const int32_t r = rows[i], c = cols[i];
     const int64_t key = ((int64_t)(r >> log2_bm)) * n_ct + (c >> log2_bk);
     coords_out[cur[key]++] =
-        (int16_t)(((r & bm_mask) << 8) | (c & bk_mask));
+        (int16_t)(uint16_t)(((r & bm_mask) << log2_bk) | (c & bk_mask));
   }
 }
 

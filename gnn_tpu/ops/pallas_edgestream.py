@@ -81,9 +81,10 @@ def _round_up(x: int, m: int) -> int:
 class EdgeTiles:
     """Tile-grouped edge stream for one sampled layer (both directions).
 
-    ``coords`` flattens to ``(lr << 8) | lc`` per edge — row AND column
-    LOCAL TO THEIR TILE (the one-hots need no base subtraction), int16:
-    bm <= 128 and bk <= 256 keep the pack in 15 bits.
+    ``coords`` flattens to ``(lr << log2(bk)) | lc`` per edge — row AND
+    column LOCAL TO THEIR TILE (the one-hots need no base subtraction),
+    int16 (bit pattern; the kernel masks after the int32 cast, so
+    bm * bk <= 2^16 — e.g. 128x256 or 256x256; powers of two only).
     Entry i owns flat edges ``[off[0, i], off[0, i] + off[1, i])`` with
     at most ``ecap`` edges (heavier tiles split across entries).
     ``blk_rc`` is (rt << 16) | ct sorted rt-major (forward visit order);
@@ -120,18 +121,20 @@ def pack_edge_tiles(rows: np.ndarray, cols: np.ndarray,
     canonical cold-layer scale — this sits in the per-step path)."""
     assert nrows_pad % bm == 0 and ncols_pad % bk == 0
     assert ecap <= BLK_ROWS * EC, (ecap, BLK_ROWS)
-    assert bm <= 128 and bk <= 256, (bm, bk)  # int16 coord pack
+    assert (bm & (bm - 1)) == 0 and (bk & (bk - 1)) == 0, (bm, bk)
+    assert bm * bk <= (1 << 16), (bm, bk)  # int16 coord pack
     n_rt, n_ct = nrows_pad // bm, ncols_pad // bk
     assert n_rt < (1 << 15) and n_ct < (1 << 16), (n_rt, n_ct)
+    shift = bk.bit_length() - 1
     lib = None
-    if use_native and (bm & (bm - 1)) == 0 and (bk & (bk - 1)) == 0:
+    if use_native:
         from gnn_tpu import native as _native
         lib = _native.get_lib()
     if lib is not None:
         from gnn_tpu.native import pack_tiles_native
         coords_s, tile_cnt = pack_tiles_native(
             lib, np.asarray(rows, np.int32), np.asarray(cols, np.int32),
-            n_rt, n_ct, bm.bit_length() - 1, bk.bit_length() - 1)
+            n_rt, n_ct, bm.bit_length() - 1, shift)
         occ = np.flatnonzero(tile_cnt)
         uniq = occ.astype(np.int64)
         counts = tile_cnt[occ].astype(np.int64)
@@ -144,7 +147,8 @@ def pack_edge_tiles(rows: np.ndarray, cols: np.ndarray,
         uniq, counts = np.unique(key[order], return_counts=True)
         lr = rows_s - (rows_s // bm) * bm
         lc = cols_s - (cols_s // bk) * bk
-        coords_s = ((lr << 8) | lc).astype(np.int16)
+        coords_s = (((lr << shift) | lc) & 0xFFFF).astype(
+            np.uint16).view(np.int16)
     return _build_tiles(coords_s, uniq, counts, nrows_pad, ncols_pad,
                         bm, bk, ecap, n_rt, n_ct, nb_pad, e_pad)
 
@@ -251,7 +255,8 @@ def repad_tiles(coords: np.ndarray, blk_rc: np.ndarray, off: np.ndarray,
 
 def _edge_stream_kernel(ord_ref, rc_ref, offcnt_ref, ca_ref, cb_ref,
                         x_ref, rv_ref, nf_ref, out_ref, *,
-                        bm: int, bk: int, ecap: int, transpose: bool):
+                        bm: int, bk: int, ecap: int, transpose: bool,
+                        shift: int):
     j = pl.program_id(1)
 
     def ent(i):
@@ -294,8 +299,10 @@ def _edge_stream_kernel(ord_ref, rc_ref, offcnt_ref, ca_ref, cb_ref,
         cw = jnp.where(w < BLK_ROWS, ca, cb)             # [1, EC] int32
         eidx = base_edge + w * EC + io_e
         valid = jnp.logical_and(eidx >= off, eidx < off + cnt)
-        lr = jnp.where(valid, cw >> 8, bm)               # [1, EC]
-        lc = jnp.where(valid, cw & 0xFF, bk)
+        # cw is sign-extended int16 bits; mask each field after shift
+        lr = jnp.where(valid, (cw >> shift) & ((1 << (16 - shift)) - 1),
+                       bm)                               # [1, EC]
+        lc = jnp.where(valid, cw & ((1 << shift) - 1), bk)
         # one-hot operands with the rank-1 value factors folded in
         R = jnp.where(io_r == lr, rvt, 0.0)              # [bm, EC]
         C = jnp.where(io_c == lc, nft, 0.0)              # [bk, EC]
@@ -366,7 +373,8 @@ def edge_stream_spmm(tiles: EdgeTiles, x: jnp.ndarray,
         return (t, f)
 
     kernel = functools.partial(_edge_stream_kernel, bm=bm, bk=bk,
-                               ecap=ecap, transpose=transpose)
+                               ecap=ecap, transpose=transpose,
+                               shift=bk.bit_length() - 1)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,   # ord, blk_rc, off/cnt
         grid=(n_ft, nb),

@@ -173,6 +173,7 @@ class ResidentLayerRef:
     nnz_cold: int = struct.field(pytree_node=False, default=0)
     rh_pad: int = struct.field(pytree_node=False, default=0)
     ch_pad: int = struct.field(pytree_node=False, default=0)
+    es_bm: int = struct.field(pytree_node=False, default=128)
     es_bk: int = struct.field(pytree_node=False, default=0)
 
     @property
@@ -222,17 +223,18 @@ def pack_resident_ref(spec: HotSpec, lap_indptr, prev, after, normfact,
         # free (the transpose visit order reuses the same buffer)
         from gnn_tpu.ops.pallas_edgestream import (EC, pack_edge_tiles,
                                                    repad_tiles)
+        es_bm = 256 if r_cap % 256 == 0 else 128
         es_bk = 256 if c_cap % 256 == 0 else 128
         e_pad = bucket_size(max(n_cold, 1))
         assert e_pad % EC == 0, e_pad
         t = pack_edge_tiles(np.asarray(cr, np.int32),
                             np.asarray(cc, np.int32), r_cap, c_cap,
-                            bm=128, bk=es_bk, ecap=256, e_pad=e_pad)
+                            bm=es_bm, bk=es_bk, ecap=256, e_pad=e_pad)
         nb_pad = bucket_size(t.blk_rc.shape[0], 512)
         c2, rc2, off2, ord2 = repad_tiles(
             np.asarray(t.coords), np.asarray(t.blk_rc),
             np.asarray(t.off), np.asarray(t.t_order), nb_pad,
-            t.coords.shape[0], r_cap // 128, c_cap // es_bk)
+            t.coords.shape[0], r_cap // es_bm, c_cap // es_bk)
         return ResidentLayerRef(
             normfact=nf,
             n_valid_rows=np.int32(n_rows), n_valid_cols=np.int32(n_cols),
@@ -241,7 +243,7 @@ def pack_resident_ref(spec: HotSpec, lap_indptr, prev, after, normfact,
             rh_pad=bucket_size(max(int(hot_r_flag.sum()), 1), 128),
             ch_pad=bucket_size(max(int(hot_c_flag.sum()), 1), 128),
             es_coords=c2, es_rc=rc2, es_off=off2, es_ord=ord2,
-            es_bk=es_bk)
+            es_bm=es_bm, es_bk=es_bk)
     if ship_cold:
         nnz_pad = bucket_size(max(n_cold, 1))
         cidx = np.int16 if (compress and c_cap <= 32768) else np.int32
@@ -431,7 +433,8 @@ def _finish_layer(g: ResidentGraph, ref: ResidentLayerRef, rows_g,
     if es_rv is not None:
         es_kw = dict(es_coords=ref.es_coords, es_rc=ref.es_rc,
                      es_off=ref.es_off, es_ord=ref.es_ord,
-                     es_rv=es_rv, es_nf=ref.normfact, es_bk=ref.es_bk)
+                     es_rv=es_rv, es_nf=ref.normfact,
+                     es_bm=ref.es_bm, es_bk=ref.es_bk)
     return HotDenseAdj(
         rows=rr, cols=cc, vals=vv, rows_t=rt, cols_t=ct, vals_t=vt,
         colpos=colpos, nfh=nfh, rowpos=rowpos, nf_col=nf_col,

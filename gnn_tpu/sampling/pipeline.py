@@ -163,7 +163,7 @@ def stack_minibatches(mbs: Sequence[MiniBatch]) -> MiniBatch:
                 for a in layer:
                     c2, rc2, off2, ord2 = repad_tiles(
                         a.es_coords, a.es_rc, a.es_off, a.es_ord, nbp,
-                        ncr, a.nrows // 128, a.ncols // a.es_bk)
+                        ncr, a.nrows // a.es_bm, a.ncols // a.es_bk)
                     fixed.append(dataclasses.replace(
                         a, es_coords=c2, es_rc=rc2, es_off=off2,
                         es_ord=ord2))

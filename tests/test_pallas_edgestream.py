@@ -32,12 +32,14 @@ def _run(tiles, x, rv, nf, transpose=False):
             interpret=True))
 
 
-@pytest.mark.parametrize("nr,nc,f,dens,ecap", [
-    (128, 256, 128, 0.05, 64),
-    (256, 384, 256, 0.01, 256),
-    (384, 128, 160, 0.30, 128),   # heavy tiles -> entry splitting
+@pytest.mark.parametrize("nr,nc,f,dens,ecap,bm,bk", [
+    (128, 256, 128, 0.05, 64, 128, 128),
+    (256, 384, 256, 0.01, 256, 128, 128),
+    (384, 128, 160, 0.30, 128, 128, 128),  # heavy tiles -> splitting
+    (256, 512, 96, 0.04, 256, 256, 256),   # 16-bit coord pack (sign)
+    (512, 256, 96, 0.10, 256, 128, 256),
 ])
-def test_edge_stream_matches_dense(nr, nc, f, dens, ecap):
+def test_edge_stream_matches_dense(nr, nc, f, dens, ecap, bm, bk):
     rng = np.random.RandomState(0)
     m = sp.random(nr, nc, density=dens, format="coo", random_state=rng,
                   dtype=np.float32)
@@ -49,7 +51,7 @@ def test_edge_stream_matches_dense(nr, nc, f, dens, ecap):
     rows, cols = rows[ui], cols[ui]
     rv = rng.rand(nr).astype(np.float32) + 0.5
     nf = rng.rand(nc).astype(np.float32) + 0.5
-    tiles = pack_edge_tiles(rows, cols, nr, nc, bm=128, bk=128,
+    tiles = pack_edge_tiles(rows, cols, nr, nc, bm=bm, bk=bk,
                             ecap=ecap)
     x = rng.randn(nc, f).astype(np.float32)
     g = rng.randn(nr, f).astype(np.float32)
