@@ -404,7 +404,13 @@ def main():
         total_nnz += 2 * nnz
         total_time += best_t
         total_roof += 2 * roof_dir
-        if "hot" in layer_res:
+        # the DEPLOYED path's per-layer time: the CLI resident format
+        # runs hot block + edge-stream cold ('hotstream') on TPU; 'hot'
+        # (segment-sum cold) is the fallback when the laplacian is not
+        # val-free
+        if "hotstream" in layer_res:
+            hot_total += sum(layer_res["hotstream"])
+        elif "hot" in layer_res:
             hot_total += sum(layer_res["hot"])
         results[f"layer{li}"] = {
             k: [round(v[0] * 1e6), round(v[1] * 1e6)]

@@ -565,6 +565,20 @@ class Trainer:
         if _os2.environ.get("GNN_TPU_PAR_PUT", "0") == "1":
             from concurrent.futures import ThreadPoolExecutor
             self._xfer = ThreadPoolExecutor(4)
+        # transfer lookahead (grouped dispatch): pack+device_put of the
+        # next N groups run on ONE dedicated thread while the current
+        # group dispatches and the sampler refills — H2D overlaps
+        # sampling instead of adding to it. The single prep thread
+        # serializes pack+put, so the BufferPool's double buffering
+        # still guarantees the in-flight group's staging buffer is
+        # never rewritten. GNN_TPU_LOOKAHEAD=0 restores the serial loop.
+        self._transfer_lookahead = int(
+            _os2.environ.get("GNN_TPU_LOOKAHEAD", "2"))
+        self._prep_exec = None
+        if self._transfer_lookahead > 0:
+            from concurrent.futures import ThreadPoolExecutor
+            self._prep_exec = ThreadPoolExecutor(
+                1, thread_name_prefix="gnn-prep")
         # optional per-step progress to stderr (diagnosing slow runs
         # through the relay): GNN_TPU_STEP_LOG=<N> prints every N steps
         import os as _os
@@ -790,83 +804,131 @@ class Trainer:
         from gnn_tpu.parallel.feature_cache import stack_gather_plans
         return stack_gather_plans(plans, mb.input_nodes.shape[-1])
 
+    def _prep_group(self, mb, base_step: int, n_valid: int):
+        """Host->device staging of one dispatch group: stack-view the
+        batch, build the gather plans, pack, `device_put`. Runs on the
+        transfer-lookahead thread when overlapping (the BufferPool's
+        double buffering keeps the previous group's staging buffer
+        untouched while its transfer drains; a single prep thread
+        serializes pack+put so at most one buffer is ever being
+        written)."""
+        G = self.steps_per_dispatch
+        batch = to_device_batch(mb)
+        plan = self._grouped_plan(mb, G)
+        if self.packed_transport == "typed":
+            tspec = self._typed_spec((batch, plan), 1)
+            pools = tspec.pack((batch, plan), base_step=base_step,
+                               n_valid=n_valid, pool=self._buf_pool)
+            return ("typed", tspec, self._put_pools(pools), batch, plan)
+        if self.packed_transport:
+            from gnn_tpu.parallel import packbuf
+            spec = packbuf.PackSpec.from_tree((batch, plan), 1)
+            buf = packbuf.pack(
+                spec, (batch, plan), base_step=base_step,
+                n_valid=n_valid,
+                out=None if self._buf_pool is None else
+                self._buf_pool.get(
+                    spec.ws, spec.row_bytes + packbuf.TRAILER_BYTES))
+            return ("blob", spec,
+                    jax.device_put(buf, self._batch_sh), batch, plan)
+        return ("raw", None,
+                (self._put_gb(batch), self._put_gb(plan)), batch, plan)
+
+    def _dispatch_group(self, prep, base_step: int, n_valid: int):
+        """One jitted lax.scan of G optimizer steps from a staged group."""
+        kind, spec, dev, batch, plan = prep
+        G = self.steps_per_dispatch
+        if self.params is None:
+            self._init_params(jax.tree_util.tree_map(
+                lambda a: a[0], batch))
+        if kind == "typed":
+            self.params, self.opt_state, losses = self._typed_fn(
+                spec, group=G)(
+                self.params, self.opt_state, self.feat_state,
+                self.agg_state, self._epoch_key, dev)
+            self._last_host_batch, self._last_host_plan = batch, plan
+            self._last_dev_batch = None
+        elif kind == "blob":
+            self.params, self.opt_state, losses = self._packed_fn(
+                spec, group=G)(
+                self.params, self.opt_state, self.feat_state,
+                self.agg_state, self._epoch_key, dev)
+            self._last_host_batch, self._last_host_plan = batch, plan
+            self._last_dev_batch = None
+        else:
+            dev_batch, dev_plan = dev
+            # per-step keys: fold_in(epoch_key, global step index) —
+            # identical to the packed path's on-device derivation
+            rngs = jnp.stack([
+                jax.random.fold_in(self.rng, base_step + g)
+                for g in range(G)])
+            valid = jnp.asarray(np.arange(G) < n_valid)
+            self.params, self.opt_state, losses = \
+                self.fns.train_multi_step(
+                    self.params, self.opt_state, self.feat_state,
+                    self.agg_state, dev_batch, dev_plan, rngs, valid)
+            self._last_dev_batch, self._last_plan = dev_batch, dev_plan
+        self._last_is_grouped = True
+        return losses
+
     def _train_epoch_grouped(self, train_nodes, epoch: int,
                              rank_chunks=None) -> EpochMetrics:
         """`steps_per_dispatch` train steps per host dispatch: the
         pipeline ships ``[G, ws, ...]`` stacked batches, one `device_put`
         + one jitted `lax.scan` runs G optimizer steps. Numerically the
         per-step schedule (padded tail steps are masked); operationally
-        ~1/G the host/relay round-trips."""
+        ~1/G the host/relay round-trips.
+
+        With transfer lookahead (default), pack+`device_put` of the
+        next groups run on a dedicated thread while the current group
+        dispatches and the sampler pool refills — the relay transfer
+        time overlaps sampling instead of adding to it (the move bucket
+        then measures only the UNHIDDEN transfer wait)."""
         G = self.steps_per_dispatch
         t_sample = t_move = t_exec = 0.0
         loss_chunks = []
-        n_steps = 0
+        n_steps = 0        # dispatched steps
+        sub_steps = 0      # submitted-to-prep steps (= dispatch order)
+        pending = []       # [(future, base_step, n_valid), ...]
+        look = self._transfer_lookahead
         t_start = t0 = time.perf_counter()
-        for mb, n_valid in self.pipeline.train_epoch_grouped(
-                train_nodes, rank_chunks, epoch=epoch, group=G):
-            batch = to_device_batch(mb)
-            plan = self._grouped_plan(mb, G)
+
+        def _drain_one():
+            nonlocal n_steps, t_move, t_exec
+            fut, base, nv = pending.pop(0)
             t1 = time.perf_counter()
-            t_sample += t1 - t0
-            if self.params is None:
-                self._init_params(jax.tree_util.tree_map(
-                    lambda a: a[0], batch))
-            if self.packed_transport == "typed":
-                tspec = self._typed_spec((batch, plan), 1)
-                pools = tspec.pack((batch, plan), base_step=n_steps,
-                                   n_valid=n_valid, pool=self._buf_pool)
-                dev_pools = self._put_pools(pools)
-                t2 = time.perf_counter()
-                t_move += t2 - t1
-                self.params, self.opt_state, losses = self._typed_fn(
-                    tspec, group=G)(
-                    self.params, self.opt_state, self.feat_state,
-                    self.agg_state, self._epoch_key, dev_pools)
-                self._last_host_batch, self._last_host_plan = batch, plan
-                self._last_dev_batch = None
-            elif self.packed_transport:
-                from gnn_tpu.parallel import packbuf
-                spec = packbuf.PackSpec.from_tree((batch, plan), 1)
-                buf = packbuf.pack(
-                    spec, (batch, plan), base_step=n_steps,
-                    n_valid=n_valid,
-                    out=None if self._buf_pool is None else
-                    self._buf_pool.get(
-                        spec.ws, spec.row_bytes + packbuf.TRAILER_BYTES))
-                dev_buf = jax.device_put(buf, self._batch_sh)
-                t2 = time.perf_counter()
-                t_move += t2 - t1
-                self.params, self.opt_state, losses = self._packed_fn(
-                    spec, group=G)(
-                    self.params, self.opt_state, self.feat_state,
-                    self.agg_state, self._epoch_key, dev_buf)
-                self._last_host_batch, self._last_host_plan = batch, plan
-                self._last_dev_batch = None
-            else:
-                dev_batch = self._put_gb(batch)
-                dev_plan = self._put_gb(plan)
-                t2 = time.perf_counter()
-                t_move += t2 - t1
-                # per-step keys: fold_in(epoch_key, global step index) —
-                # identical to the packed path's on-device derivation
-                rngs = jnp.stack([
-                    jax.random.fold_in(self.rng, n_steps + g)
-                    for g in range(G)])
-                valid = jnp.asarray(np.arange(G) < n_valid)
-                self.params, self.opt_state, losses = \
-                    self.fns.train_multi_step(
-                        self.params, self.opt_state, self.feat_state,
-                        self.agg_state, dev_batch, dev_plan, rngs, valid)
-                self._last_dev_batch, self._last_plan = dev_batch, dev_plan
-            loss_chunks.append((losses, n_valid))
-            n_steps += n_valid
-            self._last_is_grouped = True
-            t0 = time.perf_counter()
-            t_exec += t0 - t2
-            if self._step_log and n_steps % self._step_log < n_valid:
+            prep = fut.result() if hasattr(fut, "result") else fut
+            t2 = time.perf_counter()
+            losses = self._dispatch_group(prep, base, nv)
+            t3 = time.perf_counter()
+            t_move += t2 - t1
+            t_exec += t3 - t2
+            loss_chunks.append((losses, nv))
+            n_steps += nv
+            if self._step_log and n_steps % self._step_log < nv:
                 print(f"  step {n_steps}: sample {t_sample:.1f}s "
                       f"move {t_move:.1f}s exec {t_exec:.1f}s",
                       file=sys.stderr, flush=True)
+
+        for mb, n_valid in self.pipeline.train_epoch_grouped(
+                train_nodes, rank_chunks, epoch=epoch, group=G):
+            t_sample += time.perf_counter() - t0
+            if self._prep_exec is not None:
+                fut = self._prep_exec.submit(self._prep_group, mb,
+                                             sub_steps, n_valid)
+            else:
+                fut = self._prep_group(mb, sub_steps, n_valid)
+            pending.append((fut, sub_steps, n_valid))
+            sub_steps += n_valid
+            # dispatch order == submission order (the queue enforces it;
+            # pack's base_step was fixed at submission, so the update
+            # schedule and rng streams are exactly the unoverlapped ones)
+            while len(pending) > look:
+                _drain_one()
+            t0 = time.perf_counter()
+        while pending:
+            _drain_one()
+            t0 = time.perf_counter()
         self._last_epoch_steps = n_steps
         jax.block_until_ready(self.params)
         # ONE stacked readback for all loss vectors (vs one relay round
