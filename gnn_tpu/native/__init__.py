@@ -115,6 +115,11 @@ def _declare(lib) -> None:
                                ctypes.c_int64, ctypes.c_int64,
                                ctypes.c_int, ctypes.c_int, i32p, i16p]
     lib.pack_tiles.restype = None
+    lib.slice_cols_cold_tiles.argtypes = [
+        i64p, i64p, i32p, i32p, ctypes.c_int64, i32p, u8p,
+        ctypes.c_int64, ctypes.c_int64, ctypes.c_int, ctypes.c_int,
+        ctypes.c_int64, i32p, i16p]
+    lib.slice_cols_cold_tiles.restype = ctypes.c_int64
 
 
 def _ptr(a: np.ndarray, ct):
@@ -207,6 +212,52 @@ def hot_split_native(lib, rows: np.ndarray, cols: np.ndarray,
             crt[:n_cold], cct[:n_cold], cvt[:n_cold])
 
 
+_TILE_BUFS = threading.local()
+
+
+def _tile_buffer(n: int) -> np.ndarray:
+    """Per-thread reusable int16 coord scratch (same first-touch
+    page-fault rationale as `_split_buffers`; the caller copies the
+    result into its padded payload array before the next call)."""
+    cur = getattr(_TILE_BUFS, "buf", None)
+    if cur is None or cur.shape[0] < n:
+        cur = np.empty(max(int(n * 1.25), 1 << 16), np.int16)
+        _TILE_BUFS.buf = cur
+    return cur
+
+
+def slice_cold_tiles_native(lib, graph: "NativeCSR", prev: np.ndarray,
+                            pos: np.ndarray, hot_node: np.ndarray,
+                            n_rt: int, n_ct: int, log2_bm: int,
+                            log2_bk: int):
+    """Cold extraction STRAIGHT to tile-grouped int16 coords + per-tile
+    counts in one native scan (`sampler_core.cpp::slice_cols_cold_tiles`)
+    — the stream-tiles payload without materializing rows/cols/vals.
+    Returns ``(coords[:n_cold] view, tile_cnt int32[n_rt*n_ct])``."""
+    prev = np.ascontiguousarray(prev, np.int32)
+    hot_prev = np.ascontiguousarray(hot_node[prev], np.uint8)
+    idx2, _, hsplit = graph.ensure_split(hot_node)
+    tile_cnt = np.zeros(n_rt * n_ct, np.int32)
+    buf = _tile_buffer(1 << 16)
+    c_i64 = ctypes.c_int64
+    while True:
+        cap = buf.shape[0]
+        n_cold = int(lib.slice_cols_cold_tiles(
+            _ptr(graph.indptr, ctypes.c_int64),
+            _ptr(hsplit, ctypes.c_int64), _ptr(idx2, ctypes.c_int32),
+            _ptr(prev, ctypes.c_int32), c_i64(len(prev)),
+            _ptr(pos, ctypes.c_int32),
+            _ptr(hot_prev, ctypes.c_uint8), c_i64(n_ct),
+            c_i64(n_rt * n_ct), ctypes.c_int(log2_bm),
+            ctypes.c_int(log2_bk), c_i64(cap),
+            _ptr(tile_cnt, ctypes.c_int32),
+            _ptr(buf, ctypes.c_int16)))
+        if n_cold >= 0:
+            return buf[:n_cold], tile_cnt
+        tile_cnt[:] = 0
+        buf = _tile_buffer(-n_cold)
+
+
 def pack_tiles_native(lib, rows: np.ndarray, cols: np.ndarray,
                       n_rt: int, n_ct: int, log2_bm: int, log2_bk: int):
     """Counting-sort a local-id COO into tile-major order: packed int16
@@ -230,7 +281,8 @@ def ladies_layer_native(lib, graph: NativeCSR, prev: np.ndarray,
                         samp_num: int, seed: int,
                         skew: np.ndarray | None = None,
                         scale_factor: float = 1.0,
-                        hot_node: np.ndarray | None = None):
+                        hot_node: np.ndarray | None = None,
+                        tile_spec: tuple | None = None):
     """One LADIES layer step, fully in native code.
 
     Returns (after, normfact, rows, cols, vals): the sampled node set,
@@ -240,6 +292,11 @@ def ladies_layer_native(lib, graph: NativeCSR, prev: np.ndarray,
     ``hot_node`` (uint8[N], resident-lite mode): emit ONLY the cold
     edges (row or col not hot) — the hot-hot ones live in the
     device-resident dense block and never need host materialization.
+
+    ``tile_spec`` = ``(n_rt, n_ct, log2_bm, log2_bk)`` (stream-tiles
+    payload; needs ``hot_node``): skip the COO entirely — the cold
+    edges go STRAIGHT to tile-grouped packed coords in one scan.
+    Returns ``(after, normfact, coords_view, tile_cnt)`` instead.
     """
     n = graph.shape[1]
     prev = np.ascontiguousarray(prev, np.int32)
@@ -268,6 +325,13 @@ def ladies_layer_native(lib, graph: NativeCSR, prev: np.ndarray,
 
     pos = np.full(n, -1, np.int32)
     pos[after] = np.arange(len(after), dtype=np.int32)
+    if tile_spec is not None:
+        assert hot_node is not None, "tile_spec needs hot_node"
+        n_rt, n_ct, log2_bm, log2_bk = tile_spec
+        coords, tile_cnt = slice_cold_tiles_native(
+            lib, graph, prev, pos, hot_node, n_rt, n_ct, log2_bm,
+            log2_bk)
+        return after, normfact, coords, tile_cnt
     rowlen = np.empty(len(prev), np.int64)
     u8 = ctypes.c_uint8
     if hot_node is not None:

@@ -58,26 +58,31 @@ void count_cols(const int64_t* indptr, const int32_t* indices,
                 const int32_t* prev, int64_t n_prev, int64_t n_cols,
                 double* out_pi) {
   int nt = eff_threads();
-  if (nt > 1 && n_prev > 256) {
-    std::vector<std::vector<float>> partial(nt);
+  if (nt > 1 && n_prev > 256 && n_prev < 65536) {
+    // uint16 per-thread partials (counts <= n_prev < 65536, enforced
+    // by the branch guard): half the table footprint of float
+    // partials = fewer L2 misses on the random col increments.
+    // Layers with >= 64K prev rows (far above any LADIES config here)
+    // take the serial exact path below.
+    std::vector<std::vector<uint16_t>> partial(nt);
 #pragma omp parallel num_threads(nt)
     {
       int t = 0;
 #ifdef _OPENMP
       t = omp_get_thread_num();
 #endif
-      partial[t].assign(n_cols, 0.f);
-      float* mine = partial[t].data();
+      partial[t].assign(n_cols, 0);
+      uint16_t* mine = partial[t].data();
 #pragma omp for schedule(dynamic, 64)
       for (int64_t i = 0; i < n_prev; ++i) {
         int64_t s = indptr[prev[i]], e = indptr[prev[i] + 1];
-        for (int64_t j = s; j < e; ++j) mine[indices[j]] += 1.f;
+        for (int64_t j = s; j < e; ++j) mine[indices[j]]++;
       }
 #pragma omp for schedule(static)
       for (int64_t c = 0; c < n_cols; ++c) {
-        double acc = 0;
+        int64_t acc = 0;
         for (int tt = 0; tt < nt; ++tt) acc += partial[tt][c];
-        out_pi[c] = acc;
+        out_pi[c] = (double)acc;
       }
     }
   } else {
@@ -111,8 +116,10 @@ int64_t gumbel_topk(const double* pi, int64_t n, int64_t k, uint64_t seed,
     std::mt19937_64 rng(seed * 0x9E3779B97F4A7C15ULL + t);
     std::uniform_real_distribution<double> unif(1e-300, 1.0);
     auto& mine = parts[t];
-    mine.reserve(1 << 14);
     int64_t lo = n * t / nt, hi = n * (t + 1) / nt;
+    // worst case every candidate has pi > 0: reserving the full span
+    // avoids up to ~4 realloc copies of ~100K pairs per call
+    mine.reserve(hi - lo);
     for (int64_t i = lo; i < hi; ++i) {
       if (pi[i] > 0) {
         double g = -std::log(-std::log(unif(rng)));
@@ -380,6 +387,104 @@ int64_t slice_cols_cold_fused_split(
     std::memcpy(out_rows + w, rbufs[t]->data(), m * sizeof(int32_t));
     std::memcpy(out_cols + w, cbufs[t]->data(), m * sizeof(int32_t));
     std::memcpy(out_vals + w, vbufs[t]->data(), m * sizeof(float));
+  }
+  return n_cold;
+}
+
+// Cold slice STRAIGHT to tile-grouped coords (the stream-tiles
+// resident payload): ONE scan of the split-CSR cold spans emitting
+// packed int16 tile-local coords + per-tile counts — no per-edge
+// values (val-free rank-1 graphs recompute them on device), no
+// row/col arrays, no separate counting-sort pass. Roughly halves the
+// cold-extraction memory traffic vs slice_cols_cold_fused_split +
+// pack_tiles (no data[] stream, 6 thread-local bytes/edge vs 12).
+// Phase 1: threads scan contiguous row blocks, appending (tile, coord)
+// to thread-local scratch and counting per (thread, tile). Phase 2:
+// a serial two-level prefix gives each (tile, thread) a disjoint
+// cursor and threads scatter their own pairs — output is tile-major,
+// stable by (tile, thread, visit order), which equals pack_tiles'
+// order on the same edges (threads own contiguous row ranges).
+// Returns n_cold, or -(needed) when `cap` is too small.
+int64_t slice_cols_cold_tiles(
+    const int64_t* indptr, const int64_t* hsplit, const int32_t* indices,
+    const int32_t* prev, int64_t n_prev, const int32_t* pos,
+    const uint8_t* hot_prev, int64_t n_ct, int64_t n_tiles,
+    int log2_bm, int log2_bk, int64_t cap,
+    int32_t* tile_cnt /* [n_tiles], pre-zeroed */,
+    int16_t* coords_out) {
+  const int nt = eff_threads();
+  const int32_t bm_mask = (1 << log2_bm) - 1;
+  const int32_t bk_mask = (1 << log2_bk) - 1;
+  static thread_local std::vector<int32_t> tl_tile;
+  static thread_local std::vector<int16_t> tl_co;
+  static thread_local std::vector<int32_t> tl_tc;
+  std::vector<std::vector<int32_t>*> tbufs(nt), tcnts(nt);
+  std::vector<std::vector<int16_t>*> cbufs(nt);
+  const int64_t chunk = (n_prev + nt - 1) / std::max(nt, 1);
+#ifdef _OPENMP
+#pragma omp parallel num_threads(nt)
+#endif
+  {
+#ifdef _OPENMP
+    const int t = omp_get_thread_num();
+#else
+    const int t = 0;
+#endif
+    tl_tile.clear();
+    tl_co.clear();
+    tl_tc.assign(n_tiles, 0);
+    tbufs[t] = &tl_tile;
+    cbufs[t] = &tl_co;
+    tcnts[t] = &tl_tc;
+    const int64_t lo = t * chunk, hi = std::min(n_prev, lo + chunk);
+    for (int64_t i = lo; i < hi; ++i) {
+      const int64_t s = indptr[prev[i]];
+      const int64_t e = hot_prev[i] ? hsplit[prev[i]]
+                                    : indptr[prev[i] + 1];
+      const int64_t rt_base = (i >> log2_bm) * n_ct;
+      const int16_t lr_sh =
+          (int16_t)(uint16_t)(((int32_t)i & bm_mask) << log2_bk);
+      for (int64_t j = s; j < e; ++j) {
+        const int32_t c = pos[indices[j]];
+        if (c >= 0) {
+          const int64_t tile = rt_base + (c >> log2_bk);
+          tl_tile.push_back((int32_t)tile);
+          tl_co.push_back((int16_t)(lr_sh | (c & bk_mask)));
+          tl_tc[tile]++;
+        }
+      }
+    }
+  }
+  int64_t n_cold = 0;
+  for (int t = 0; t < nt; ++t) n_cold += (int64_t)tbufs[t]->size();
+  if (n_cold > cap) return -n_cold;
+  // two-level prefix: cur[t][tile] = global start of (tile, thread t)
+  std::vector<std::vector<int64_t>> cur(nt);
+  for (int t = 0; t < nt; ++t) cur[t].resize(n_tiles);
+  int64_t acc = 0;
+  for (int64_t T = 0; T < n_tiles; ++T) {
+    int64_t tot = 0;
+    for (int t = 0; t < nt; ++t) {
+      cur[t][T] = acc + tot;
+      tot += (*tcnts[t])[T];
+    }
+    tile_cnt[T] = (int32_t)tot;
+    acc += tot;
+  }
+#ifdef _OPENMP
+#pragma omp parallel num_threads(nt)
+#endif
+  {
+#ifdef _OPENMP
+    const int t = omp_get_thread_num();
+#else
+    const int t = 0;
+#endif
+    const auto& tiles = *tbufs[t];
+    const auto& cos = *cbufs[t];
+    auto& c = cur[t];
+    for (size_t m = 0; m < tiles.size(); ++m)
+      coords_out[c[tiles[m]]++] = cos[m];
   }
   return n_cold;
 }

@@ -187,7 +187,8 @@ def pack_resident_ref(spec: HotSpec, lap_indptr, prev, after, normfact,
                       compress: bool = True,
                       cold_precomputed: bool = False,
                       val_free: bool = False,
-                      stream_tiles: bool = False) -> ResidentLayerRef:
+                      stream_tiles: bool = False,
+                      tiles_pre=None) -> ResidentLayerRef:
     """Host-side companion of the device rebuild.
 
     ``ship_cold=True`` (default, "lite"): ship the row-sorted forward
@@ -221,15 +222,31 @@ def pack_resident_ref(spec: HotSpec, lap_indptr, prev, after, normfact,
         # same 2 bytes/edge as the int16 cols it replaces, plus ~16
         # bytes/occupied-tile of entry tables — and the backward comes
         # free (the transpose visit order reuses the same buffer)
-        from gnn_tpu.ops.pallas_edgestream import (EC, pack_edge_tiles,
-                                                   repad_tiles)
-        es_bm = 256 if r_cap % 256 == 0 else 128
-        es_bk = 256 if c_cap % 256 == 0 else 128
-        e_pad = bucket_size(max(n_cold, 1))
-        assert e_pad % EC == 0, e_pad
-        t = pack_edge_tiles(np.asarray(cr, np.int32),
-                            np.asarray(cc, np.int32), r_cap, c_cap,
-                            bm=es_bm, bk=es_bk, ecap=256, e_pad=e_pad)
+        from gnn_tpu.ops.pallas_edgestream import (EC, _build_tiles,
+                                                   pack_edge_tiles,
+                                                   repad_tiles,
+                                                   tile_dims)
+        es_bm, es_bk = tile_dims(r_cap, c_cap)
+        if tiles_pre is not None:
+            # the native cold slice already emitted tile-grouped coords
+            # (one scan, no COO) — only the O(n_tiles) entry tables
+            # remain to build
+            coords_s, tile_cnt, pre_bm, pre_bk = tiles_pre
+            assert (pre_bm, pre_bk) == (es_bm, es_bk)
+            n_cold = len(coords_s)
+            e_pad = bucket_size(max(n_cold, 1))
+            occ = np.flatnonzero(tile_cnt)
+            t = _build_tiles(coords_s, occ.astype(np.int64),
+                             tile_cnt[occ].astype(np.int64), r_cap,
+                             c_cap, es_bm, es_bk, 256, r_cap // es_bm,
+                             c_cap // es_bk, None, e_pad)
+        else:
+            e_pad = bucket_size(max(n_cold, 1))
+            assert e_pad % EC == 0, e_pad
+            t = pack_edge_tiles(np.asarray(cr, np.int32),
+                                np.asarray(cc, np.int32), r_cap, c_cap,
+                                bm=es_bm, bk=es_bk, ecap=256,
+                                e_pad=e_pad)
         nb_pad = bucket_size(t.blk_rc.shape[0], 512)
         c2, rc2, off2, ord2 = repad_tiles(
             np.asarray(t.coords), np.asarray(t.blk_rc),

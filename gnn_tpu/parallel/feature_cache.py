@@ -87,7 +87,18 @@ class PartShardedFeatures:
     exactly one owner, so the sum IS the gather, and per-chip feature
     HBM and gather read-bytes divide by P. Unlike
     :class:`CachedFeatures` this needs no placement, no plan and no
-    host fallback rows — the whole table is on the mesh."""
+    host fallback rows — the whole table is on the mesh.
+
+    ICI cost note (unmeasurable on this 1-chip rig): the psum moves the
+    full ``[C, F]`` gather result over the ring even though each chip
+    contributes mostly zeros — per layer-0 gather that is C*F*4 bytes
+    * 2(P-1)/P per hop-direction (canonical shapes: 25088 x 602 f32 ~
+    60 MB, ~0.9 ms at 2*45 GB/s v5e ICI twice per step incl. the VJP).
+    An `all_to_all` that ships only owned rows plus an index shuffle
+    would move ~1/P of that; it needs a per-step routing plan like
+    :class:`CachedFeatures.plan`. Switch if profiles on real multi-chip
+    hardware show this psum on the critical path — below ~8 chips the
+    simplicity is worth ~1-2 ms/step of hideable ICI time."""
 
     def __init__(self, feats: np.ndarray, n_parts: int,
                  axis: str = "part", dtype=np.float32):

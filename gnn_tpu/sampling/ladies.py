@@ -218,7 +218,7 @@ def _slice_cols_to_coo(U: sp.csr_matrix, after: np.ndarray,
 
 def _pack_adj(cfg: SamplerConfig, rows, cols, vals, n_rows, n_cols,
               r_cap, c_cap, prev=None, after=None, normfact=None,
-              lap_indptr=None, cold_precomputed=False):
+              lap_indptr=None, cold_precomputed=False, tiles_pre=None):
     if cfg.adj_format == "resident":
         # ship IDs, not edges: the device rebuilds this layer from the
         # resident CSR (gnn_tpu.ops.residentgraph); the sampled COO is
@@ -234,7 +234,8 @@ def _pack_adj(cfg: SamplerConfig, rows, cols, vals, n_rows, n_cols,
                                  compress=cfg.compress,
                                  cold_precomputed=cold_precomputed,
                                  val_free=cfg.resident_val_free,
-                                 stream_tiles=cfg.resident_stream_tiles)
+                                 stream_tiles=cfg.resident_stream_tiles,
+                                 tiles_pre=tiles_pre)
     if cfg.adj_format == "pattern":
         # attention transport: values never ship (GAT computes per-edge
         # scores on device); cols int16 + per-row counts only
@@ -312,12 +313,31 @@ def ladies_sample(
         skew = None
         if skewed_sampling_nodes is not None:
             skew = skewed_sampling_nodes[li]
+        tiles_pre = None
         if lib is not None:
             from gnn_tpu.native import ladies_layer_native
-            after, normfact, rows, cols, vals = ladies_layer_native(
+            tile_spec = None
+            if (hot_node is not None and cfg.resident_stream_tiles
+                    and cfg.resident_val_free):
+                # direct-to-tiles: the cold slice emits the stream
+                # payload's packed coords in ONE scan — rows/cols/vals
+                # never materialize on host
+                from gnn_tpu.ops.pallas_edgestream import tile_dims
+                es_bm, es_bk = tile_dims(r_cap, c_cap)
+                tile_spec = (r_cap // es_bm, c_cap // es_bk,
+                             es_bm.bit_length() - 1,
+                             es_bk.bit_length() - 1)
+            out = ladies_layer_native(
                 lib, ngraph, prev, cfg.samp_num,
                 int(rng.integers(2 ** 63 - 1)), skew, cfg.scale_factor,
-                hot_node=hot_node)
+                hot_node=hot_node, tile_spec=tile_spec)
+            if tile_spec is not None:
+                after, normfact, coords, tile_cnt = out
+                tiles_pre = (coords, tile_cnt, es_bm, es_bk)
+                rows = cols = np.zeros(0, np.int32)
+                vals = np.zeros(0, np.float32)
+            else:
+                after, normfact, rows, cols, vals = out
         else:
             U = lap_matrix[prev, :]
             p = _layer_probability(U, skew, cfg.scale_factor)
@@ -331,7 +351,8 @@ def ladies_sample(
                               r_cap, c_cap, prev=prev, after=after,
                               normfact=normfact,
                               lap_indptr=lap_matrix.indptr,
-                              cold_precomputed=hot_node is not None))
+                              cold_precomputed=hot_node is not None,
+                              tiles_pre=tiles_pre))
         s = np.searchsorted(after, prev).astype(np.int32)
         s_pad = np.zeros(r_cap, np.int32)
         s_pad[: len(s)] = s

@@ -301,3 +301,46 @@ def test_resident_test_sweep(small_graph):
            log=False)
     f1 = tr.test(small_graph.test_nodes, batch_size=128)
     assert f1 > 0.3
+
+
+def test_native_direct_tiles_match_two_step(small_graph):
+    """The one-scan native cold-slice->tiles path emits bit-identical
+    coords/counts to slicing the cold COO then counting-sorting it
+    (threads own contiguous row ranges, so (tile, thread, visit) order
+    equals the row-major input order pack_tiles preserves)."""
+    from gnn_tpu import native
+    from gnn_tpu.native import NativeCSR, ladies_layer_native
+    from gnn_tpu.ops.pallas_edgestream import pack_edge_tiles, tile_dims
+    lib = native.get_lib()
+    if lib is None:
+        pytest.skip("no native lib")
+    lap = build_laplacian(small_graph.adj_full, "graphsage").tocsr()
+    g = ResidentGraph  # noqa: F841 (import kept close to use)
+    ncsr = NativeCSR(lap)
+    prob = compute_sample_prob(lap, small_graph.train_nodes, 2)
+    spec = HotSpec.from_sample_prob(prob, 256)
+    hot_node = (spec.slot_of_node >= 0).astype(np.uint8)
+    prev = np.sort(small_graph.train_nodes[:64]).astype(np.int64)
+    r_cap, c_cap = 128, 384 * 2  # padded caps (row%128, col%256 mix)
+
+    a1, nf1, cr, cc, cv = ladies_layer_native(lib, ncsr, prev, 128, 7,
+                                              hot_node=hot_node)
+    es_bm, es_bk = tile_dims(r_cap, c_cap)
+    a2, nf2, coords, tile_cnt = ladies_layer_native(
+        lib, ncsr, prev, 128, 7, hot_node=hot_node,
+        tile_spec=(r_cap // es_bm, c_cap // es_bk,
+                   es_bm.bit_length() - 1, es_bk.bit_length() - 1))
+    np.testing.assert_array_equal(a1, a2)
+    t2s = pack_edge_tiles(cr.astype(np.int64), cc.astype(np.int64),
+                          r_cap, c_cap, bm=es_bm, bk=es_bk, ecap=256)
+    assert len(coords) == len(cr)
+    occ = np.flatnonzero(tile_cnt)
+    from gnn_tpu.ops.pallas_edgestream import _build_tiles
+    t1s = _build_tiles(np.asarray(coords).copy(), occ.astype(np.int64),
+                       tile_cnt[occ].astype(np.int64), r_cap, c_cap,
+                       es_bm, es_bk, 256, r_cap // es_bm,
+                       c_cap // es_bk, None, None)
+    for f in ("coords", "blk_rc", "off", "t_order"):
+        np.testing.assert_array_equal(np.asarray(getattr(t1s, f)),
+                                      np.asarray(getattr(t2s, f)),
+                                      err_msg=f)
