@@ -292,6 +292,9 @@ def _edge_stream_kernel(ord_ref, rc_ref, offcnt_ref, ca_ref, cb_ref,
     cnt = offcnt_ref[1, ent(j)]
     base_edge = (off // (BLK_ROWS * EC)) * (BLK_ROWS * EC)
 
+    # operands in the ARRAYS' dtype (bf16 on TPU: single-pass MXU
+    # matmuls, 3x the f32 throughput — same precision class as the
+    # resident hot block; f32 accumulate throughout)
     rvt = rv_ref[pl.ds(rt * bm, bm), :]                  # [bm, 1]
     nft = nf_ref[pl.ds(ct * bk, bk), :]                  # [bk, 1]
     io_r = jax.lax.broadcasted_iota(jnp.int32, (bm, EC), 0)
@@ -314,8 +317,10 @@ def _edge_stream_kernel(ord_ref, rc_ref, offcnt_ref, ca_ref, cb_ref,
                        bm)                               # [1, EC]
         lc = jnp.where(valid, cw & ((1 << shift) - 1), bk)
         # one-hot operands with the rank-1 value factors folded in
-        R = jnp.where(io_r == lr, rvt, 0.0)              # [bm, EC]
-        C = jnp.where(io_c == lc, nft, 0.0)              # [bk, EC]
+        # (mask-multiply, not select: Mosaic cannot relayout an i1
+        # select against sublane-broadcast bf16 operands)
+        R = (io_r == lr).astype(rvt.dtype) * rvt         # [bm, EC]
+        C = (io_c == lc).astype(nft.dtype) * nft         # [bk, EC]
         if transpose:
             d = jax.lax.dot_general(
                 C, R, dimension_numbers=(((1,), (1,)), ((), ())),
@@ -339,7 +344,8 @@ def _edge_stream_kernel(ord_ref, rc_ref, offcnt_ref, ca_ref, cb_ref,
     else:
         start = pl.multiple_of(ct * bk, bk)
         xb = x_ref[pl.ds(start, bk), :]
-    out_ref[:] += jnp.dot(a, xb, preferred_element_type=jnp.float32
+    out_ref[:] += jnp.dot(a.astype(xb.dtype), xb,
+                          preferred_element_type=jnp.float32
                           ).astype(out_ref.dtype)
 
 
@@ -350,12 +356,21 @@ def edge_stream_spmm(tiles: EdgeTiles, x: jnp.ndarray,
                      transpose: bool = False, f_tile: int = 0,
                      interpret: bool = False) -> jnp.ndarray:
     """``y = A @ x`` (or ``A^T @ x``) where ``A[r, c] = rv[r] * nf[c]``
-    on the packed edge set and 0 elsewhere.
+    on the packed edge set and 0 elsewhere. Output is float32.
 
     ``rv``: [nrows] row factors (the row-constant laplacian values);
     ``nf``: [ncols] column factors (normfact). For the transpose
     direction pass the same tiles and factors — ``x`` then has nrows
-    rows and the result ncols."""
+    rows and the result ncols.
+
+    On real TPU the operands are cast to bfloat16: measured time-
+    neutral on this rig (its --xla_allow_excess_precision already ran
+    f32 matmuls as single-pass bf16 — identical rel err confirms it)
+    but it HALVES the VMEM-resident x block, doubling the feature width
+    that fits, and guarantees single-pass MXU on rigs without that
+    flag. f32 accumulation throughout — the same precision class as
+    the resident hot block. Interpreter mode keeps the input dtype so
+    CPU tests validate the exact math."""
     bm, bk, ecap = tiles.bm, tiles.bk, tiles.ecap
     nb = tiles.blk_rc.shape[0]
     n_out = tiles.ncols if transpose else tiles.nrows
@@ -364,6 +379,11 @@ def edge_stream_spmm(tiles: EdgeTiles, x: jnp.ndarray,
     assert C_ == n_in, (C_, n_in)
     assert rv.shape == (tiles.nrows,), rv.shape
     assert nf.shape == (tiles.ncols,), nf.shape
+    out_dtype = jnp.float32
+    if not interpret and jax.default_backend() == "tpu":
+        x = x.astype(jnp.bfloat16)
+        rv = rv.astype(jnp.bfloat16)
+        nf = nf.astype(jnp.bfloat16)
     if f_tile == 0:
         budget = 72 * 1024 * 1024 // max(C_ * x.dtype.itemsize, 1)
         f_tile = min(_round_up(F, 128), max(128, (budget // 128) * 128))
@@ -413,7 +433,7 @@ def edge_stream_spmm(tiles: EdgeTiles, x: jnp.ndarray,
     call = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((n_out, F), x.dtype),
+        out_shape=jax.ShapeDtypeStruct((n_out, F), out_dtype),
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=110 * 1024 * 1024),
         cost_estimate=pl.CostEstimate(flops=flops,
