@@ -81,6 +81,13 @@ def build_parser() -> argparse.ArgumentParser:
                         "runs DP(n_devices) x part on a hybrid mesh — "
                         "for graphs whose resident state exceeds one "
                         "chip's HBM (gnn_tpu.parallel.shardedresident)")
+    p.add_argument("--norm", type=str, default="row",
+                   choices=["row", "sym"],
+                   help="graph normalization: 'row' = D^-1 A (the "
+                        "reference's only form); 'sym' = D^-1/2 A "
+                        "D^-1/2 (Kipf GCN — present but never called "
+                        "in the reference, utils.py:41-54). Both are "
+                        "rank-1 val-free in resident format")
     p.add_argument("--resident_stream", type=str, default="auto",
                    choices=["auto", "on", "off"],
                    help="ship the resident cold residual as tile-grouped"
@@ -183,7 +190,7 @@ def main(argv=None) -> int:
     n_devices = args.n_devices or jax.device_count()
     graph = load_dataset(args.dataset, args.data_dir)
     n = graph.adj_full.shape[0]
-    lap = build_laplacian(graph.adj_full, args.model)
+    lap = build_laplacian(graph.adj_full, args.model, norm=args.norm)
 
     strategy = ("pagraph" if args.pagraph else
                 "random" if args.random else

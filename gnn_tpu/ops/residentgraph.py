@@ -62,18 +62,24 @@ class ResidentGraph:
     col_idx: jnp.ndarray       # int32 [e]
     val: jnp.ndarray           # f32/bf16 [e] (laplacian data)
     slot_of_node: jnp.ndarray  # int32 [n], hot slot or -1
-    # per-node laplacian row value when the row-normalized laplacian is
-    # row-constant (binary adjacency: lap[r, :] == 1/deg(r) on its
-    # support) — lets the device recompute cold edge weights as
-    # row_val[r] * normfact[c] so no per-edge values ever ship
-    row_val: jnp.ndarray       # f32 [n] (zeros when not row-constant)
+    # rank-1 value factorization ``lap[r, c] = row_val[r] * col_val[c]``
+    # on the support — lets the device recompute cold edge weights as
+    # ``row_val[r] * col_val[c] * normfact[c]`` so no per-edge values
+    # ever ship. Row-normalized binary laplacians: row_val = 1/deg,
+    # col_val = 1 (``col_trivial``); sym-normalized binary:
+    # row_val = 1/sqrt(deg_r), col_val = 1/sqrt(deg_c).
+    row_val: jnp.ndarray       # f32 [n] (zeros when not rank-1)
+    col_val: jnp.ndarray       # f32 [n]
     dense: jnp.ndarray         # [k, k] hot block
     dense_t: jnp.ndarray       # [k, k] hot block transpose
     n: int = struct.field(pytree_node=False)
     k: int = struct.field(pytree_node=False)
+    # True when col_val == 1 everywhere (row-normalized laplacians):
+    # the rebuild then skips the column-factor lookup entirely
+    col_trivial: bool = struct.field(pytree_node=False, default=True)
 
     # `materialize_layer` reads per-node resident state only through
-    # these two lookups (and `part_axis`), so a mesh-sharded resident
+    # these lookups (and `part_axis`), so a mesh-sharded resident
     # graph (gnn_tpu.parallel.shardedresident.ShardedResidentGraph) can
     # swap in psum-gather implementations without touching the rebuild.
     part_axis = None           # replicated: no model-parallel axis
@@ -84,8 +90,12 @@ class ResidentGraph:
                         fill_value=-1)
 
     def rowval_lookup(self, ids: jnp.ndarray) -> jnp.ndarray:
-        """Row-constant laplacian value of each global node id."""
+        """Rank-1 row factor of each global node id."""
         return jnp.take(self.row_val, ids, mode="clip")
+
+    def colval_lookup(self, ids: jnp.ndarray) -> jnp.ndarray:
+        """Rank-1 column factor of each global node id."""
+        return jnp.take(self.col_val, ids, mode="clip")
 
 
 def row_constant_values(lap: sp.csr_matrix):
@@ -107,23 +117,58 @@ def row_constant_values(lap: sp.csr_matrix):
     return rv, True
 
 
+def rank1_values(lap: sp.csr_matrix):
+    """Rank-1 factorization of a laplacian's values over its support:
+    ``(row_val f32[N], col_val f32[N], col_trivial, ok)`` with
+    ``lap[r, c] == row_val[r] * col_val[c]`` exactly (f32). Covers the
+    two normalizations in use: row-normalized binary adjacencies
+    (row-constant, col_val = 1 — the reference's only normalization,
+    `utils.py:56-64`) and sym-normalized binary adjacencies
+    (D_r^-1/2 A D_c^-1/2: both factors are support-degree powers,
+    closed-form checkable in O(E))."""
+    lap = lap.tocsr()
+    n, m = lap.shape
+    rv, const = row_constant_values(lap)
+    if const:
+        return rv, np.ones(m, np.float32), True, True
+    # sym form: factors from the SUPPORT degrees
+    deg_r = np.diff(lap.indptr).astype(np.float64)
+    deg_c = np.bincount(lap.indices, minlength=m).astype(np.float64)
+    with np.errstate(divide="ignore"):
+        rf = np.where(deg_r > 0, 1.0 / np.sqrt(deg_r), 0.0)
+    cf = np.where(deg_c > 0, 1.0 / np.sqrt(deg_c), 0.0)
+    row_of = np.repeat(np.arange(n), np.diff(lap.indptr))
+    # compare in f64 with a tight tolerance: sym_normalize rounds its
+    # f64 product to f32 ONCE, so an f32xf32 reconstruction differs in
+    # the last bit; the device recomputation (f32 factors) stays within
+    # float tolerance of the shipped-value path either way
+    recon = rf[row_of] * cf[lap.indices]
+    if np.allclose(recon, lap.data.astype(np.float64), rtol=1e-6,
+                   atol=0.0):
+        return rf.astype(np.float32), cf.astype(np.float32), False, True
+    return np.zeros(n, np.float32), np.ones(m, np.float32), True, False
+
+
 def build_resident_graph(lap: sp.csr_matrix, spec: HotSpec, dense,
                          dense_t, val_dtype=np.float32):
     """Host-side numpy pieces of :class:`ResidentGraph` (device_put by
     the trainer). ``dense``/``dense_t`` come from ``build_hot_dense``.
     The returned dict carries ``val_free`` (host-only flag, popped by
-    the trainer): True when cold edge weights are device-derivable."""
+    the trainer): True when cold edge weights are device-derivable
+    (rank-1 value factorization — row- OR sym-normalized binary
+    adjacencies)."""
     lap = lap.tocsr()
     lap.sort_indices()
-    rv, const = row_constant_values(lap)
+    rv, cv, col_trivial, ok = rank1_values(lap)
     return dict(
         row_ptr=lap.indptr.astype(np.int32),
         col_idx=lap.indices.astype(np.int32),
         val=lap.data.astype(val_dtype),
         slot_of_node=spec.slot_of_node.astype(np.int32),
-        row_val=rv,
+        row_val=rv, col_val=cv,
         dense=dense, dense_t=dense_t,
-        n=int(lap.shape[0]), k=int(spec.k), val_free=const)
+        n=int(lap.shape[0]), k=int(spec.k),
+        col_trivial=col_trivial, val_free=ok)
 
 
 @struct.dataclass
@@ -313,16 +358,25 @@ def materialize_layer(g: ResidentGraph, ref: ResidentLayerRef,
     rows_g = jnp.where(valid_r, row_ids, n)          # n -> deg 0 below
     cols_g = jnp.where(valid_c, col_ids, n)
 
+    # effective per-local-column factor for rank-1 cold values:
+    # normfact alone for row-normalized laplacians (col_val == 1), else
+    # normfact * col_val[global col] (sym-normalized)
+    def _nf_eff():
+        if getattr(g, "col_trivial", True):
+            return ref.normfact
+        return ref.normfact * g.colval_lookup(cols_g)
+
     if ref.es_rc is not None:
         # edge-stream tile payload: no per-edge COO on device at all —
         # the cold aggregation runs the packed coords through the
         # Pallas tile-densify kernel with rank-1 values
-        # rv[r] * normfact[c] (val-free laplacians)
+        # rv[r] * nf_eff[c] (val-free laplacians)
         z_i = jnp.zeros(0, jnp.int32)
         z_f = jnp.zeros(0, jnp.float32)
         return _finish_layer(g, ref, rows_g, cols_g, z_i, z_i, z_f,
                              jnp.int32(0),
-                             es_rv=g.rowval_lookup(rows_g))
+                             es_rv=g.rowval_lookup(rows_g),
+                             es_nf=_nf_eff())
 
     if ref.cols is not None:
         # lite mode: only the forward cold cols (+ optionally values)
@@ -347,7 +401,7 @@ def materialize_layer(g: ResidentGraph, ref: ResidentLayerRef,
             rowv = g.rowval_lookup(rows_g)
             vv = jnp.where(
                 cold_valid,
-                jnp.take(rowv, rr) * jnp.take(ref.normfact, cc), 0.0)
+                jnp.take(rowv, rr) * jnp.take(_nf_eff(), cc), 0.0)
         return _finish_layer(g, ref, rows_g, cols_g, rr, cc, vv, n_cold)
 
     # --- expand the rows' CSR spans into ref.e_cap edge slots ---
@@ -405,7 +459,7 @@ def materialize_layer(g: ResidentGraph, ref: ResidentLayerRef,
 
 def _finish_layer(g: ResidentGraph, ref: ResidentLayerRef, rows_g,
                   cols_g, rr, cc, vv, n_cold,
-                  es_rv=None) -> HotDenseAdj:
+                  es_rv=None, es_nf=None) -> HotDenseAdj:
     """Shared tail of the device rebuild: transpose copy + all hot-slot
     plumbing (the arrays the hot format used to ship per step)."""
     nrows, ncols = ref.nrows, ref.ncols
@@ -450,7 +504,8 @@ def _finish_layer(g: ResidentGraph, ref: ResidentLayerRef, rows_g,
     if es_rv is not None:
         es_kw = dict(es_coords=ref.es_coords, es_rc=ref.es_rc,
                      es_off=ref.es_off, es_ord=ref.es_ord,
-                     es_rv=es_rv, es_nf=ref.normfact,
+                     es_rv=es_rv,
+                     es_nf=ref.normfact if es_nf is None else es_nf,
                      es_bm=ref.es_bm, es_bk=ref.es_bk)
     return HotDenseAdj(
         rows=rr, cols=cc, vals=vv, rows_t=rt, cols_t=ct, vals_t=vt,

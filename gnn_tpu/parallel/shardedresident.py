@@ -52,7 +52,7 @@ import scipy.sparse as sp
 from flax import struct
 
 from gnn_tpu.ops.hotdense import HotSpec
-from gnn_tpu.ops.residentgraph import row_constant_values
+from gnn_tpu.ops.residentgraph import rank1_values
 from gnn_tpu.parallel.multihost import PART_AXIS
 
 
@@ -66,12 +66,14 @@ class ShardedResidentGraph:
 
     slot_shard: jnp.ndarray     # int32 [nsh]: slots of nodes in my range
     row_val_shard: jnp.ndarray  # f32 [nsh]
+    col_val_shard: jnp.ndarray  # f32 [nsh] (rank-1 column factors)
     dense: jnp.ndarray          # [k, ksh] slot-column shard of D
     dense_t: jnp.ndarray        # [k, ksh] slot-column shard of D^T
     n: int = struct.field(pytree_node=False)
     k: int = struct.field(pytree_node=False)
     nsh: int = struct.field(pytree_node=False)
     part_axis: str = struct.field(pytree_node=False, default=PART_AXIS)
+    col_trivial: bool = struct.field(pytree_node=False, default=True)
 
     def _owned(self, ids: jnp.ndarray):
         lo = jax.lax.axis_index(self.part_axis) * self.nsh
@@ -91,6 +93,11 @@ class ShardedResidentGraph:
     def rowval_lookup(self, ids: jnp.ndarray) -> jnp.ndarray:
         ok, loc = self._owned(ids)
         v = jnp.where(ok, jnp.take(self.row_val_shard, loc), 0.0)
+        return jax.lax.psum(v, self.part_axis)
+
+    def colval_lookup(self, ids: jnp.ndarray) -> jnp.ndarray:
+        ok, loc = self._owned(ids)
+        v = jnp.where(ok, jnp.take(self.col_val_shard, loc), 0.0)
         return jax.lax.psum(v, self.part_axis)
 
 
@@ -117,16 +124,20 @@ def shard_resident_state(rg: dict, n_parts: int,
     slot[:n] = np.asarray(rg["slot_of_node"], np.int32)
     rvp = np.zeros(n_parts * nsh, np.float32)
     rvp[:n] = np.asarray(rg["row_val"], np.float32)
+    cvp = np.zeros(n_parts * nsh, np.float32)
+    cvp[:n] = np.asarray(rg.get("col_val", np.ones(n)), np.float32)
     d = np.asarray(rg["dense"])
     dt = np.asarray(rg["dense_t"])
     return ShardedResidentGraph(
         slot_shard=slot.reshape(n_parts, nsh),
         row_val_shard=rvp.reshape(n_parts, nsh),
+        col_val_shard=cvp.reshape(n_parts, nsh),
         dense=np.stack([d[:, p * ksh:(p + 1) * ksh]
                         for p in range(n_parts)]),
         dense_t=np.stack([dt[:, p * ksh:(p + 1) * ksh]
                           for p in range(n_parts)]),
-        n=n, k=k, nsh=nsh, part_axis=axis)
+        n=n, k=k, nsh=nsh, part_axis=axis,
+        col_trivial=bool(rg.get("col_trivial", True)))
 
 
 def build_sharded_resident(lap: sp.csr_matrix, spec: HotSpec, dense,
@@ -146,16 +157,20 @@ def build_sharded_resident(lap: sp.csr_matrix, spec: HotSpec, dense,
     nsh = -(-n // n_parts)
     slot = np.full(n_parts * nsh, -1, np.int32)
     slot[:n] = spec.slot_of_node
-    rv, const = row_constant_values(lap.tocsr())
+    rv, cv, col_trivial, ok = rank1_values(lap.tocsr())
     rvp = np.zeros(n_parts * nsh, np.float32)
     rvp[:n] = rv
+    cvp = np.zeros(n_parts * nsh, np.float32)
+    cvp[:n] = cv
     d = np.asarray(dense)
     dt = np.asarray(dense_t)
     return ShardedResidentGraph(
         slot_shard=slot.reshape(n_parts, nsh),
         row_val_shard=rvp.reshape(n_parts, nsh),
+        col_val_shard=cvp.reshape(n_parts, nsh),
         dense=np.stack([d[:, p * ksh:(p + 1) * ksh]
                         for p in range(n_parts)]),
         dense_t=np.stack([dt[:, p * ksh:(p + 1) * ksh]
                           for p in range(n_parts)]),
-        n=n, k=k, nsh=nsh, part_axis=axis), const
+        n=n, k=k, nsh=nsh, part_axis=axis,
+        col_trivial=col_trivial), ok

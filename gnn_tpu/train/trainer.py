@@ -615,9 +615,11 @@ class Trainer:
             rg = dict(resident_graph)
             rg.pop("val_free", None)  # host-only flag (see CLI)
             n, k = rg.pop("n"), rg.pop("k")
+            col_trivial = rg.pop("col_trivial", True)
             self.agg_state = (ResidentGraph(
                 **{f: jax.device_put(jnp.asarray(v), rep)
-                   for f, v in rg.items()}, n=n, k=k),)
+                   for f, v in rg.items()}, n=n, k=k,
+                col_trivial=col_trivial),)
         elif hot_dense is not None:
             d, dt = hot_dense
             rep = NamedSharding(self.mesh, P())

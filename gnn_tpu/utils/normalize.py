@@ -26,9 +26,19 @@ def sym_normalize(mx: sp.spmatrix) -> sp.csr_matrix:
     return sp.diags(r).dot(mx).dot(sp.diags(c)).tocsr().astype(np.float32)
 
 
-def build_laplacian(adj_full: sp.spmatrix, model: str) -> sp.csr_matrix:
+def build_laplacian(adj_full: sp.spmatrix, model: str,
+                    norm: str = "row") -> sp.csr_matrix:
     """The propagation matrix the trainer uses (reference `main.py:267-270`):
-    GraphSAGE row-normalizes A; GCN row-normalizes A + I."""
+    GraphSAGE normalizes A; GCN normalizes A + I.
+
+    ``norm='row'`` (default) is the reference's D^-1 A; ``norm='sym'``
+    is D^-1/2 A D^-1/2 (the Kipf-GCN form — the reference carries
+    `sym_normalize` but never calls it, `utils.py:41-54`). Both are
+    rank-1-factorizable on binary adjacencies, so both get the val-free
+    resident payload and the edge-stream cold kernel."""
     if model == "gcn":
         adj_full = adj_full + sp.eye(adj_full.shape[0], dtype=np.float32)
+    if norm == "sym":
+        return sym_normalize(adj_full)
+    assert norm == "row", norm
     return row_normalize(adj_full)

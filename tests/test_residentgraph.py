@@ -20,8 +20,8 @@ from gnn_tpu.utils.normalize import build_laplacian
 
 def _setup(graph, hot_k=256, orders=(1, 1), samp=128, batch=64,
            sampler="ladies", ship_cold=False, val_free=False,
-           stream_tiles=False):
-    lap = build_laplacian(graph.adj_full, "graphsage")
+           stream_tiles=False, norm="row"):
+    lap = build_laplacian(graph.adj_full, "graphsage", norm=norm)
     prob = compute_sample_prob(lap, graph.train_nodes, sum(orders))
     spec = HotSpec.from_sample_prob(prob, hot_k)
     dense, dense_t = build_hot_dense(lap, spec, np.float32)
@@ -36,9 +36,11 @@ def _setup(graph, hot_k=256, orders=(1, 1), samp=128, batch=64,
     cfg_res = SamplerConfig(adj_format="resident", **kw)
     host = build_resident_graph(lap, spec, dense, dense_t)
     n, k = host.pop("n"), host.pop("k")
+    ct = host.pop("col_trivial")
     assert host.pop("val_free") is True  # binary synthetic adjacency
+    assert ct == (norm == "row")
     g = ResidentGraph(**{f: jnp.asarray(v) for f, v in host.items()},
-                      n=n, k=k)
+                      n=n, k=k, col_trivial=ct)
     return lap, spec, dense, dense_t, cfg_hot, cfg_res, g
 
 
@@ -344,3 +346,65 @@ def test_native_direct_tiles_match_two_step(small_graph):
         np.testing.assert_array_equal(np.asarray(getattr(t1s, f)),
                                       np.asarray(getattr(t2s, f)),
                                       err_msg=f)
+
+
+def test_rank1_values_forms(small_graph):
+    """rank1_values: row-normalized -> col-trivial factors;
+    sym-normalized -> degree-power factors; weighted -> not ok."""
+    import scipy.sparse as sp
+    from gnn_tpu.ops.residentgraph import rank1_values
+    lap_r = build_laplacian(small_graph.adj_full, "graphsage")
+    rv, cv, triv, ok = rank1_values(lap_r)
+    assert ok and triv and np.all(cv == 1.0)
+    coo = lap_r.tocoo()
+    np.testing.assert_allclose(rv[coo.row] * cv[coo.col], coo.data,
+                               rtol=1e-6)
+    lap_s = build_laplacian(small_graph.adj_full, "graphsage",
+                            norm="sym")
+    rv, cv, triv, ok = rank1_values(lap_s)
+    assert ok and not triv
+    coo = lap_s.tocoo()
+    # f32-factor product vs the once-rounded f64 product: last-bit only
+    np.testing.assert_allclose(rv[coo.row] * cv[coo.col], coo.data,
+                               rtol=1e-6)
+    # weighted (non-rank-1) values must be rejected
+    rng = np.random.default_rng(0)
+    lap_w = lap_r.copy()
+    lap_w.data = lap_w.data * rng.uniform(0.5, 2.0, len(lap_w.data)
+                                          ).astype(np.float32)
+    _, _, _, ok = rank1_values(lap_w)
+    assert not ok
+
+
+@pytest.mark.parametrize("stream", [False, True])
+def test_sym_norm_resident_matches_host_pack(small_graph, stream):
+    """Sym-normalized laplacians are val-free too (rank-1 with a
+    nontrivial column factor): the device rebuild — segsum and
+    edge-stream — must match the host pack, which ships FULL values
+    and is therefore normalization-agnostic (the oracle)."""
+    lap, spec, dense, dense_t, cfg_hot, cfg_res, g = _setup(
+        small_graph, ship_cold=True, val_free=True,
+        stream_tiles=stream, norm="sym")
+    tgt = small_graph.train_nodes[:64]
+    mb_hot = ladies_sample(cfg_hot, 5, tgt, lap, small_graph.labels)
+    mb_res = ladies_sample(cfg_res, 5, tgt, lap, small_graph.labels)
+    adjs_host = bind_dense(mb_hot.adjs, jnp.asarray(dense),
+                           jnp.asarray(dense_t))
+    adjs_dev = materialize_adjs(
+        g, list(mb_res.adjs),
+        [jnp.asarray(s) for s in mb_res.sampled_nodes],
+        jnp.asarray(mb_res.input_nodes))
+    rng = np.random.default_rng(0)
+    for l, (ah, ad) in enumerate(zip(adjs_host, adjs_dev)):
+        if ah is None:
+            continue
+        x = jnp.asarray(rng.normal(size=(ah.ncols, 8)).astype(np.float32))
+        gy = jnp.asarray(rng.normal(size=(ah.nrows, 8)).astype(np.float32))
+        np.testing.assert_allclose(np.asarray(spmm(ad, x)),
+                                   np.asarray(spmm(ah, x)),
+                                   rtol=1e-5, atol=1e-5,
+                                   err_msg=f"layer {l} fwd")
+        np.testing.assert_allclose(np.asarray(spmm_transpose(ad, gy)),
+                                   np.asarray(spmm_transpose(ah, gy)),
+                                   rtol=1e-5, atol=1e-5,
+                                   err_msg=f"layer {l} bwd")
