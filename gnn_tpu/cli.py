@@ -92,9 +92,10 @@ def build_parser() -> argparse.ArgumentParser:
                    choices=["auto", "on", "off"],
                    help="ship the resident cold residual as tile-grouped"
                         " packed coords and aggregate it with the Pallas"
-                        " edge-stream kernel (1.5x fwd / 3.4x bwd vs the"
-                        " segment-sum on chip). 'auto' = on for TPU "
-                        "backends when the laplacian is val-free, off "
+                        " edge-stream kernel (1.9x fwd / 4.2x bwd vs the"
+                        " segment-sum on chip; rank-1 graphs ship coords"
+                        " only, weighted graphs add per-edge values in "
+                        "tile order). 'auto' = on for TPU backends, off "
                         "elsewhere (the kernel runs interpreted off-TPU)")
     p.add_argument("--hot_dtype", type=str, default="bfloat16",
                    choices=["float32", "bfloat16"],
@@ -280,12 +281,14 @@ def main(argv=None) -> int:
                   "(cols+vals) in HBM", flush=True)
 
     val_free = bool(resident_graph and resident_graph.get("val_free"))
+    # stream tiles serve BOTH value classes: rank-1 (val-free) graphs
+    # ship coords only; weighted graphs additionally ship the per-edge
+    # weights in tile order. Off-TPU the kernel runs interpreted
+    # (slow), so 'auto' enables it only on TPU backends.
     stream_tiles = (args.resident_stream == "on"
-                    or (args.resident_stream == "auto" and val_free
+                    or (args.resident_stream == "auto"
+                        and args.adj_format == "resident"
                         and jax.default_backend() == "tpu"))
-    if stream_tiles and not val_free:
-        raise SystemExit("--resident_stream on needs a val-free "
-                         "(row-constant) laplacian in resident format")
     cfg = SamplerConfig(
         batch_size=args.batch_size, samp_num=args.samp_num, orders=orders,
         num_nodes=n, num_classes=graph.num_classes, sampler=args.sampler,

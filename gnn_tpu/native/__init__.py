@@ -120,6 +120,11 @@ def _declare(lib) -> None:
         ctypes.c_int64, ctypes.c_int64, ctypes.c_int, ctypes.c_int,
         ctypes.c_int64, i32p, i16p]
     lib.slice_cols_cold_tiles.restype = ctypes.c_int64
+    lib.pack_tiles_perm.argtypes = [i32p, i32p, ctypes.c_int64,
+                                    ctypes.c_int64, ctypes.c_int64,
+                                    ctypes.c_int, ctypes.c_int, i32p,
+                                    i16p, i32p]
+    lib.pack_tiles_perm.restype = None
 
 
 def _ptr(a: np.ndarray, ct):
@@ -275,6 +280,27 @@ def pack_tiles_native(lib, rows: np.ndarray, cols: np.ndarray,
                    ctypes.c_int(log2_bk), _ptr(tile_cnt, ctypes.c_int32),
                    _ptr(coords, ctypes.c_int16))
     return coords, tile_cnt
+
+
+def pack_tiles_perm_native(lib, rows: np.ndarray, cols: np.ndarray,
+                           n_rt: int, n_ct: int, log2_bm: int,
+                           log2_bk: int):
+    """`pack_tiles_native` + the tile-order permutation (``perm[w]`` =
+    input index of the edge at output slot w) — for reordering per-edge
+    VALUES into tile order (weighted edge-stream payload)."""
+    e = len(rows)
+    rows = np.ascontiguousarray(rows, np.int32)
+    cols = np.ascontiguousarray(cols, np.int32)
+    tile_cnt = np.zeros(n_rt * n_ct, np.int32)
+    coords = np.empty(e, np.int16)
+    perm = np.empty(e, np.int32)
+    lib.pack_tiles_perm(
+        _ptr(rows, ctypes.c_int32), _ptr(cols, ctypes.c_int32),
+        ctypes.c_int64(e), ctypes.c_int64(n_ct),
+        ctypes.c_int64(n_rt * n_ct), ctypes.c_int(log2_bm),
+        ctypes.c_int(log2_bk), _ptr(tile_cnt, ctypes.c_int32),
+        _ptr(coords, ctypes.c_int16), _ptr(perm, ctypes.c_int32))
+    return coords, tile_cnt, perm
 
 
 def ladies_layer_native(lib, graph: NativeCSR, prev: np.ndarray,

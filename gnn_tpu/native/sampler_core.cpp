@@ -519,6 +519,35 @@ void pack_tiles(const int32_t* rows, const int32_t* cols, int64_t e,
   }
 }
 
+// pack_tiles + the tile-order PERMUTATION (perm[w] = input index of the
+// edge at output slot w) — lets the caller reorder per-edge VALUES into
+// tile order for the weighted (non-rank-1) edge-stream payload.
+void pack_tiles_perm(const int32_t* rows, const int32_t* cols, int64_t e,
+                     int64_t n_ct, int64_t n_tiles, int log2_bm,
+                     int log2_bk, int32_t* tile_cnt, int16_t* coords_out,
+                     int32_t* perm_out) {
+  const int32_t bm_mask = (1 << log2_bm) - 1;
+  const int32_t bk_mask = (1 << log2_bk) - 1;
+  for (int64_t i = 0; i < e; ++i)
+    tile_cnt[((int64_t)(rows[i] >> log2_bm)) * n_ct +
+             (cols[i] >> log2_bk)]++;
+  static thread_local std::vector<int64_t> cur;
+  cur.resize(n_tiles);
+  int64_t acc = 0;
+  for (int64_t t = 0; t < n_tiles; ++t) {
+    cur[t] = acc;
+    acc += tile_cnt[t];
+  }
+  for (int64_t i = 0; i < e; ++i) {
+    const int32_t r = rows[i], c = cols[i];
+    const int64_t key = ((int64_t)(r >> log2_bm)) * n_ct + (c >> log2_bk);
+    const int64_t w = cur[key]++;
+    coords_out[w] =
+        (int16_t)(uint16_t)(((r & bm_mask) << log2_bk) | (c & bk_mask));
+    perm_out[w] = (int32_t)i;
+  }
+}
+
 // Convenience: exclusive prefix sum.
 void prefix_sum(const int64_t* in, int64_t n, int64_t* out) {
   int64_t acc = 0;

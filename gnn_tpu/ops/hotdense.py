@@ -198,6 +198,7 @@ class HotDenseAdj:
     es_rc: Optional[jnp.ndarray] = None      # int32 [nb]
     es_off: Optional[jnp.ndarray] = None     # int32 [2, nb+1]
     es_ord: Optional[jnp.ndarray] = None     # int32 [nb]
+    es_vals: Optional[jnp.ndarray] = None    # bf16/f32 [n_cr, 128]
     es_rv: Optional[jnp.ndarray] = None      # f32 [nrows] row factors
     es_nf: Optional[jnp.ndarray] = None      # f32 [ncols] col factors
     es_bm: int = struct.field(pytree_node=False, default=128)
@@ -403,7 +404,8 @@ def _cold_edge_stream(adj: HotDenseAdj, u: jnp.ndarray,
     tiles = EdgeTiles(coords=adj.es_coords, blk_rc=adj.es_rc,
                       off=adj.es_off, t_order=adj.es_ord,
                       nrows=adj.nrows, ncols=adj.ncols,
-                      bm=adj.es_bm, bk=adj.es_bk, ecap=256)
+                      bm=adj.es_bm, bk=adj.es_bk, ecap=256,
+                      vals=adj.es_vals)
     interp = jax.default_backend() != "tpu"
     return edge_stream_spmm(tiles, u, adj.es_rv, adj.es_nf,
                             transpose=transpose, interpret=interp)

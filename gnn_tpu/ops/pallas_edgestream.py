@@ -103,6 +103,10 @@ class EdgeTiles:
     bm: int = struct.field(pytree_node=False)
     bk: int = struct.field(pytree_node=False)
     ecap: int = struct.field(pytree_node=False)
+    # per-edge VALUES in tile order, same grid layout as coords (the
+    # weighted / non-rank-1 payload: A[r, c] = vals_e * rv[r] * nf[c];
+    # None = rank-1 values only). bf16/f32 [n_coord_rows, EC].
+    vals: Optional[jnp.ndarray] = None
 
 
 def pack_edge_tiles(rows: np.ndarray, cols: np.ndarray,
@@ -110,7 +114,9 @@ def pack_edge_tiles(rows: np.ndarray, cols: np.ndarray,
                     bk: int = 128, ecap: int = 256,
                     nb_pad: Optional[int] = None,
                     e_pad: Optional[int] = None,
-                    use_native: bool = True) -> EdgeTiles:
+                    use_native: bool = True,
+                    vals: Optional[np.ndarray] = None,
+                    val_dtype=None) -> EdgeTiles:
     """Host-side packing: COO pattern -> tile-grouped edge stream.
 
     Values do NOT ship — the kernel applies the rank-1 ``rv[r] * nf[c]``
@@ -130,11 +136,21 @@ def pack_edge_tiles(rows: np.ndarray, cols: np.ndarray,
     if use_native:
         from gnn_tpu import native as _native
         lib = _native.get_lib()
+    vals_s = None
     if lib is not None:
-        from gnn_tpu.native import pack_tiles_native
-        coords_s, tile_cnt = pack_tiles_native(
-            lib, np.asarray(rows, np.int32), np.asarray(cols, np.int32),
-            n_rt, n_ct, bm.bit_length() - 1, shift)
+        if vals is not None:
+            from gnn_tpu.native import pack_tiles_perm_native
+            coords_s, tile_cnt, perm = pack_tiles_perm_native(
+                lib, np.asarray(rows, np.int32),
+                np.asarray(cols, np.int32), n_rt, n_ct,
+                bm.bit_length() - 1, shift)
+            vals_s = np.asarray(vals)[perm]
+        else:
+            from gnn_tpu.native import pack_tiles_native
+            coords_s, tile_cnt = pack_tiles_native(
+                lib, np.asarray(rows, np.int32),
+                np.asarray(cols, np.int32), n_rt, n_ct,
+                bm.bit_length() - 1, shift)
         occ = np.flatnonzero(tile_cnt)
         uniq = occ.astype(np.int64)
         counts = tile_cnt[occ].astype(np.int64)
@@ -144,20 +160,24 @@ def pack_edge_tiles(rows: np.ndarray, cols: np.ndarray,
         key = (rows // bm) * n_ct + cols // bk
         order = np.argsort(key, kind="stable")
         rows_s, cols_s = rows[order], cols[order]
+        if vals is not None:
+            vals_s = np.asarray(vals)[order]
         uniq, counts = np.unique(key[order], return_counts=True)
         lr = rows_s - (rows_s // bm) * bm
         lc = cols_s - (cols_s // bk) * bk
         coords_s = (((lr << shift) | lc) & 0xFFFF).astype(
             np.uint16).view(np.int16)
     return _build_tiles(coords_s, uniq, counts, nrows_pad, ncols_pad,
-                        bm, bk, ecap, n_rt, n_ct, nb_pad, e_pad)
+                        bm, bk, ecap, n_rt, n_ct, nb_pad, e_pad,
+                        vals_s=vals_s, val_dtype=val_dtype)
 
 
 def _build_tiles(coords_s: np.ndarray, uniq: np.ndarray,
                  counts: np.ndarray, nrows_pad: int, ncols_pad: int,
                  bm: int, bk: int, ecap: int, n_rt: int, n_ct: int,
-                 nb_pad: Optional[int], e_pad: Optional[int]
-                 ) -> EdgeTiles:
+                 nb_pad: Optional[int], e_pad: Optional[int],
+                 vals_s: Optional[np.ndarray] = None,
+                 val_dtype=None) -> EdgeTiles:
     """Entry tables + padding from tile-sorted coords and per-tile
     counts (everything here is O(n_tiles), not O(E))."""
     # split heavy tiles into ceil(cnt/ecap) entries
@@ -204,6 +224,13 @@ def _build_tiles(coords_s: np.ndarray, uniq: np.ndarray,
     coords = np.zeros(n_cr * EC, np.int16)
     coords[:e_used] = coords_s
     coords = coords.reshape(n_cr, EC)
+    vgrid = None
+    if vals_s is not None:
+        import jax.numpy as _jnp
+        vdt = val_dtype if val_dtype is not None else _jnp.bfloat16
+        vgrid = np.zeros(n_cr * EC, vdt)
+        vgrid[:e_used] = vals_s.astype(vdt)
+        vgrid = vgrid.reshape(n_cr, EC)
 
     # pad entries carry zero edges and point at tile (n_rt-1, n_ct-1):
     # the sentinels above guarantee that tile id occurs, and it sorts
@@ -224,7 +251,7 @@ def _build_tiles(coords_s: np.ndarray, uniq: np.ndarray,
     return EdgeTiles(coords=coords, blk_rc=blk_rc, off=offcnt,
                      t_order=t_ord,
                      nrows=int(nrows_pad), ncols=int(ncols_pad),
-                     bm=bm, bk=bk, ecap=ecap)
+                     bm=bm, bk=bk, ecap=ecap, vals=vgrid)
 
 
 def tile_dims(nrows_pad: int, ncols_pad: int):
@@ -239,16 +266,17 @@ def tile_dims(nrows_pad: int, ncols_pad: int):
 
 def repad_tiles(coords: np.ndarray, blk_rc: np.ndarray, off: np.ndarray,
                 t_order: np.ndarray, nb_pad: int, n_cr: int,
-                n_rt: int, n_ct: int):
+                n_rt: int, n_ct: int, vals: Optional[np.ndarray] = None):
     """Extend a packed tile set to (nb_pad entries, n_cr coord rows) —
     the re-bucketing the pipeline's stack/group paths need to unify
     shapes across steps. Pad entries carry zero edges at tile
     (n_rt-1, n_ct-1), which sorts last in BOTH visit orders (the same
     convention `pack_edge_tiles` uses), so they can never be the first
-    visit of an output block."""
+    visit of an output block. Returns a 5-tuple; the last member is the
+    (optionally extended) per-edge val grid or None."""
     nb = blk_rc.shape[0]
     if nb == nb_pad and coords.shape[0] == n_cr:
-        return coords, blk_rc, off, t_order
+        return coords, blk_rc, off, t_order, vals
     assert nb_pad >= nb and n_cr >= coords.shape[0], \
         ((nb, nb_pad), (coords.shape[0], n_cr))
     pad_rc = ((n_rt - 1) << 16) | (n_ct - 1)
@@ -260,13 +288,21 @@ def repad_tiles(coords: np.ndarray, blk_rc: np.ndarray, off: np.ndarray,
         [t_order, np.arange(nb, nb_pad, dtype=np.int32)])
     c2 = np.zeros((n_cr, coords.shape[1]), coords.dtype)
     c2[: coords.shape[0]] = coords
-    return c2, blk2, off2, t2
+    v2 = None
+    if vals is not None:
+        v2 = np.zeros((n_cr, vals.shape[1]), vals.dtype)
+        v2[: vals.shape[0]] = vals
+    return c2, blk2, off2, t2, v2
 
 
 def _edge_stream_kernel(ord_ref, rc_ref, offcnt_ref, ca_ref, cb_ref,
-                        x_ref, rv_ref, nf_ref, out_ref, *,
-                        bm: int, bk: int, ecap: int, transpose: bool,
-                        shift: int):
+                        *rest, bm: int, bk: int, ecap: int,
+                        transpose: bool, shift: int, has_vals: bool):
+    if has_vals:
+        va_ref, vb_ref, x_ref, rv_ref, nf_ref, out_ref = rest
+    else:
+        va_ref = vb_ref = None
+        x_ref, rv_ref, nf_ref, out_ref = rest
     j = pl.program_id(1)
 
     def ent(i):
@@ -320,6 +356,12 @@ def _edge_stream_kernel(ord_ref, rc_ref, offcnt_ref, ca_ref, cb_ref,
         # (mask-multiply, not select: Mosaic cannot relayout an i1
         # select against sublane-broadcast bf16 operands)
         R = (io_r == lr).astype(rvt.dtype) * rvt         # [bm, EC]
+        if has_vals:
+            # per-edge values fold into the row one-hot too
+            vaw = va_ref[pl.ds(wa, 1), :]
+            vbw = vb_ref[pl.ds(wb, 1), :]
+            vw = jnp.where(w < BLK_ROWS, vaw, vbw)       # [1, EC]
+            R = R * vw.astype(R.dtype)
         C = (io_c == lc).astype(nft.dtype) * nft         # [bk, EC]
         if transpose:
             d = jax.lax.dot_general(
@@ -402,28 +444,35 @@ def edge_stream_spmm(tiles: EdgeTiles, x: jnp.ndarray,
         t = (rcj & 0xFFFF) if transpose else (rcj >> 16)
         return (t, f)
 
+    has_vals = tiles.vals is not None
     kernel = functools.partial(_edge_stream_kernel, bm=bm, bk=bk,
                                ecap=ecap, transpose=transpose,
-                               shift=bk.bit_length() - 1)
+                               shift=bk.bit_length() - 1,
+                               has_vals=has_vals)
+    # two consecutive block views of the coord grid (and, when per-edge
+    # values ride along, of the val grid — same index maps): Pallas
+    # pipelines their DMA and skips refetch when consecutive entries
+    # map to the same blocks (the common case — one block holds
+    # BLK_ROWS*EC = 2048 edges)
+    blk_a = pl.BlockSpec((BLK_ROWS, EC),
+                         lambda f, j, o, r, oc:
+                         (oc[0, o[j]] // (BLK_ROWS * EC), 0))
+    blk_b = pl.BlockSpec((BLK_ROWS, EC),
+                         lambda f, j, o, r, oc:
+                         (oc[0, o[j]] // (BLK_ROWS * EC) + 1, 0))
+    in_specs = [blk_a, blk_b]
+    if has_vals:
+        in_specs += [blk_a, blk_b]
+    in_specs += [
+        pl.BlockSpec((C_, f_tile),
+                     lambda f, j, o, r, oc: (0, f)),  # x resident
+        pl.BlockSpec(memory_space=pltpu.VMEM),        # rv [nrows, 1]
+        pl.BlockSpec(memory_space=pltpu.VMEM),        # nf [ncols, 1]
+    ]
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,   # ord, blk_rc, off/cnt
         grid=(n_ft, nb),
-        in_specs=[
-            # two consecutive block views of the coord grid: Pallas
-            # pipelines their DMA and skips refetch when consecutive
-            # entries map to the same blocks (the common case — one
-            # block holds BLK_ROWS*EC = 2048 edges)
-            pl.BlockSpec((BLK_ROWS, EC),
-                         lambda f, j, o, r, oc:
-                         (oc[0, o[j]] // (BLK_ROWS * EC), 0)),
-            pl.BlockSpec((BLK_ROWS, EC),
-                         lambda f, j, o, r, oc:
-                         (oc[0, o[j]] // (BLK_ROWS * EC) + 1, 0)),
-            pl.BlockSpec((C_, f_tile),
-                         lambda f, j, o, r, oc: (0, f)),  # x resident
-            pl.BlockSpec(memory_space=pltpu.VMEM),        # rv [nrows, 1]
-            pl.BlockSpec(memory_space=pltpu.VMEM),        # nf [ncols, 1]
-        ],
+        in_specs=in_specs,
         out_specs=pl.BlockSpec((out_blk, f_tile), out_map),
     )
     flops = 2 * nb * (bm * 2 * EC * bk + bm * bk * F)
@@ -442,5 +491,7 @@ def edge_stream_spmm(tiles: EdgeTiles, x: jnp.ndarray,
         interpret=interpret,
     )
     c32 = tiles.coords.astype(jnp.int32)
-    return call(ord_arr, tiles.blk_rc, tiles.off, c32, c32,
-                x, rv.reshape(-1, 1), nf.reshape(-1, 1))
+    args = [ord_arr, tiles.blk_rc, tiles.off, c32, c32]
+    if has_vals:
+        args += [tiles.vals, tiles.vals]
+    return call(*args, x, rv.reshape(-1, 1), nf.reshape(-1, 1))

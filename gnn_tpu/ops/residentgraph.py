@@ -212,6 +212,9 @@ class ResidentLayerRef:
     es_rc: Optional[jnp.ndarray] = None      # int32 [nb]
     es_off: Optional[jnp.ndarray] = None     # int32 [2, nb+1]
     es_ord: Optional[jnp.ndarray] = None     # int32 [nb]
+    # per-edge values in tile order (weighted / non-rank-1 graphs:
+    # the full lap_val * normfact weight ships; None when val-free)
+    es_vals: Optional[jnp.ndarray] = None    # bf16/f32 [n_cr, 128]
     nrows: int = struct.field(pytree_node=False, default=0)
     ncols: int = struct.field(pytree_node=False, default=0)
     e_cap: int = struct.field(pytree_node=False, default=0)
@@ -262,11 +265,13 @@ def pack_resident_ref(spec: HotSpec, lap_indptr, prev, after, normfact,
     nf = np.zeros(c_cap, np.float32)
     nf[: len(normfact)] = normfact
     kw = {}
-    if ship_cold and stream_tiles and val_free:
+    if ship_cold and stream_tiles:
         # tile-grouped packed coords for the edge-stream cold kernel:
         # same 2 bytes/edge as the int16 cols it replaces, plus ~16
         # bytes/occupied-tile of entry tables — and the backward comes
-        # free (the transpose visit order reuses the same buffer)
+        # free (the transpose visit order reuses the same buffer).
+        # Val-free (rank-1) graphs ship ONLY coords; weighted graphs
+        # additionally ship the full per-edge weights in tile order.
         from gnn_tpu.ops.pallas_edgestream import (EC, _build_tiles,
                                                    pack_edge_tiles,
                                                    repad_tiles,
@@ -274,9 +279,10 @@ def pack_resident_ref(spec: HotSpec, lap_indptr, prev, after, normfact,
         es_bm, es_bk = tile_dims(r_cap, c_cap)
         if tiles_pre is not None:
             # the native cold slice already emitted tile-grouped coords
-            # (one scan, no COO) — only the O(n_tiles) entry tables
-            # remain to build
+            # (one scan, no COO — val-free only) — only the O(n_tiles)
+            # entry tables remain to build
             coords_s, tile_cnt, pre_bm, pre_bk = tiles_pre
+            assert val_free
             assert (pre_bm, pre_bk) == (es_bm, es_bk)
             n_cold = len(coords_s)
             e_pad = bucket_size(max(n_cold, 1))
@@ -288,15 +294,17 @@ def pack_resident_ref(spec: HotSpec, lap_indptr, prev, after, normfact,
         else:
             e_pad = bucket_size(max(n_cold, 1))
             assert e_pad % EC == 0, e_pad
-            t = pack_edge_tiles(np.asarray(cr, np.int32),
-                                np.asarray(cc, np.int32), r_cap, c_cap,
-                                bm=es_bm, bk=es_bk, ecap=256,
-                                e_pad=e_pad)
+            t = pack_edge_tiles(
+                np.asarray(cr, np.int32), np.asarray(cc, np.int32),
+                r_cap, c_cap, bm=es_bm, bk=es_bk, ecap=256, e_pad=e_pad,
+                vals=None if val_free else np.asarray(cv, np.float32),
+                val_dtype=jnp.bfloat16 if compress else np.float32)
         nb_pad = bucket_size(t.blk_rc.shape[0], 512)
-        c2, rc2, off2, ord2 = repad_tiles(
+        c2, rc2, off2, ord2, v2 = repad_tiles(
             np.asarray(t.coords), np.asarray(t.blk_rc),
             np.asarray(t.off), np.asarray(t.t_order), nb_pad,
-            t.coords.shape[0], r_cap // es_bm, c_cap // es_bk)
+            t.coords.shape[0], r_cap // es_bm, c_cap // es_bk,
+            vals=None if t.vals is None else np.asarray(t.vals))
         return ResidentLayerRef(
             normfact=nf,
             n_valid_rows=np.int32(n_rows), n_valid_cols=np.int32(n_cols),
@@ -305,7 +313,7 @@ def pack_resident_ref(spec: HotSpec, lap_indptr, prev, after, normfact,
             rh_pad=bucket_size(max(int(hot_r_flag.sum()), 1), 128),
             ch_pad=bucket_size(max(int(hot_c_flag.sum()), 1), 128),
             es_coords=c2, es_rc=rc2, es_off=off2, es_ord=ord2,
-            es_bm=es_bm, es_bk=es_bk)
+            es_vals=v2, es_bm=es_bm, es_bk=es_bk)
     if ship_cold:
         nnz_pad = bucket_size(max(n_cold, 1))
         cidx = np.int16 if (compress and c_cap <= 32768) else np.int32
@@ -369,14 +377,19 @@ def materialize_layer(g: ResidentGraph, ref: ResidentLayerRef,
     if ref.es_rc is not None:
         # edge-stream tile payload: no per-edge COO on device at all —
         # the cold aggregation runs the packed coords through the
-        # Pallas tile-densify kernel with rank-1 values
-        # rv[r] * nf_eff[c] (val-free laplacians)
+        # Pallas tile-densify kernel. Val-free graphs recompute values
+        # as rv[r] * nf_eff[c]; weighted graphs shipped the full
+        # weights in tile order (es_vals), so the factors are ones.
         z_i = jnp.zeros(0, jnp.int32)
         z_f = jnp.zeros(0, jnp.float32)
+        if ref.es_vals is not None:
+            es_rv = jnp.ones(ref.nrows, jnp.float32)
+            es_nf = jnp.ones(ref.ncols, jnp.float32)
+        else:
+            es_rv = g.rowval_lookup(rows_g)
+            es_nf = _nf_eff()
         return _finish_layer(g, ref, rows_g, cols_g, z_i, z_i, z_f,
-                             jnp.int32(0),
-                             es_rv=g.rowval_lookup(rows_g),
-                             es_nf=_nf_eff())
+                             jnp.int32(0), es_rv=es_rv, es_nf=es_nf)
 
     if ref.cols is not None:
         # lite mode: only the forward cold cols (+ optionally values)
@@ -504,7 +517,7 @@ def _finish_layer(g: ResidentGraph, ref: ResidentLayerRef, rows_g,
     if es_rv is not None:
         es_kw = dict(es_coords=ref.es_coords, es_rc=ref.es_rc,
                      es_off=ref.es_off, es_ord=ref.es_ord,
-                     es_rv=es_rv,
+                     es_vals=ref.es_vals, es_rv=es_rv,
                      es_nf=ref.normfact if es_nf is None else es_nf,
                      es_bm=ref.es_bm, es_bk=ref.es_bk)
     return HotDenseAdj(

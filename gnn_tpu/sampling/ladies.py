@@ -114,12 +114,14 @@ class SamplerConfig:
     # edge VALUES are then recomputed on device as row_val * normfact
     # and never ship (the CLI sets this from build_resident_graph)
     resident_val_free: bool = False
-    # val-free lite mode only: ship the cold residual as tile-grouped
-    # packed coords and aggregate it with the Pallas edge-stream kernel
+    # lite mode: ship the cold residual as tile-grouped packed coords
+    # and aggregate it with the Pallas edge-stream kernel
     # (gnn_tpu.ops.pallas_edgestream) instead of the segment-sum —
-    # measured 1.5x fwd / 3.4x bwd on chip. Off-TPU the kernel runs in
-    # interpreter mode (slow; tests only), so the CLI enables this on
-    # TPU backends by default and leaves it off elsewhere.
+    # measured 1.9x fwd / 4.2x bwd on chip. Val-free (rank-1) graphs
+    # ship coords only; weighted graphs additionally ship per-edge
+    # values in tile order. Off-TPU the kernel runs in interpreter
+    # mode (slow; tests only), so the CLI enables this on TPU backends
+    # by default and leaves it off elsewhere.
     resident_stream_tiles: bool = False
 
     def layer_caps(self) -> List[int]:

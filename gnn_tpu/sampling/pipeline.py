@@ -161,12 +161,13 @@ def stack_minibatches(mbs: Sequence[MiniBatch]) -> MiniBatch:
                 ncr = max(x.es_coords.shape[0] for x in layer)
                 fixed = []
                 for a in layer:
-                    c2, rc2, off2, ord2 = repad_tiles(
+                    c2, rc2, off2, ord2, v2 = repad_tiles(
                         a.es_coords, a.es_rc, a.es_off, a.es_ord, nbp,
-                        ncr, a.nrows // a.es_bm, a.ncols // a.es_bk)
+                        ncr, a.nrows // a.es_bm, a.ncols // a.es_bk,
+                        vals=a.es_vals)
                     fixed.append(dataclasses.replace(
                         a, es_coords=c2, es_rc=rc2, es_off=off2,
-                        es_ord=ord2))
+                        es_ord=ord2, es_vals=v2))
                 layer = fixed
             layer = [dataclasses.replace(
                 a,

@@ -113,3 +113,35 @@ def test_edge_stream_bucketed_shapes_and_padding():
     np.testing.assert_allclose(
         _run(padded, x, rv, nf, transpose=True), dense.T @ x,
         rtol=1e-4, atol=1e-4)
+
+
+def test_edge_stream_per_edge_values():
+    """Weighted payload: per-edge values ride a second streamed grid
+    and multiply into the one-hot (A = vals_e * rv[r] * nf[c])."""
+    rng = np.random.RandomState(7)
+    nr, nc, f = 256, 512, 96
+    m = sp.random(nr, nc, density=0.03, format="coo", random_state=rng,
+                  dtype=np.float32)
+    rows, cols = m.row.astype(np.int64), m.col.astype(np.int64)
+    _, ui = np.unique(rows * nc + cols, return_index=True)
+    rows, cols = rows[ui], cols[ui]
+    vals = (rng.rand(len(rows)) + 0.5).astype(np.float32)
+    tiles = pack_edge_tiles(rows, cols, nr, nc, bm=256, bk=256,
+                            vals=vals, val_dtype=np.float32)
+    assert tiles.vals is not None
+    ones_r = np.ones(nr, np.float32)
+    ones_c = np.ones(nc, np.float32)
+    dense = np.zeros((nr, nc), np.float32)
+    dense[rows, cols] = vals
+    x = rng.randn(nc, f).astype(np.float32)
+    g = rng.randn(nr, f).astype(np.float32)
+    y = _run(tiles, x, ones_r, ones_c)
+    np.testing.assert_allclose(y, dense @ x, rtol=1e-4, atol=1e-4)
+    dx = _run(tiles, g, ones_r, ones_c, transpose=True)
+    np.testing.assert_allclose(dx, dense.T @ g, rtol=1e-4, atol=1e-4)
+    # rank-1 factors still compose on top of the per-edge values
+    rv = (rng.rand(nr) + 0.5).astype(np.float32)
+    nf = (rng.rand(nc) + 0.5).astype(np.float32)
+    y2 = _run(tiles, x, rv, nf)
+    dense2 = dense * rv[:, None] * nf[None, :]
+    np.testing.assert_allclose(y2, dense2 @ x, rtol=1e-4, atol=1e-4)

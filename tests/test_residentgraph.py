@@ -408,3 +408,58 @@ def test_sym_norm_resident_matches_host_pack(small_graph, stream):
                                    np.asarray(spmm_transpose(ah, gy)),
                                    rtol=1e-5, atol=1e-5,
                                    err_msg=f"layer {l} bwd")
+
+
+@pytest.mark.parametrize("stream", [False, True])
+def test_weighted_graph_resident_matches_host_pack(small_graph, stream):
+    """NON-rank-1 (weighted) laplacians: the resident rebuild must ship
+    per-edge values (stream mode: in tile order alongside the coords)
+    and match the value-shipping host pack exactly."""
+    import scipy.sparse as sp
+    lap = build_laplacian(small_graph.adj_full, "graphsage")
+    rng0 = np.random.default_rng(3)
+    lap = lap.copy()
+    lap.data = (lap.data * rng0.uniform(0.5, 2.0, len(lap.data))
+                ).astype(np.float32)
+    prob = compute_sample_prob(lap, small_graph.train_nodes, 2)
+    spec = HotSpec.from_sample_prob(prob, 256)
+    dense, dense_t = build_hot_dense(lap, spec, np.float32)
+    kw = dict(batch_size=64, samp_num=128, orders=(1, 1),
+              num_nodes=small_graph.adj_full.shape[0],
+              num_classes=small_graph.num_classes, hot_spec=spec,
+              compress=False, resident_ship_cold=True,
+              resident_val_free=False, resident_stream_tiles=stream)
+    cfg_hot = SamplerConfig(adj_format="hot", **kw)
+    cfg_res = SamplerConfig(adj_format="resident", **kw)
+    host = build_resident_graph(lap, spec, dense, dense_t)
+    assert host.pop("val_free") is False
+    n, k = host.pop("n"), host.pop("k")
+    ct = host.pop("col_trivial")
+    g = ResidentGraph(**{f: jnp.asarray(v) for f, v in host.items()},
+                      n=n, k=k, col_trivial=ct)
+    tgt = small_graph.train_nodes[:64]
+    mb_hot = ladies_sample(cfg_hot, 5, tgt, lap, small_graph.labels)
+    mb_res = ladies_sample(cfg_res, 5, tgt, lap, small_graph.labels)
+    if stream:
+        assert mb_res.adjs[-1].es_vals is not None
+        assert mb_res.adjs[-1].vals is None
+    adjs_host = bind_dense(mb_hot.adjs, jnp.asarray(dense),
+                           jnp.asarray(dense_t))
+    adjs_dev = materialize_adjs(
+        g, list(mb_res.adjs),
+        [jnp.asarray(s) for s in mb_res.sampled_nodes],
+        jnp.asarray(mb_res.input_nodes))
+    rng = np.random.default_rng(0)
+    for l, (ah, ad) in enumerate(zip(adjs_host, adjs_dev)):
+        if ah is None:
+            continue
+        x = jnp.asarray(rng.normal(size=(ah.ncols, 8)).astype(np.float32))
+        gy = jnp.asarray(rng.normal(size=(ah.nrows, 8)).astype(np.float32))
+        np.testing.assert_allclose(np.asarray(spmm(ad, x)),
+                                   np.asarray(spmm(ah, x)),
+                                   rtol=1e-5, atol=1e-5,
+                                   err_msg=f"layer {l} fwd")
+        np.testing.assert_allclose(np.asarray(spmm_transpose(ad, gy)),
+                                   np.asarray(spmm_transpose(ah, gy)),
+                                   rtol=1e-5, atol=1e-5,
+                                   err_msg=f"layer {l} bwd")
