@@ -65,12 +65,14 @@ from flax import struct
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-# edges per coord row (the lane width) and coord rows per block view.
-# An entry's edges live in [off, off + cnt); the two consecutive block
-# views cover rows [b*BLK_ROWS, (b+2)*BLK_ROWS) with b = off's block,
-# so ecap <= BLK_ROWS * EC keeps every entry inside the pair.
-EC = 128
-BLK_ROWS = 16
+# edges per coord row and coord rows per block view. An entry's edges
+# live in [off, off + cnt); the two consecutive block views cover rows
+# [b*BLK_ROWS, (b+2)*BLK_ROWS) with b = off's block, so
+# ecap <= BLK_ROWS * EC keeps every entry inside the pair. EC=256
+# (two native lane rows) halves the w_body iterations per entry vs 128
+# — the per-entry cost is select/compare/grid-bound, not matmul-bound.
+EC = 256
+BLK_ROWS = 8
 
 
 def _round_up(x: int, m: int) -> int:
