@@ -37,6 +37,7 @@ All diagnostics go to stderr; stdout carries exactly the one JSON line.
 from __future__ import annotations
 
 import json
+import os
 import sys
 import time
 
@@ -51,8 +52,7 @@ MXU_FLOPS = 197e12  # TPU v5e bf16 peak
 # deployed CLI path runs K=32768 bf16 (RESULTS.md hot-block sweep); the
 # bench cache stores the hot COO at K_MAX so any K <= K_MAX slices out
 # as the leading principal block (hot_order is sample-prob-descending).
-K_HOT = int(__import__("os").environ.get("GNN_TPU_BENCH_HOT_K",
-                                         "32768"))
+K_HOT = int(os.environ.get("GNN_TPU_BENCH_HOT_K", "32768"))
 K_MAX = 49152
 
 

@@ -1047,9 +1047,13 @@ class Trainer:
                 t_bwd += timeit(make_probe(l, True), g,
                                 self.agg_state, last_batch)
         else:
+            from gnn_tpu.ops.sparse import PatternAdj
             adjs = prepare_adjs(one, self.agg_state)
             for l, adj in enumerate(adjs):
-                if adj is None:
+                if adj is None or isinstance(adj, PatternAdj):
+                    # pattern layers (GAT) have no standalone spmm to
+                    # time — their aggregation weights are computed
+                    # inside the model from q.k scores
                     continue
                 w = widths[l] if l < len(widths) else widths[-1]
                 x = jnp.asarray(rng.normal(size=(adj.ncols, w)).astype(

@@ -247,3 +247,30 @@ def test_gat_pattern_transport_matches_coo(small_graph):
     # the pattern payload drops the values AND the int16 row ids in
     # favor of per-row counts: well under half the compressed COO bytes
     assert payload["pattern"] < payload["coo"] / 2
+
+
+def test_gat_op_timing_skips_pattern_layers(small_graph):
+    """--op_timing with GAT's pattern transport must not crash (pattern
+    layers have no standalone spmm op; buckets come back NaN-free for
+    comm, NaN or 0 for spmm is fine)."""
+    from gnn_tpu.models.gnn import build_model
+    from gnn_tpu.parallel.mesh import make_mesh
+    from gnn_tpu.sampling.ladies import SamplerConfig
+    from gnn_tpu.sampling.pipeline import BatchPipeline
+    from gnn_tpu.train.trainer import Trainer
+    from gnn_tpu.utils.normalize import build_laplacian
+
+    lap = build_laplacian(small_graph.adj_full, "gcn")
+    cfg = SamplerConfig(batch_size=64, samp_num=128, orders=(1, 1),
+                        num_nodes=small_graph.adj_full.shape[0],
+                        num_classes=small_graph.num_classes,
+                        adj_format="pattern")
+    pipe = BatchPipeline(cfg, lap, small_graph.labels, world_size=2,
+                         pool_num=2)
+    net = build_model("gat", nhid=16, orders=(1, 1),
+                      num_classes=small_graph.num_classes)
+    tr = Trainer(net, pipe, small_graph.feats, mesh=make_mesh(2),
+                 lr=0.01, sigmoid_loss=False, seed=7)
+    tr.train_epoch(small_graph.train_nodes, epoch=0)
+    fwd, bwd, comm = tr.measure_op_buckets()
+    assert np.isfinite(comm)
