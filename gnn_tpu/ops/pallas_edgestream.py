@@ -300,11 +300,18 @@ def repad_tiles(coords: np.ndarray, blk_rc: np.ndarray, off: np.ndarray,
 def _edge_stream_kernel(ord_ref, rc_ref, offcnt_ref, ca_ref, cb_ref,
                         *rest, bm: int, bk: int, ecap: int,
                         transpose: bool, shift: int, has_vals: bool):
+    """The rank-1 factors do NOT enter the kernel: the caller folds
+    ``nf`` into x and ``rv`` into the output (y = rv . (A01 @ (nf . x))
+    — exact, since the factors are diagonal scalings), so the one-hot
+    operands here are pure 0/1 casts. That removes two [b, EC]
+    broadcast-multiplies per w iteration — the VPU one-hot builds are
+    the kernel's dominant non-matmul cost (measured: bare grid harness
+    is ~0.28 us/entry, A@x matmul 0.4 us, the rest is mask building)."""
     if has_vals:
-        va_ref, vb_ref, x_ref, rv_ref, nf_ref, out_ref = rest
+        va_ref, vb_ref, x_ref, out_ref = rest
     else:
         va_ref = vb_ref = None
-        x_ref, rv_ref, nf_ref, out_ref = rest
+        x_ref, out_ref = rest
     j = pl.program_id(1)
 
     def ent(i):
@@ -330,11 +337,7 @@ def _edge_stream_kernel(ord_ref, rc_ref, offcnt_ref, ca_ref, cb_ref,
     cnt = offcnt_ref[1, ent(j)]
     base_edge = (off // (BLK_ROWS * EC)) * (BLK_ROWS * EC)
 
-    # operands in the ARRAYS' dtype (bf16 on TPU: single-pass MXU
-    # matmuls, 3x the f32 throughput — same precision class as the
-    # resident hot block; f32 accumulate throughout)
-    rvt = rv_ref[pl.ds(rt * bm, bm), :]                  # [bm, 1]
-    nft = nf_ref[pl.ds(ct * bk, bk), :]                  # [bk, 1]
+    dt = x_ref.dtype
     io_r = jax.lax.broadcasted_iota(jnp.int32, (bm, EC), 0)
     io_c = jax.lax.broadcasted_iota(jnp.int32, (bk, EC), 0)
     io_e = jax.lax.broadcasted_iota(jnp.int32, (1, EC), 1)
@@ -354,17 +357,17 @@ def _edge_stream_kernel(ord_ref, rc_ref, offcnt_ref, ca_ref, cb_ref,
         lr = jnp.where(valid, (cw >> shift) & ((1 << (16 - shift)) - 1),
                        bm)                               # [1, EC]
         lc = jnp.where(valid, cw & ((1 << shift) - 1), bk)
-        # one-hot operands with the rank-1 value factors folded in
-        # (mask-multiply, not select: Mosaic cannot relayout an i1
+        # pure 0/1 one-hot operands (values live outside the kernel;
+        # mask-multiply/cast, not select: Mosaic cannot relayout an i1
         # select against sublane-broadcast bf16 operands)
-        R = (io_r == lr).astype(rvt.dtype) * rvt         # [bm, EC]
+        R = (io_r == lr).astype(dt)                      # [bm, EC]
         if has_vals:
-            # per-edge values fold into the row one-hot too
+            # per-edge values fold into the row one-hot
             vaw = va_ref[pl.ds(wa, 1), :]
             vbw = vb_ref[pl.ds(wb, 1), :]
             vw = jnp.where(w < BLK_ROWS, vaw, vbw)       # [1, EC]
-            R = R * vw.astype(R.dtype)
-        C = (io_c == lc).astype(nft.dtype) * nft         # [bk, EC]
+            R = R * vw.astype(dt)
+        C = (io_c == lc).astype(dt)                      # [bk, EC]
         if transpose:
             d = jax.lax.dot_general(
                 C, R, dimension_numbers=(((1,), (1,)), ((), ())),
@@ -426,8 +429,14 @@ def edge_stream_spmm(tiles: EdgeTiles, x: jnp.ndarray,
     out_dtype = jnp.float32
     if not interpret and jax.default_backend() == "tpu":
         x = x.astype(jnp.bfloat16)
-        rv = rv.astype(jnp.bfloat16)
-        nf = nf.astype(jnp.bfloat16)
+    # the rank-1 factors are diagonal scalings, so they fold OUTSIDE
+    # the kernel (y = rv . (A01 @ (nf . x)); swapped for the
+    # transpose) — the kernel's one-hots stay pure 0/1, removing two
+    # [b, EC] broadcast-multiplies per iteration (the dominant VPU
+    # cost; the fused XLA elementwise scalings here are ~0.05 ms)
+    in_fac = (rv if transpose else nf).astype(x.dtype)
+    out_fac = jnp.asarray(nf if transpose else rv, jnp.float32)
+    x = x * in_fac[:, None]
     if f_tile == 0:
         budget = 72 * 1024 * 1024 // max(C_ * x.dtype.itemsize, 1)
         f_tile = min(_round_up(F, 128), max(128, (budget // 128) * 128))
@@ -468,8 +477,6 @@ def edge_stream_spmm(tiles: EdgeTiles, x: jnp.ndarray,
     in_specs += [
         pl.BlockSpec((C_, f_tile),
                      lambda f, j, o, r, oc: (0, f)),  # x resident
-        pl.BlockSpec(memory_space=pltpu.VMEM),        # rv [nrows, 1]
-        pl.BlockSpec(memory_space=pltpu.VMEM),        # nf [ncols, 1]
     ]
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,   # ord, blk_rc, off/cnt
@@ -496,4 +503,4 @@ def edge_stream_spmm(tiles: EdgeTiles, x: jnp.ndarray,
     args = [ord_arr, tiles.blk_rc, tiles.off, c32, c32]
     if has_vals:
         args += [tiles.vals, tiles.vals]
-    return call(*args, x, rv.reshape(-1, 1), nf.reshape(-1, 1))
+    return call(*args, x) * out_fac[:, None]
