@@ -58,17 +58,13 @@ K_MAX = 49152
 
 def _generate_cache(path):
     import numpy as np
-    from gnn_tpu.data.synthetic import make_powerlaw_graph
-    from gnn_tpu.placement.engine import compute_sample_prob
+    from benchmarks.canonical_graph import canonical_graph_and_prob
     from gnn_tpu.sampling.ladies import SamplerConfig, ladies_sample
-    from gnn_tpu.utils.normalize import build_laplacian
 
-    n_nodes, avg_deg = 232965, 100
     log("generating Reddit-scale synthetic graph...")
-    g = make_powerlaw_graph(n_nodes, avg_deg, 8, 41, seed=0)
-    lap = build_laplacian(g.adj_full, "graphsage")
+    g, lap, prob = canonical_graph_and_prob(3)
     cfg = SamplerConfig(batch_size=512, samp_num=8192, orders=(1, 1, 1),
-                        num_nodes=n_nodes, num_classes=41,
+                        num_nodes=lap.shape[0], num_classes=41,
                         compress=False)
     log("sampling LADIES minibatch (samp 8192, batch 512, 3 layers)...")
     mb = ladies_sample(cfg, 0, g.train_nodes[:512], lap, g.labels)
@@ -103,7 +99,6 @@ def _generate_cache(path):
             f"prev{i}": prev, f"after{i}": after,
             f"normfact{i}": nf.astype(np.float32)})
         prev_nodes = prev
-    prob = compute_sample_prob(lap, g.train_nodes, 3)
     hot_order = np.argsort(-prob, kind="stable")[:K_MAX].astype(np.int64)
     sub = lap[hot_order, :][:, hot_order].tocoo()
     payload.update({"sample_prob_n": lap.shape[0], "hot_order": hot_order,
@@ -122,8 +117,6 @@ def _load_hot_cache(here, z):
     hot block at K=16384 only; rather than regenerate the whole
     minibatch, the K_MAX slice lives in its own file (built once from
     the deterministic graph)."""
-    import os
-
     import numpy as np
 
     if len(z["hot_order"]) >= K_MAX:  # freshly generated v3 cache
@@ -132,14 +125,10 @@ def _load_hot_cache(here, z):
     if os.path.exists(side):
         s = np.load(side)
         return s["hot_order"], s["rows"], s["cols"], s["vals"]
-    from gnn_tpu.data.synthetic import make_powerlaw_graph
-    from gnn_tpu.placement.engine import compute_sample_prob
-    from gnn_tpu.utils.normalize import build_laplacian
+    from benchmarks.canonical_graph import canonical_graph_and_prob
 
     log(f"building hot COO at K_MAX={K_MAX} (one-time)...")
-    g = make_powerlaw_graph(232965, 100, 8, 41, seed=0)
-    lap = build_laplacian(g.adj_full, "graphsage")
-    prob = compute_sample_prob(lap, g.train_nodes, 3)
+    g, lap, prob = canonical_graph_and_prob(3)
     hot_order = np.argsort(-prob, kind="stable")[:K_MAX].astype(np.int64)
     sub = lap[hot_order, :][:, hot_order].tocoo()
     with open(side + ".tmp", "wb") as f:
@@ -300,7 +289,8 @@ def main():
             # measured 1.9x fwd / 4.2x bwd over segsum (128x256 was
             # 1.5x/3.4x, 128x128 1.0x/2.3x) — bigger tiles amortize the
             # per-entry one-hot build and grid overhead
-            es_bm, es_bk, es_ecap = 256, 256, 256
+            from gnn_tpu.ops.pallas_edgestream import ECAP as es_ecap
+            es_bm, es_bk = 256, 256
             tiles = jax.tree_util.tree_map(
                 jnp.asarray,
                 pack_edge_tiles(cr.astype(np.int64), cc.astype(np.int64),

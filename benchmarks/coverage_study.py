@@ -17,9 +17,7 @@ sys.path.insert(0, "/root/repo")
 
 
 def main():
-    from gnn_tpu.data.synthetic import make_powerlaw_graph
-    from gnn_tpu.placement.engine import compute_sample_prob
-    from gnn_tpu.utils.normalize import build_laplacian
+    from benchmarks.canonical_graph import canonical_rank
 
     here = os.path.dirname(os.path.abspath(__file__))
     z = np.load(os.path.join(here, "..", "bench_cache",
@@ -28,12 +26,7 @@ def main():
 
     print("regenerating graph + sample prob (deterministic)...",
           flush=True)
-    g = make_powerlaw_graph(232965, 100, 8, 41, seed=0)
-    lap = build_laplacian(g.adj_full, "graphsage")
-    prob = compute_sample_prob(lap, g.train_nodes, 3)
-    rank = np.empty(len(prob), np.int64)
-    order = np.argsort(-prob, kind="stable")
-    rank[order] = np.arange(len(prob))
+    rank = canonical_rank(3)
 
     ks = [8192, 16384, 32768, 49152, 65536, 98304]
     for li in range(n_layers):

@@ -6,8 +6,9 @@ cost of the occupied tiles, independent of cold count).
 
 Run ALONE on the chip (one TPU process rule). Reads the bench cache;
 reports per-layer fwd/bwd times for both cold formulations at a given
-hot K (GNN_TPU_PROBE_K, default 16384 = what the bench's hot candidate
-uses; ranks come from the full sample-prob ordering recomputed on the
+hot K (GNN_TPU_PROBE_K, default 16384; bench.py's deployed K_HOT default
+is 32768 — pass GNN_TPU_PROBE_K=32768 to match it; ranks come from
+the full sample-prob ordering recomputed on the
 host, cached next to the bench cache)."""
 import os
 import sys
@@ -47,16 +48,9 @@ def main():
     if os.path.exists(rank_path):
         rank = np.load(rank_path)
     else:
-        from gnn_tpu.data.synthetic import make_powerlaw_graph
-        from gnn_tpu.placement.engine import compute_sample_prob
-        from gnn_tpu.utils.normalize import build_laplacian
+        from benchmarks.canonical_graph import canonical_rank
         log("recomputing sample-prob ranking (one-time)...")
-        g = make_powerlaw_graph(232965, 100, 8, 41, seed=0)
-        lap = build_laplacian(g.adj_full, "graphsage")
-        prob = compute_sample_prob(lap, g.train_nodes, 3)
-        order = np.argsort(-prob, kind="stable")
-        rank = np.empty(len(prob), np.int64)
-        rank[order] = np.arange(len(prob))
+        rank = canonical_rank(3)
         np.save(rank_path, rank)
 
     K = int(os.environ.get("GNN_TPU_PROBE_K", "16384"))

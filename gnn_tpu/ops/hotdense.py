@@ -194,11 +194,11 @@ class HotDenseAdj:
     # instead of the segment-sum — the packed coords replace
     # rows/cols/vals entirely (those ship as zero-length arrays).
     # Measured on-chip at canonical shapes: 1.5x fwd / 3.4x bwd.
-    es_coords: Optional[jnp.ndarray] = None  # int16 [n_cr, 128]
+    es_coords: Optional[jnp.ndarray] = None  # int16 [n_cr, EC=256]
     es_rc: Optional[jnp.ndarray] = None      # int32 [nb]
     es_off: Optional[jnp.ndarray] = None     # int32 [2, nb+1]
     es_ord: Optional[jnp.ndarray] = None     # int32 [nb]
-    es_vals: Optional[jnp.ndarray] = None    # bf16/f32 [n_cr, 128]
+    es_vals: Optional[jnp.ndarray] = None    # bf16/f32 [n_cr, EC=256]
     es_rv: Optional[jnp.ndarray] = None      # f32 [nrows] row factors
     es_nf: Optional[jnp.ndarray] = None      # f32 [ncols] col factors
     es_bm: int = struct.field(pytree_node=False, default=128)
@@ -400,11 +400,12 @@ def _cold_edge_stream(adj: HotDenseAdj, u: jnp.ndarray,
     """Cold residual via the edge-stream tile-densify kernel (one packed
     coord buffer serves both directions). Interpreter mode off-TPU so
     the CPU test mesh runs the identical math."""
-    from gnn_tpu.ops.pallas_edgestream import EdgeTiles, edge_stream_spmm
+    from gnn_tpu.ops.pallas_edgestream import (ECAP, EdgeTiles,
+                                               edge_stream_spmm)
     tiles = EdgeTiles(coords=adj.es_coords, blk_rc=adj.es_rc,
                       off=adj.es_off, t_order=adj.es_ord,
                       nrows=adj.nrows, ncols=adj.ncols,
-                      bm=adj.es_bm, bk=adj.es_bk, ecap=256,
+                      bm=adj.es_bm, bk=adj.es_bk, ecap=ECAP,
                       vals=adj.es_vals)
     interp = jax.default_backend() != "tpu"
     return edge_stream_spmm(tiles, u, adj.es_rv, adj.es_nf,

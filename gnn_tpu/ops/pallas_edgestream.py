@@ -73,6 +73,10 @@ from jax.experimental.pallas import tpu as pltpu
 # — the per-entry cost is select/compare/grid-bound, not matmul-bound.
 EC = 256
 BLK_ROWS = 8
+# deployed per-entry edge cap (heavier tiles split across entries).
+# ONE constant so pack_resident_ref, the HotDenseAdj rebuild and
+# bench.py can never disagree; must stay <= BLK_ROWS * EC.
+ECAP = 256
 
 
 def _round_up(x: int, m: int) -> int:

@@ -208,13 +208,13 @@ class ResidentLayerRef:
     # as tile-grouped packed int16 coords + entry tables and aggregates
     # through the Pallas tile-densify kernel
     # (gnn_tpu.ops.pallas_edgestream) instead of the segment-sum
-    es_coords: Optional[jnp.ndarray] = None  # int16 [n_cr, 128]
+    es_coords: Optional[jnp.ndarray] = None  # int16 [n_cr, EC=256]
     es_rc: Optional[jnp.ndarray] = None      # int32 [nb]
     es_off: Optional[jnp.ndarray] = None     # int32 [2, nb+1]
     es_ord: Optional[jnp.ndarray] = None     # int32 [nb]
     # per-edge values in tile order (weighted / non-rank-1 graphs:
     # the full lap_val * normfact weight ships; None when val-free)
-    es_vals: Optional[jnp.ndarray] = None    # bf16/f32 [n_cr, 128]
+    es_vals: Optional[jnp.ndarray] = None    # bf16/f32 [n_cr, EC=256]
     nrows: int = struct.field(pytree_node=False, default=0)
     ncols: int = struct.field(pytree_node=False, default=0)
     e_cap: int = struct.field(pytree_node=False, default=0)
@@ -272,7 +272,8 @@ def pack_resident_ref(spec: HotSpec, lap_indptr, prev, after, normfact,
         # free (the transpose visit order reuses the same buffer).
         # Val-free (rank-1) graphs ship ONLY coords; weighted graphs
         # additionally ship the full per-edge weights in tile order.
-        from gnn_tpu.ops.pallas_edgestream import (EC, _build_tiles,
+        from gnn_tpu.ops.pallas_edgestream import (EC, ECAP,
+                                                   _build_tiles,
                                                    pack_edge_tiles,
                                                    repad_tiles,
                                                    tile_dims)
@@ -289,14 +290,15 @@ def pack_resident_ref(spec: HotSpec, lap_indptr, prev, after, normfact,
             occ = np.flatnonzero(tile_cnt)
             t = _build_tiles(coords_s, occ.astype(np.int64),
                              tile_cnt[occ].astype(np.int64), r_cap,
-                             c_cap, es_bm, es_bk, 256, r_cap // es_bm,
+                             c_cap, es_bm, es_bk, ECAP, r_cap // es_bm,
                              c_cap // es_bk, None, e_pad)
         else:
             e_pad = bucket_size(max(n_cold, 1))
             assert e_pad % EC == 0, e_pad
             t = pack_edge_tiles(
                 np.asarray(cr, np.int32), np.asarray(cc, np.int32),
-                r_cap, c_cap, bm=es_bm, bk=es_bk, ecap=256, e_pad=e_pad,
+                r_cap, c_cap, bm=es_bm, bk=es_bk, ecap=ECAP,
+                e_pad=e_pad,
                 vals=None if val_free else np.asarray(cv, np.float32),
                 val_dtype=jnp.bfloat16 if compress else np.float32)
         nb_pad = bucket_size(t.blk_rc.shape[0], 512)

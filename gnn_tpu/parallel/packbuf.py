@@ -101,16 +101,25 @@ class BufferPool:
     On this host first-touch page faults cost ~70 us/page — writing a
     fresh ``np.empty`` of 44 MB costs ~3 s (measured; a warmed buffer
     takes 25 ms). Allocating the pack output per step would therefore
-    cost more than the transfer it feeds. The pool keeps up to two
-    buffers per size (double buffering: the previous step's buffer is
-    never rewritten until its transfer has had a full step to
-    complete) and evicts least-recently-used sizes beyond a total cap.
+    cost more than the transfer it feeds. The pool keeps up to
+    ``depth`` buffers per size and evicts least-recently-used sizes
+    beyond a total cap.
+
+    ``depth`` sizing: ``jax.device_put`` may return before the H2D
+    transfer completes (PJRT immutable-until-transfer semantics), so a
+    buffer must not be rewritten while its transfer can still be in
+    flight. With a transfer lookahead of L prepped groups outstanding,
+    up to L+1 buffers can be awaiting/undergoing transfer while the
+    next pack wants a fresh one — callers pass ``depth >= L + 2``
+    (the Trainer does). The default 2 is the plain serial double
+    buffer.
     """
 
-    def __init__(self, max_buffers: int = 12):
+    def __init__(self, max_buffers: int = 12, depth: int = 2):
         self._pools = {}          # size key -> {"bufs": [...], "i": int}
         self._order = []          # LRU of size keys
-        self.max_buffers = max_buffers
+        self.depth = max(int(depth), 2)
+        self.max_buffers = max(max_buffers, 3 * self.depth)
 
     def get(self, nrows: int, nbytes: int, tag=None) -> np.ndarray:
         key = (nrows, nbytes, tag)
@@ -121,7 +130,7 @@ class BufferPool:
         if key in self._order:
             self._order.remove(key)
         self._order.append(key)
-        if len(pool["bufs"]) < 2:
+        if len(pool["bufs"]) < self.depth:
             while (sum(len(p["bufs"]) for p in self._pools.values())
                    >= self.max_buffers and len(self._order) > 1):
                 old = self._order.pop(0)

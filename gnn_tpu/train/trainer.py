@@ -568,12 +568,16 @@ class Trainer:
         # transfer lookahead (grouped dispatch): pack+device_put of the
         # next N groups run on ONE dedicated thread while the current
         # group dispatches and the sampler refills — H2D overlaps
-        # sampling instead of adding to it. The single prep thread
-        # serializes pack+put, so the BufferPool's double buffering
-        # still guarantees the in-flight group's staging buffer is
-        # never rewritten. GNN_TPU_LOOKAHEAD=0 restores the serial loop.
+        # sampling instead of adding to it. The BufferPool is sized
+        # lookahead+2 deep (see its docstring): device_put may return
+        # before the transfer completes, so up to lookahead+1 staging
+        # buffers can be in flight while the next pack wants a fresh
+        # one. GNN_TPU_LOOKAHEAD=0 restores the serial loop.
         self._transfer_lookahead = int(
             _os2.environ.get("GNN_TPU_LOOKAHEAD", "2"))
+        if self._buf_pool is not None:
+            from gnn_tpu.parallel.packbuf import BufferPool as _BP
+            self._buf_pool = _BP(depth=self._transfer_lookahead + 2)
         self._prep_exec = None
         if self._transfer_lookahead > 0:
             from concurrent.futures import ThreadPoolExecutor
@@ -631,6 +635,23 @@ class Trainer:
         self.best_val = -1.0
         self.best_params = None
         self.history: List[EpochMetrics] = []
+
+    def close(self):
+        """Release the trainer's worker threads (idempotent; also runs
+        at GC so sessions that build many Trainers don't accumulate
+        parked prep/transfer threads)."""
+        if getattr(self, "_prep_exec", None) is not None:
+            self._prep_exec.shutdown(wait=False)
+            self._prep_exec = None
+        if getattr(self, "_xfer", None) is not None:
+            self._xfer.shutdown(wait=False)
+            self._xfer = None
+
+    def __del__(self):
+        try:
+            self.close()
+        except Exception:
+            pass
 
     def _init_params(self, batch: DeviceBatch):
         one = jax.tree_util.tree_map(lambda a: a[0], batch)
