@@ -463,3 +463,32 @@ def test_weighted_graph_resident_matches_host_pack(small_graph, stream):
                                    np.asarray(spmm_transpose(ah, gy)),
                                    rtol=1e-5, atol=1e-5,
                                    err_msg=f"layer {l} bwd")
+
+
+def test_subgraph_sampler_stream_tiles(small_graph):
+    """The subgraph sampler's square layers ride the stream-tiles
+    payload too (no native direct-to-tiles there — the two-step pack
+    path must kick in) and match the host pack."""
+    from gnn_tpu.sampling.ladies import subgraph_sample
+    lap, spec, dense, dense_t, cfg_hot, cfg_res, g = _setup(
+        small_graph, sampler="subgraph", ship_cold=True, val_free=True,
+        stream_tiles=True)
+    tgt = small_graph.train_nodes[:64]
+    mb_hot = subgraph_sample(cfg_hot, 9, tgt, lap, small_graph.labels)
+    mb_res = subgraph_sample(cfg_res, 9, tgt, lap, small_graph.labels)
+    assert mb_res.adjs[-1].es_rc is not None
+    adjs_host = bind_dense(mb_hot.adjs, jnp.asarray(dense),
+                           jnp.asarray(dense_t))
+    adjs_dev = materialize_adjs(
+        g, list(mb_res.adjs),
+        [jnp.asarray(s) for s in mb_res.sampled_nodes],
+        jnp.asarray(mb_res.input_nodes))
+    rng = np.random.default_rng(1)
+    for l, (ah, ad) in enumerate(zip(adjs_host, adjs_dev)):
+        if ah is None:
+            continue
+        x = jnp.asarray(rng.normal(size=(ah.ncols, 4)).astype(np.float32))
+        np.testing.assert_allclose(np.asarray(spmm(ad, x)),
+                                   np.asarray(spmm(ah, x)),
+                                   rtol=1e-5, atol=1e-5,
+                                   err_msg=f"layer {l}")
