@@ -85,3 +85,57 @@ def test_pack_coo_bucket_fuzz(seed):
     y = np.asarray(sops.spmm(adj, jnp.asarray(x)))
     np.testing.assert_allclose(y, _dense_of(rows, cols, vals, (R, C)) @ x,
                                rtol=1e-4, atol=1e-4)
+
+
+@pytest.mark.parametrize("seed", range(8))
+def test_pack_edge_tiles_fuzz(seed):
+    """Edge-stream packing across random shapes/tile sizes: the native
+    counting sort must be bit-identical to the numpy argsort path, and
+    the interpreted kernel must reproduce the dense rank-1 (or
+    weighted) matrix in both directions."""
+    import jax
+    import jax.numpy as jnp
+    from gnn_tpu.ops.pallas_edgestream import (edge_stream_spmm,
+                                               pack_edge_tiles)
+    rng = np.random.RandomState(100 + seed)
+    bm = int(rng.choice([128, 256]))
+    bk = int(rng.choice([128, 256]))
+    n_rt = rng.randint(1, 5)
+    n_ct = rng.randint(1, 5)
+    R, C = n_rt * bm, n_ct * bk
+    nnz = rng.randint(0, max(R * C // 30, 2))
+    key = rng.choice(R * C, size=nnz, replace=False) if nnz else \
+        np.zeros(0, np.int64)
+    rows = np.sort(key) // C
+    cols = np.sort(key) % C
+    weighted = bool(rng.randint(2))
+    vals = (rng.rand(nnz).astype(np.float32) + 0.1) if weighted else None
+    ecap = int(rng.choice([64, 256]))
+    kw = dict(bm=bm, bk=bk, ecap=ecap, vals=vals, val_dtype=np.float32)
+    t_np = pack_edge_tiles(rows, cols, R, C, use_native=False, **kw)
+    t_nat = pack_edge_tiles(rows, cols, R, C, use_native=True, **kw)
+    for f in ("coords", "blk_rc", "off", "t_order", "vals"):
+        a, b = getattr(t_np, f), getattr(t_nat, f)
+        if a is None:
+            assert b is None
+            continue
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b),
+                                      err_msg=f)
+
+    rv = rng.rand(R).astype(np.float32) + 0.5
+    nf = rng.rand(C).astype(np.float32) + 0.5
+    dense = np.zeros((R, C), np.float32)
+    dense[rows, cols] = (vals if weighted else 1.0)
+    dense = dense * rv[:, None] * nf[None, :]
+    F = int(rng.choice([8, 128]))
+    x = rng.randn(C, F).astype(np.float32)
+    g = rng.randn(R, F).astype(np.float32)
+    tj = jax.tree_util.tree_map(
+        lambda a: jnp.asarray(a) if a is not None else None, t_nat)
+    y = np.asarray(edge_stream_spmm(tj, jnp.asarray(x), jnp.asarray(rv),
+                                    jnp.asarray(nf), interpret=True))
+    np.testing.assert_allclose(y, dense @ x, rtol=2e-4, atol=2e-4)
+    dx = np.asarray(edge_stream_spmm(tj, jnp.asarray(g), jnp.asarray(rv),
+                                     jnp.asarray(nf), transpose=True,
+                                     interpret=True))
+    np.testing.assert_allclose(dx, dense.T @ g, rtol=2e-4, atol=2e-4)
