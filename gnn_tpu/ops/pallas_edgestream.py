@@ -260,6 +260,173 @@ def _build_tiles(coords_s: np.ndarray, uniq: np.ndarray,
                      bm=bm, bk=bk, ecap=ecap, vals=vgrid)
 
 
+def segment_tiles(blk_rc: np.ndarray, off: np.ndarray,
+                  ns_pad: Optional[int] = None) -> np.ndarray:
+    """Group a tile set's entries into SEGMENTS for the segment-grid
+    kernel: one grid step per segment instead of per entry (the
+    per-entry grid harness cost — index maps, block bookkeeping, DMA
+    sync — measured ~0.3 us/step, a third of the kernel's non-matmul
+    time). A segment is a maximal run of consecutive entries that (a)
+    share one row-tile (they accumulate into one output block) and (b)
+    whose edges fit the kernel's fixed 2-block coord window
+    ``[base, base + 2*BLK_ROWS*EC)`` anchored at the first entry.
+    Zero-count entries (sentinels/pads, off may be 0) never force a
+    split — the kernel's cnt>0 guard makes them inert wherever they
+    land. Returns ``seg_ptr`` int32 [NS_pad + 1] (entry-index
+    boundaries; trailing padding segments are empty)."""
+    nb = blk_rc.shape[0]
+    win = BLK_ROWS * EC
+    rt = (blk_rc.astype(np.int64) >> 16)
+    o = off[0, :nb].astype(np.int64)
+    c = off[1, :nb].astype(np.int64)
+    starts = [0]
+    cur_base = (o[0] // win) if nb else 0
+    for j in range(1, nb):
+        if rt[j] != rt[starts[-1]]:
+            # ALWAYS split on a row-tile change — even for zero-count
+            # sentinels: an rt whose only entry is its sentinel must
+            # still get a segment, or its output block is never
+            # written (Pallas outputs are uninitialized until stored)
+            starts.append(j)
+            cur_base = o[j] // win
+        elif c[j] == 0:
+            continue          # inert within its rt; never forces a split
+        elif o[j] + c[j] > (cur_base + 2) * win:
+            starts.append(j)
+            cur_base = o[j] // win
+    ns = len(starts)
+    if ns_pad is None:
+        ns_pad = max(_round_up(ns, 8), 8)
+    if ns > ns_pad:
+        raise ValueError(f"{ns} segments > ns_pad {ns_pad}")
+    seg_ptr = np.full(ns_pad + 1, nb, np.int32)
+    seg_ptr[:ns] = starts
+    return seg_ptr
+
+
+def _edge_stream_seg_kernel(segp_ref, rc_ref, offcnt_ref, ca_ref,
+                            cb_ref, x_ref, out_ref, *, bm: int, bk: int,
+                            shift: int, nb: int):
+    """Segment-grid forward kernel (one grid step per row-tile-segment;
+    the transpose runs THIS kernel on a (cols, rows)-swapped pack).
+    Rank-1 factors are folded outside, per-edge values not yet
+    supported here (the deployed per-entry kernel covers those)."""
+    j = pl.program_id(1)
+    e_lo = segp_ref[j]
+    e_hi = segp_ref[j + 1]
+
+    def seg_tile(jj):
+        return rc_ref[jnp.minimum(segp_ref[jj], nb - 1)] >> 16
+
+    first = jnp.logical_or(j == 0,
+                           seg_tile(j) != seg_tile(jnp.maximum(j - 1, 0)))
+
+    @pl.when(first)
+    def _():
+        out_ref[:] = jnp.zeros_like(out_ref)
+
+    base_edge = (offcnt_ref[0, jnp.minimum(e_lo, nb - 1)]
+                 // (BLK_ROWS * EC)) * (BLK_ROWS * EC)
+    dt = x_ref.dtype
+    io_r = jax.lax.broadcasted_iota(jnp.int32, (bm, EC), 0)
+    io_c = jax.lax.broadcasted_iota(jnp.int32, (bk, EC), 0)
+    io_e = jax.lax.broadcasted_iota(jnp.int32, (1, EC), 1)
+
+    def ent_body(e, carry):
+        ct = rc_ref[e] & 0xFFFF
+        off = offcnt_ref[0, e]
+        cnt = offcnt_ref[1, e]
+
+        def w_body(w, acc):
+            wa = jnp.minimum(w, BLK_ROWS - 1)
+            wb = jnp.clip(w - BLK_ROWS, 0, BLK_ROWS - 1)
+            ca = ca_ref[pl.ds(wa, 1), :]
+            cb = cb_ref[pl.ds(wb, 1), :]
+            cw = jnp.where(w < BLK_ROWS, ca, cb)
+            eidx = base_edge + w * EC + io_e
+            valid = jnp.logical_and(eidx >= off, eidx < off + cnt)
+            lr = jnp.where(valid,
+                           (cw >> shift) & ((1 << (16 - shift)) - 1), bm)
+            lc = jnp.where(valid, cw & ((1 << shift) - 1), bk)
+            R = (io_r == lr).astype(dt)
+            C = (io_c == lc).astype(dt)
+            return acc + jax.lax.dot_general(
+                R, C, dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32)
+
+        d0 = off - base_edge
+        w_lo = d0 // EC
+        w_hi = (d0 + cnt + EC - 1) // EC
+        a = jax.lax.fori_loop(w_lo, jnp.where(cnt > 0, w_hi, w_lo),
+                              w_body, jnp.zeros((bm, bk), jnp.float32))
+        start = pl.multiple_of(ct * bk, bk)
+        xb = x_ref[pl.ds(start, bk), :]
+        out_ref[:] += jnp.dot(a.astype(dt), xb,
+                              preferred_element_type=jnp.float32
+                              ).astype(out_ref.dtype)
+        return carry
+
+    jax.lax.fori_loop(e_lo, e_hi, ent_body, 0)
+
+
+@functools.partial(jax.jit, static_argnames=("f_tile", "interpret"))
+def edge_stream_spmm_seg(tiles: EdgeTiles, seg_ptr: jnp.ndarray,
+                         x: jnp.ndarray, rv: jnp.ndarray,
+                         nf: jnp.ndarray, f_tile: int = 0,
+                         interpret: bool = False) -> jnp.ndarray:
+    """Forward ``y = A @ x`` on the SEGMENT grid (see `segment_tiles`).
+    For the transpose, pack a second EdgeTiles with (rows, cols)
+    swapped and call this with (nf, rv). Rank-1 values only."""
+    assert tiles.vals is None, "per-edge values: use edge_stream_spmm"
+    bm, bk = tiles.bm, tiles.bk
+    nb = tiles.blk_rc.shape[0]
+    ns = seg_ptr.shape[0] - 1
+    C_, F = x.shape
+    assert C_ == tiles.ncols, (C_, tiles.ncols)
+    out_dtype = jnp.float32
+    if not interpret and jax.default_backend() == "tpu":
+        x = x.astype(jnp.bfloat16)
+    x = x * nf.astype(x.dtype)[:, None]
+    out_fac = jnp.asarray(rv, jnp.float32)
+    if f_tile == 0:
+        budget = 72 * 1024 * 1024 // max(C_ * x.dtype.itemsize, 1)
+        f_tile = min(_round_up(F, 128), max(128, (budget // 128) * 128))
+    n_ft = pl.cdiv(F, f_tile)
+    kernel = functools.partial(_edge_stream_seg_kernel, bm=bm, bk=bk,
+                               shift=bk.bit_length() - 1, nb=nb)
+
+    def win_a(f, j, sp, r, oc):
+        return (oc[0, jnp.minimum(sp[j], nb - 1)] // (BLK_ROWS * EC), 0)
+
+    def win_b(f, j, sp, r, oc):
+        return (oc[0, jnp.minimum(sp[j], nb - 1)] // (BLK_ROWS * EC) + 1,
+                0)
+
+    def out_map(f, j, sp, r, oc):
+        return (r[jnp.minimum(sp[j], nb - 1)] >> 16, f)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,   # seg_ptr, blk_rc, off/cnt
+        grid=(n_ft, ns),
+        in_specs=[
+            pl.BlockSpec((BLK_ROWS, EC), win_a),
+            pl.BlockSpec((BLK_ROWS, EC), win_b),
+            pl.BlockSpec((C_, f_tile), lambda f, j, sp, r, oc: (0, f)),
+        ],
+        out_specs=pl.BlockSpec((bm, f_tile), out_map),
+    )
+    call = pl.pallas_call(
+        kernel, grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((tiles.nrows, F), out_dtype),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=110 * 1024 * 1024),
+        interpret=interpret,
+    )
+    c32 = tiles.coords.astype(jnp.int32)
+    y = call(seg_ptr, tiles.blk_rc, tiles.off, c32, c32, x)
+    return y * out_fac[:, None]
+
+
 def tile_dims(nrows_pad: int, ncols_pad: int):
     """The deployed (bm, bk) choice for a layer's padded caps: 256
     where the cap aligns (quarter the entry count; measured 1.9x/4.2x

@@ -145,3 +145,51 @@ def test_edge_stream_per_edge_values():
     y2 = _run(tiles, x, rv, nf)
     dense2 = dense * rv[:, None] * nf[None, :]
     np.testing.assert_allclose(y2, dense2 @ x, rtol=1e-4, atol=1e-4)
+
+
+@pytest.mark.parametrize("seed", range(4))
+def test_segment_kernel_matches_dense(seed):
+    """Segment-grid kernel (one grid step per row-tile segment) must
+    match the dense oracle; the transpose runs the SAME kernel on a
+    (cols, rows)-swapped pack with swapped factors."""
+    from gnn_tpu.ops.pallas_edgestream import (edge_stream_spmm_seg,
+                                               segment_tiles)
+    rng = np.random.RandomState(50 + seed)
+    bm = int(rng.choice([128, 256]))
+    bk = int(rng.choice([128, 256]))
+    n_rt = rng.randint(1, 5)
+    n_ct = rng.randint(1, 5)
+    nr, nc = n_rt * bm, n_ct * bk
+    nnz = rng.randint(0, max(nr * nc // 25, 2))
+    key = rng.choice(nr * nc, size=nnz, replace=False) if nnz else \
+        np.zeros(0, np.int64)
+    rows = np.sort(key) // nc
+    cols = np.sort(key) % nc
+    rv = rng.rand(nr).astype(np.float32) + 0.5
+    nf = rng.rand(nc).astype(np.float32) + 0.5
+    dense = np.zeros((nr, nc), np.float32)
+    dense[rows, cols] = rv[rows] * nf[cols]
+    f = int(rng.choice([8, 96]))
+    x = rng.randn(nc, f).astype(np.float32)
+    g = rng.randn(nr, f).astype(np.float32)
+
+    tiles = pack_edge_tiles(rows, cols, nr, nc, bm=bm, bk=bk)
+    segp = segment_tiles(np.asarray(tiles.blk_rc), np.asarray(tiles.off))
+    tj = jax.tree_util.tree_map(jnp.asarray, tiles)
+    with pltpu.force_tpu_interpret_mode():
+        y = np.asarray(edge_stream_spmm_seg(
+            tj, jnp.asarray(segp), jnp.asarray(x), jnp.asarray(rv),
+            jnp.asarray(nf), interpret=True))
+    np.testing.assert_allclose(y, dense @ x, rtol=1e-4, atol=1e-4)
+
+    # transpose: swapped pack, swapped factors
+    o = np.argsort(cols * nr + rows, kind="stable")
+    tiles_t = pack_edge_tiles(cols[o], rows[o], nc, nr, bm=bk, bk=bm)
+    segp_t = segment_tiles(np.asarray(tiles_t.blk_rc),
+                           np.asarray(tiles_t.off))
+    ttj = jax.tree_util.tree_map(jnp.asarray, tiles_t)
+    with pltpu.force_tpu_interpret_mode():
+        dx = np.asarray(edge_stream_spmm_seg(
+            ttj, jnp.asarray(segp_t), jnp.asarray(g), jnp.asarray(nf),
+            jnp.asarray(rv), interpret=True))
+    np.testing.assert_allclose(dx, dense.T @ g, rtol=1e-4, atol=1e-4)
