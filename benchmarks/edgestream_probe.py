@@ -123,6 +123,39 @@ def main():
         log(f"  edgestream:  fwd {tf2 * 1e3:7.3f} ms  bwd {tb2 * 1e3:7.3f} ms"
             f"  ({tf / max(tf2, 1e-9):.1f}x / {tb / max(tb2, 1e-9):.1f}x)")
 
+        # --- segment-grid kernel: one grid step per row-tile segment
+        # (fwd on the same pack; bwd = the FORWARD kernel on a second
+        # pack with (rows, cols) swapped — both directions rt-major)
+        from gnn_tpu.ops.pallas_edgestream import (edge_stream_spmm_seg,
+                                                   segment_tiles)
+        segp = jnp.asarray(segment_tiles(
+            np.asarray(tiles.blk_rc), np.asarray(tiles.off)))
+        tiles_t = jax.tree_util.tree_map(
+            jnp.asarray,
+            pack_edge_tiles(cc.astype(np.int64), cr.astype(np.int64),
+                            C, R, bm=bk, bk=bm, ecap=ecap))
+        segp_t = jnp.asarray(segment_tiles(
+            np.asarray(tiles_t.blk_rc), np.asarray(tiles_t.off)))
+        y_g = np.asarray(edge_stream_spmm_seg(tiles, segp, x, rvj, nfj))
+        errg = np.abs(y_g - y_s).max() / max(np.abs(y_s).max(), 1e-9)
+        dx_g = np.asarray(edge_stream_spmm_seg(tiles_t, segp_t, gy,
+                                               nfj, rvj))
+        errgt = np.abs(dx_g - dx_s).max() / max(np.abs(dx_s).max(), 1e-9)
+        log(f"  seg-grid:    segs={int(segp.shape[0]) - 1}/"
+            f"{int(segp_t.shape[0]) - 1}  rel err fwd {errg:.2e} "
+            f"bwd {errgt:.2e}")
+        tf3 = chain_time(
+            lambda u, t, sp, rv_, nf_: edge_stream_spmm_seg(
+                t, sp, u, rv_, nf_),
+            x, n=n_iter, args=(tiles, segp, rvj, nfj))
+        tb3 = chain_time(
+            lambda u, t, sp, rv_, nf_: edge_stream_spmm_seg(
+                t, sp, u, rv_, nf_),
+            gy, n=n_iter, args=(tiles_t, segp_t, nfj, rvj))
+        log(f"  seg-grid:    fwd {tf3 * 1e3:7.3f} ms  bwd {tb3 * 1e3:7.3f} ms"
+            f"  ({tf2 / max(tf3, 1e-9):.2f}x / {tb2 / max(tb3, 1e-9):.2f}x"
+            f" vs per-entry)")
+
 
 if __name__ == "__main__":
     main()

@@ -268,6 +268,13 @@ class BatchPipeline:
         self._seed = seed
         self._rng = np.random.default_rng(seed)
         self._epoch = 0
+        # cross-epoch prefetch (`_step_groups`): the first step-groups
+        # of epoch e+1, submitted while the trainer runs its val/eval/
+        # checkpoint tail (workers were idle there — measured 2-4 s of
+        # the canonical epoch). Epoch randomness is a pure function of
+        # (seed, epoch), so the primed batches are bit-identical to
+        # sampling them lazily; exact-replay resume is unaffected.
+        self._primed = None
         # tune native OpenMP width so pool x OMP ~= 2x cores (measured
         # optimum on this class of host; oversubscription collapses
         # throughput - see benchmarks/RESULTS.md)
@@ -331,15 +338,10 @@ class BatchPipeline:
             yield (regroup_minibatch(stack_minibatches(flat), group),
                    n_valid)
 
-    def _step_groups(self, target_nodes, rank_chunks, epoch,
-                     min_depth: int = 2):
-        """Prefetched per-step groups of ``world_size`` raw minibatches
-        (the shared engine behind `train_epoch` / `train_epoch_grouped`)."""
-        if epoch is not None:
-            self._epoch = epoch + 1
-            self._rng = np.random.default_rng((self._seed, epoch))
-        else:
-            self._epoch += 1
+    def _epoch_plan(self, target_nodes, rank_chunks, eid):
+        """Per-rank shuffled chunks + step count for internal epoch id
+        ``eid`` — a pure function of (eid, targets), shared by the lazy
+        path and the cross-epoch primer."""
         ws, bs = self.world_size, self.cfg.batch_size
         if rank_chunks is None:
             n = len(target_nodes)
@@ -347,45 +349,106 @@ class BatchPipeline:
                 spans = _rank_chunks(n, ws)
                 per_rank = [
                     target_nodes[s + np.random.default_rng(
-                        self._epoch * ws + r).permutation(e - s)]
+                        eid * ws + r).permutation(e - s)]
                     for r, (s, e) in enumerate(spans)]
             else:
                 # identical global shuffle on every rank, disjoint chunks
                 # (`sampler.py:177-179`)
-                perm = np.random.default_rng(self._epoch).permutation(n)
+                perm = np.random.default_rng(eid).permutation(n)
                 shuffled = target_nodes[perm]
                 spans = _rank_chunks(n, ws)
                 per_rank = [shuffled[s:e] for s, e in spans]
         else:
             per_rank = [
                 c[np.random.default_rng(
-                    self._epoch * ws + r).permutation(len(c))]
+                    eid * ws + r).permutation(len(c))]
                 for r, c in enumerate(rank_chunks)]
-
         num_steps = max(int(np.ceil(len(c) / bs)) for c in per_rank)
-        futures = []
-        emitted = 0
-        submitted = 0
+        return per_rank, num_steps
 
-        def submit_step(j):
-            group = []
-            for r in range(ws):
-                chunk = per_rank[r][j * bs:(j + 1) * bs]
-                if len(chunk) == 0:
-                    # rank exhausted before num_steps (uneven chunk sizes):
-                    # keep cycling its shuffled permutation rather than
-                    # reusing the first batch, so no example within the
-                    # rank is repeated before the whole chunk recurs
-                    # (the reference simply runs fewer batches on such
-                    # ranks, `sampler.py:170-175`; a static mesh needs a
-                    # batch per rank every step)
-                    nr = len(per_rank[r])
-                    idx = np.arange(j * bs, j * bs + bs) % max(nr, 1)
-                    chunk = per_rank[r][idx]
-                seed = int(self._rng.integers(2 ** 31 - 1))
-                group.append(self.pool.submit(self._sample_one, seed,
-                                              chunk, None, r))
-            return group
+    def _submit_step(self, per_rank, rng, j):
+        ws, bs = self.world_size, self.cfg.batch_size
+        group = []
+        for r in range(ws):
+            chunk = per_rank[r][j * bs:(j + 1) * bs]
+            if len(chunk) == 0:
+                # rank exhausted before num_steps (uneven chunk sizes):
+                # keep cycling its shuffled permutation rather than
+                # reusing the first batch, so no example within the
+                # rank is repeated before the whole chunk recurs
+                # (the reference simply runs fewer batches on such
+                # ranks, `sampler.py:170-175`; a static mesh needs a
+                # batch per rank every step)
+                nr = len(per_rank[r])
+                idx = np.arange(j * bs, j * bs + bs) % max(nr, 1)
+                chunk = per_rank[r][idx]
+            seed = int(rng.integers(2 ** 31 - 1))
+            group.append(self.pool.submit(self._sample_one, seed,
+                                          chunk, None, r))
+        return group
+
+    @staticmethod
+    def _same_targets(a, b):
+        if a is None or b is None:
+            return a is b
+        if isinstance(a, list) or isinstance(b, list):
+            return (isinstance(a, list) and isinstance(b, list)
+                    and len(a) == len(b)
+                    and all(np.array_equal(x, y) for x, y in zip(a, b)))
+        return np.array_equal(a, b)
+
+    def _prime_next_epoch(self, epoch, target_nodes, rank_chunks, depth):
+        """Submit the first ``depth`` step-groups of epoch ``epoch``
+        (trainer numbering) on the worker pool. Called when the current
+        epoch's last step has been submitted: the pool is FIFO, so the
+        primed work queues behind this epoch's tail and runs exactly
+        where the workers used to idle (the trainer's val/eval/
+        checkpoint + device-drain tail). Uses a FRESH rng((seed, epoch))
+        — the same stream `_step_groups` would create — so adoption
+        continues it seamlessly and replay stays exact."""
+        eid = epoch + 1
+        rng = np.random.default_rng((self._seed, epoch))
+        per_rank, num_steps = self._epoch_plan(target_nodes, rank_chunks,
+                                               eid)
+        futures = []
+        for j in range(min(depth, num_steps)):
+            futures.append(self._submit_step(per_rank, rng, j))
+        self._primed = dict(eid=eid, rng=rng, per_rank=per_rank,
+                            num_steps=num_steps, futures=futures,
+                            targets=target_nodes, chunks=rank_chunks)
+
+    def _step_groups(self, target_nodes, rank_chunks, epoch,
+                     min_depth: int = 2):
+        """Prefetched per-step groups of ``world_size`` raw minibatches
+        (the shared engine behind `train_epoch` / `train_epoch_grouped`).
+        When ``epoch`` is given (the deterministic (seed, epoch) mode the
+        trainer uses), the first groups of epoch+1 are primed onto the
+        idle workers as this epoch's sampling finishes."""
+        futures = []
+        submitted = 0
+        primed, self._primed = self._primed, None
+        if (epoch is not None and primed is not None
+                and primed["eid"] == epoch + 1
+                and self._same_targets(primed["targets"], target_nodes)
+                and self._same_targets(primed["chunks"], rank_chunks)):
+            # adopt the primed epoch: same plan, same rng stream
+            self._epoch = primed["eid"]
+            self._rng = primed["rng"]
+            per_rank, num_steps = primed["per_rank"], primed["num_steps"]
+            futures = primed["futures"]
+            submitted = len(futures)
+        else:
+            # stale primed futures (different epoch/targets) are simply
+            # dropped — their results are never consumed
+            if epoch is not None:
+                self._epoch = epoch + 1
+                self._rng = np.random.default_rng((self._seed, epoch))
+            else:
+                self._epoch += 1
+            per_rank, num_steps = self._epoch_plan(
+                target_nodes, rank_chunks, self._epoch)
+        ws = self.world_size
+        emitted = 0
 
         # shallow prefetch: once `depth` steps are ready the workers
         # idle, freeing host cores for the main thread's H2D +
@@ -394,14 +457,30 @@ class BatchPipeline:
         # grouped dispatch consumes steps in bursts, so keep at least a
         # group's worth in flight
         depth = max(self.queue_depth // max(ws, 1), min_depth)
+        rng = self._rng
+
+        def maybe_prime():
+            # current epoch fully submitted: hand the idle workers the
+            # next epoch's head (deterministic mode only — without an
+            # epoch number the rng stream is shared with val sampling
+            # and cannot be advanced early)
+            if epoch is not None and self._primed is None:
+                self._prime_next_epoch(epoch + 1, target_nodes,
+                                       rank_chunks, depth)
+
         while submitted < num_steps and submitted < depth:
-            futures.append(submit_step(submitted))
+            futures.append(self._submit_step(per_rank, rng, submitted))
             submitted += 1
+        if submitted >= num_steps:
+            maybe_prime()
         while emitted < num_steps:
             group = futures.pop(0)
             if submitted < num_steps:
-                futures.append(submit_step(submitted))
+                futures.append(self._submit_step(per_rank, rng,
+                                                 submitted))
                 submitted += 1
+                if submitted >= num_steps:
+                    maybe_prime()
             yield [f.result() for f in group]
             emitted += 1
 

@@ -99,3 +99,44 @@ def test_exhausted_rank_cycles_permutation(small_graph):
     for batch in seen_r1:
         np.testing.assert_array_equal(np.sort(batch),
                                       np.sort(chunks[1]))
+
+
+def test_cross_epoch_prefetch_is_replay_exact(small_graph):
+    """Epoch e+1's head is primed onto the workers while epoch e's tail
+    runs (deterministic (seed, epoch) mode). The adopted batches must be
+    bit-identical to sampling epoch e+1 from scratch in a fresh
+    pipeline — exact-replay resume depends on it."""
+    def epoch_sig(pipe, epoch):
+        sig = []
+        for group in pipe._step_groups(small_graph.train_nodes, None,
+                                       epoch):
+            for mb in group:
+                sig.append((np.asarray(mb.input_nodes).tobytes(),
+                            np.asarray(mb.labels).tobytes()))
+        return sig
+
+    warm, _, _ = _pipe(small_graph, 2)
+    sig0 = epoch_sig(warm, 0)
+    assert warm._primed is not None and warm._primed["eid"] == 2
+    sig1 = epoch_sig(warm, 1)          # adopts the primed head
+
+    fresh, _, _ = _pipe(small_graph, 2)
+    assert epoch_sig(fresh, 1) == sig1
+    assert epoch_sig(fresh, 0) == sig0  # epoch order doesn't matter
+
+
+def test_prefetch_discards_stale_prime(small_graph):
+    """A primed epoch that doesn't match the next request (different
+    epoch number or targets) is dropped, not misused."""
+    pipe, _, _ = _pipe(small_graph, 2)
+    list(pipe._step_groups(small_graph.train_nodes, None, 0))
+    assert pipe._primed is not None
+    # jump to epoch 5: the primed epoch-1 head must be discarded
+    fresh, _, _ = _pipe(small_graph, 2)
+    a = [np.asarray(m.input_nodes).tobytes()
+         for g in pipe._step_groups(small_graph.train_nodes, None, 5)
+         for m in g]
+    b = [np.asarray(m.input_nodes).tobytes()
+         for g in fresh._step_groups(small_graph.train_nodes, None, 5)
+         for m in g]
+    assert a == b
