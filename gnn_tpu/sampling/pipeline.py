@@ -463,10 +463,17 @@ class BatchPipeline:
             # current epoch fully submitted: hand the idle workers the
             # next epoch's head (deterministic mode only — without an
             # epoch number the rng stream is shared with val sampling
-            # and cannot be advanced early)
+            # and cannot be advanced early). Prime DEEPER than the
+            # in-epoch queue: the shallow depth exists to keep host
+            # cores free for H2D, but the tail this fills has no H2D —
+            # the cap is how much of the ~2-4 s val/eval/drain tail
+            # 4 workers can use (6x depth ~= 3 s of worker-seconds at
+            # canonical batch cost; done futures idle in RAM, ~5 MB
+            # per canonical group, and do not compete for cores at the
+            # next epoch's start)
             if epoch is not None and self._primed is None:
                 self._prime_next_epoch(epoch + 1, target_nodes,
-                                       rank_chunks, depth)
+                                       rank_chunks, 6 * depth)
 
         while submitted < num_steps and submitted < depth:
             futures.append(self._submit_step(per_rank, rng, submitted))
