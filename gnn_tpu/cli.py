@@ -97,15 +97,6 @@ def build_parser() -> argparse.ArgumentParser:
                         " only, weighted graphs add per-edge values in "
                         "tile order). 'auto' = on for TPU backends, off "
                         "elsewhere (the kernel runs interpreted off-TPU)")
-    p.add_argument("--stream_seg", type=str, default="off",
-                   choices=["off", "fwd", "both"],
-                   help="segment-grid mode for the stream cold kernel "
-                        "(val-free graphs): 'fwd' adds forward segment "
-                        "tables (no payload change), 'both' also ships "
-                        "a (rows,cols)-swapped pack for the backward "
-                        "(+2 B/edge). Measured only 1.04-1.09x over the "
-                        "per-entry kernel at canonical shapes "
-                        "(benchmarks/RESULTS.md), so default off")
     p.add_argument("--hot_dtype", type=str, default="bfloat16",
                    choices=["float32", "bfloat16"],
                    help="resident hot-block dtype; bfloat16 (default) "
@@ -304,8 +295,7 @@ def main(argv=None) -> int:
         scale_factor=scale_factor, adj_format=args.adj_format,
         hot_spec=hot_spec,
         resident_val_free=val_free,
-        resident_stream_tiles=stream_tiles,
-        resident_stream_seg=args.stream_seg if stream_tiles else "off")
+        resident_stream_tiles=stream_tiles)
     pipe = BatchPipeline(cfg, lap, graph.labels, world_size=n_devices,
                          pool_num=args.pool_num,
                          per_rank_skew=per_rank_skew,

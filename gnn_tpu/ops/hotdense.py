@@ -203,15 +203,6 @@ class HotDenseAdj:
     es_nf: Optional[jnp.ndarray] = None      # f32 [ncols] col factors
     es_bm: int = struct.field(pytree_node=False, default=128)
     es_bk: int = struct.field(pytree_node=False, default=0)
-    # segment-grid tables (val-free only; gnn_tpu/ops/residentgraph.py
-    # ResidentLayerRef docstring): es_segp drives the forward on the
-    # shared coords; the *_t set is a (rows, cols)-swapped second pack
-    # so the backward runs the forward segment kernel too
-    es_segp: Optional[jnp.ndarray] = None      # int32 [ns+1]
-    es_coords_t: Optional[jnp.ndarray] = None  # int16 [n_cr, EC]
-    es_rc_t: Optional[jnp.ndarray] = None      # int32 [nb_t]
-    es_off_t: Optional[jnp.ndarray] = None     # int32 [2, nb_t+1]
-    es_segp_t: Optional[jnp.ndarray] = None    # int32 [ns_t+1]
 
     @property
     def shape(self):
@@ -407,32 +398,13 @@ def hot_block_transpose(adj: HotDenseAdj, dense_t, g: jnp.ndarray
 def _cold_edge_stream(adj: HotDenseAdj, u: jnp.ndarray,
                       transpose: bool) -> jnp.ndarray:
     """Cold residual via the edge-stream tile-densify kernel (one packed
-    coord buffer serves both directions). When segment tables rode
-    along (val-free graphs), the direction runs on the SEGMENT grid —
-    one grid step per row-tile segment instead of per entry; the
-    backward's segment pack has (rows, cols) swapped, so it runs the
-    forward kernel with the factors swapped. Interpreter mode off-TPU
-    so the CPU test mesh runs the identical math."""
+    coord buffer serves both directions). Interpreter mode off-TPU so
+    the CPU test mesh runs the identical math. (The segment-grid kernel
+    variant is quarantined to benchmarks/ — measured 1.04-1.09x at
+    canonical shapes, not worth its tables; RESULTS.md.)"""
     from gnn_tpu.ops.pallas_edgestream import (ECAP, EdgeTiles,
-                                               edge_stream_spmm,
-                                               edge_stream_spmm_seg)
+                                               edge_stream_spmm)
     interp = jax.default_backend() != "tpu"
-    if transpose and adj.es_segp_t is not None:
-        tiles = EdgeTiles(coords=adj.es_coords_t, blk_rc=adj.es_rc_t,
-                          off=adj.es_off_t, t_order=None,
-                          nrows=adj.ncols, ncols=adj.nrows,
-                          bm=adj.es_bk, bk=adj.es_bm, ecap=ECAP)
-        return edge_stream_spmm_seg(tiles, adj.es_segp_t, u,
-                                    adj.es_nf, adj.es_rv,
-                                    interpret=interp)
-    if not transpose and adj.es_segp is not None:
-        tiles = EdgeTiles(coords=adj.es_coords, blk_rc=adj.es_rc,
-                          off=adj.es_off, t_order=None,
-                          nrows=adj.nrows, ncols=adj.ncols,
-                          bm=adj.es_bm, bk=adj.es_bk, ecap=ECAP)
-        return edge_stream_spmm_seg(tiles, adj.es_segp, u,
-                                    adj.es_rv, adj.es_nf,
-                                    interpret=interp)
     tiles = EdgeTiles(coords=adj.es_coords, blk_rc=adj.es_rc,
                       off=adj.es_off, t_order=adj.es_ord,
                       nrows=adj.nrows, ncols=adj.ncols,

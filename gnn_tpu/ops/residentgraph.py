@@ -215,19 +215,13 @@ class ResidentLayerRef:
     # per-edge values in tile order (weighted / non-rank-1 graphs:
     # the full lap_val * normfact weight ships; None when val-free)
     es_vals: Optional[jnp.ndarray] = None    # bf16/f32 [n_cr, EC=256]
-    # SEGMENT-grid tables (val-free only): one kernel grid step per
-    # row-tile segment instead of per entry (the per-grid-step harness
-    # cost dominated the per-entry kernel's non-matmul time). ``es_segp``
-    # drives the forward; the backward gets its own (rows, cols)-SWAPPED
-    # pack (+2 B/edge payload) so both directions stream contiguous
-    # windows — the t_order permutation cannot feed the segment kernel
-    # (a ct-major segment's entries scatter across the rt-major coord
-    # grid). None = per-entry kernel for that direction.
-    es_segp: Optional[jnp.ndarray] = None      # int32 [ns+1]
-    es_coords_t: Optional[jnp.ndarray] = None  # int16 [n_cr, EC]
-    es_rc_t: Optional[jnp.ndarray] = None      # int32 [nb_t]
-    es_off_t: Optional[jnp.ndarray] = None     # int32 [2, nb_t+1]
-    es_segp_t: Optional[jnp.ndarray] = None    # int32 [ns_t+1]
+    # NOTE: the SEGMENT-grid variant of the stream kernel (one grid step
+    # per row-tile segment) measured only 1.04-1.09x over the per-entry
+    # kernel at canonical shapes (benchmarks/RESULTS.md — the cold cost
+    # is the occupied-tile AREA's dense MXU cost, invariant under grid
+    # reshaping), so it is quarantined to benchmarks/: the kernel lives
+    # on in gnn_tpu.ops.pallas_edgestream (edge_stream_spmm_seg +
+    # segment_tiles, kernel-tested) but ships no production tables.
     nrows: int = struct.field(pytree_node=False, default=0)
     ncols: int = struct.field(pytree_node=False, default=0)
     e_cap: int = struct.field(pytree_node=False, default=0)
@@ -242,41 +236,6 @@ class ResidentLayerRef:
         return (self.nrows, self.ncols)
 
 
-def _seg_ptr_bucketed(blk_rc: np.ndarray, off: np.ndarray) -> np.ndarray:
-    """Segment pointers for the segment-grid kernel, with the segment
-    count bucketed (multiples of 64) so jit shapes stay stable across
-    steps. Trailing padding segments are empty (e_lo == e_hi == nb) and
-    map to the last entry's output tile, which the sentinel convention
-    guarantees was already visited — they can never re-zero results."""
-    from gnn_tpu.ops.pallas_edgestream import segment_tiles
-    from gnn_tpu.sampling.ladies import bucket_size
-
-    sp_ = segment_tiles(blk_rc, off)
-    nb = blk_rc.shape[0]
-    ns = int(np.searchsorted(sp_, nb))
-    ns_pad = bucket_size(max(ns, 1), 64)
-    out = np.full(ns_pad + 1, nb, np.int32)
-    out[:ns] = sp_[:ns]
-    return out
-
-
-def _tiles_to_coo(tiles_pre, bm: int, bk: int, n_ct: int):
-    """Recover the layer-local (rows, cols) COO from the native slice's
-    direct-to-tiles output (tile-grouped packed coords + per-tile
-    counts) — the transposed pack needs the raw pattern back. O(E)
-    numpy (repeat + bit unpack), ~2 ms at canonical cold sizes."""
-    coords_s, tile_cnt, pre_bm, pre_bk = tiles_pre
-    assert (pre_bm, pre_bk) == (bm, bk)
-    occ = np.flatnonzero(tile_cnt)
-    cnts = tile_cnt[occ]
-    rt = np.repeat((occ // n_ct).astype(np.int32), cnts)
-    ct = np.repeat((occ % n_ct).astype(np.int32), cnts)
-    u = coords_s.view(np.uint16).astype(np.int32)
-    shift = bk.bit_length() - 1
-    lr = u >> shift
-    lc = u & (bk - 1)
-    return rt * bm + lr, ct * bk + lc
-
 
 def pack_resident_ref(spec: HotSpec, lap_indptr, prev, after, normfact,
                       rows, cols, n_rows, n_cols, r_cap, c_cap,
@@ -285,7 +244,6 @@ def pack_resident_ref(spec: HotSpec, lap_indptr, prev, after, normfact,
                       cold_precomputed: bool = False,
                       val_free: bool = False,
                       stream_tiles: bool = False,
-                      stream_seg: str = "off",
                       tiles_pre=None) -> ResidentLayerRef:
     """Host-side companion of the device rebuild.
 
@@ -357,31 +315,6 @@ def pack_resident_ref(spec: HotSpec, lap_indptr, prev, after, normfact,
             np.asarray(t.off), np.asarray(t.t_order), nb_pad,
             t.coords.shape[0], r_cap // es_bm, c_cap // es_bk,
             vals=None if t.vals is None else np.asarray(t.vals))
-        seg_kw = {}
-        if stream_seg != "off" and v2 is None:
-            # segment grid for the forward: entry tables only, no
-            # payload change
-            seg_kw["es_segp"] = _seg_ptr_bucketed(rc2, off2)
-        if stream_seg == "both" and v2 is None:
-            # (rows, cols)-swapped second pack so the BACKWARD also
-            # runs the forward segment kernel (ct-major entries are
-            # contiguous there). +2 B/edge of payload — gate on the
-            # interleaved e2e A/B, not just the kernel probe.
-            if tiles_pre is not None:
-                cr, cc = _tiles_to_coo(tiles_pre, es_bm, es_bk,
-                                       c_cap // es_bk)
-            tt = pack_edge_tiles(
-                np.asarray(cc, np.int32), np.asarray(cr, np.int32),
-                c_cap, r_cap, bm=es_bk, bk=es_bm, ecap=ECAP,
-                e_pad=e_pad)
-            nb_pad_t = bucket_size(tt.blk_rc.shape[0], 512)
-            c2t, rc2t, off2t, _, _ = repad_tiles(
-                np.asarray(tt.coords), np.asarray(tt.blk_rc),
-                np.asarray(tt.off), np.asarray(tt.t_order), nb_pad_t,
-                tt.coords.shape[0], c_cap // es_bk, r_cap // es_bm)
-            seg_kw.update(
-                es_coords_t=c2t, es_rc_t=rc2t, es_off_t=off2t,
-                es_segp_t=_seg_ptr_bucketed(rc2t, off2t))
         return ResidentLayerRef(
             normfact=nf,
             n_valid_rows=np.int32(n_rows), n_valid_cols=np.int32(n_cols),
@@ -390,7 +323,7 @@ def pack_resident_ref(spec: HotSpec, lap_indptr, prev, after, normfact,
             rh_pad=bucket_size(max(int(hot_r_flag.sum()), 1), 128),
             ch_pad=bucket_size(max(int(hot_c_flag.sum()), 1), 128),
             es_coords=c2, es_rc=rc2, es_off=off2, es_ord=ord2,
-            es_vals=v2, es_bm=es_bm, es_bk=es_bk, **seg_kw)
+            es_vals=v2, es_bm=es_bm, es_bk=es_bk)
     if ship_cold:
         nnz_pad = bucket_size(max(n_cold, 1))
         cidx = np.int16 if (compress and c_cap <= 32768) else np.int32
@@ -596,10 +529,7 @@ def _finish_layer(g: ResidentGraph, ref: ResidentLayerRef, rows_g,
                      es_off=ref.es_off, es_ord=ref.es_ord,
                      es_vals=ref.es_vals, es_rv=es_rv,
                      es_nf=ref.normfact if es_nf is None else es_nf,
-                     es_bm=ref.es_bm, es_bk=ref.es_bk,
-                     es_segp=ref.es_segp, es_coords_t=ref.es_coords_t,
-                     es_rc_t=ref.es_rc_t, es_off_t=ref.es_off_t,
-                     es_segp_t=ref.es_segp_t)
+                     es_bm=ref.es_bm, es_bk=ref.es_bk)
     return HotDenseAdj(
         rows=rr, cols=cc, vals=vv, rows_t=rt, cols_t=ct, vals_t=vt,
         colpos=colpos, nfh=nfh, rowpos=rowpos, nf_col=nf_col,

@@ -123,13 +123,6 @@ class SamplerConfig:
     # mode (slow; tests only), so the CLI enables this on TPU backends
     # by default and leaves it off elsewhere.
     resident_stream_tiles: bool = False
-    # segment-grid mode for the stream-tiles cold kernel (val-free
-    # graphs only; ignored otherwise): 'off' = per-entry kernel both
-    # directions, 'fwd' = forward on the segment grid (entry tables
-    # only — no payload change), 'both' = additionally ship a
-    # (rows, cols)-swapped second pack (+2 B/edge) so the backward
-    # runs the segment grid too
-    resident_stream_seg: str = "off"
 
     def layer_caps(self) -> List[int]:
         """Static per-level node-count caps, bottom-up.
@@ -244,7 +237,6 @@ def _pack_adj(cfg: SamplerConfig, rows, cols, vals, n_rows, n_cols,
                                  cold_precomputed=cold_precomputed,
                                  val_free=cfg.resident_val_free,
                                  stream_tiles=cfg.resident_stream_tiles,
-                                 stream_seg=cfg.resident_stream_seg,
                                  tiles_pre=tiles_pre)
     if cfg.adj_format == "pattern":
         # attention transport: values never ship (GAT computes per-edge

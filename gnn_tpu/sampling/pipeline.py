@@ -275,6 +275,9 @@ class BatchPipeline:
         # (seed, epoch), so the primed batches are bit-identical to
         # sampling them lazily; exact-replay resume is unaffected.
         self._primed = None
+        # last training-epoch index (set by Trainer.fit): priming past
+        # it wastes worker time ahead of the final full-sweep eval
+        self.final_epoch: Optional[int] = None
         # tune native OpenMP width so pool x OMP ~= 2x cores (measured
         # optimum on this class of host; oversubscription collapses
         # throughput - see benchmarks/RESULTS.md)
@@ -397,6 +400,22 @@ class BatchPipeline:
                     and all(np.array_equal(x, y) for x, y in zip(a, b)))
         return np.array_equal(a, b)
 
+    def _discard_prime(self, primed):
+        """Drop a stale prime: `Future.cancel` removes pending work from
+        the FIFO pool (it would otherwise run ahead of eval submissions);
+        completed futures get their exceptions observed — a sampler
+        crash inside a primed batch must not vanish silently."""
+        import warnings
+
+        for group in primed["futures"]:
+            for f in group:
+                if not f.cancel() and f.done():
+                    exc = f.exception()
+                    if exc is not None:
+                        warnings.warn(
+                            "discarded primed sampler batch raised: "
+                            f"{exc!r}")
+
     def _prime_next_epoch(self, epoch, target_nodes, rank_chunks, depth):
         """Submit the first ``depth`` step-groups of epoch ``epoch``
         (trainer numbering) on the worker pool. Called when the current
@@ -438,8 +457,11 @@ class BatchPipeline:
             futures = primed["futures"]
             submitted = len(futures)
         else:
-            # stale primed futures (different epoch/targets) are simply
-            # dropped — their results are never consumed
+            # stale primed futures (different epoch/targets): cancel the
+            # not-yet-started ones so they don't queue ahead of real
+            # work, and surface exceptions from the ones that ran
+            if primed is not None:
+                self._discard_prime(primed)
             if epoch is not None:
                 self._epoch = epoch + 1
                 self._rng = np.random.default_rng((self._seed, epoch))
@@ -471,7 +493,13 @@ class BatchPipeline:
             # canonical batch cost; done futures idle in RAM, ~5 MB
             # per canonical group, and do not compete for cores at the
             # next epoch's start)
-            if epoch is not None and self._primed is None:
+            # final_epoch (set by Trainer.fit) stops priming past the
+            # last training epoch: those futures are pure waste AND,
+            # the pool being FIFO, they'd delay the full-sweep test
+            # eval's own submissions by seconds of worker time
+            if (epoch is not None and self._primed is None
+                    and (self.final_epoch is None
+                         or epoch < self.final_epoch)):
                 self._prime_next_epoch(epoch + 1, target_nodes,
                                        rank_chunks, 6 * depth)
 

@@ -1286,6 +1286,9 @@ class Trainer:
             print(f"resumed from {checkpoint_dir} at epoch "
                   f"{start_epoch} (best val F1 {self.best_val:.3f})",
                   flush=True)
+        # stop cross-epoch priming after the last epoch (the primed
+        # futures would queue ahead of the final test eval's pool work)
+        self.pipeline.final_epoch = epochs - 1
         for epoch in range(start_epoch, epochs):
             if profile_dir is not None and epoch == 1:
                 # profile the second epoch (first is dominated by compiles)

@@ -140,3 +140,45 @@ def test_prefetch_discards_stale_prime(small_graph):
          for g in fresh._step_groups(small_graph.train_nodes, None, 5)
          for m in g]
     assert a == b
+
+
+def test_no_priming_past_final_epoch(small_graph):
+    """With `final_epoch` set (Trainer.fit does), the last epoch leaves
+    no primed futures behind — they would be pure waste queued ahead of
+    the final full-sweep eval's pool submissions (FIFO pool)."""
+    pipe, _, _ = _pipe(small_graph, 2)
+    pipe.final_epoch = 1
+    list(pipe._step_groups(small_graph.train_nodes, None, 0))
+    assert pipe._primed is not None        # epoch 1 still primes
+    list(pipe._step_groups(small_graph.train_nodes, None, 1))
+    assert pipe._primed is None            # past the last epoch: nothing
+
+
+def test_stale_prime_is_cancelled_and_observed(small_graph):
+    """Discarding a stale prime cancels pending futures and surfaces
+    exceptions from completed ones as warnings (not silence)."""
+    import warnings
+
+    pipe, _, _ = _pipe(small_graph, 2)
+    list(pipe._step_groups(small_graph.train_nodes, None, 0))
+    assert pipe._primed is not None
+    for group in pipe._primed["futures"]:  # let the primed work finish
+        for f in group:
+            f.exception()
+    # poison one completed future so the discard path must report it
+    class _F:
+        def cancel(self):
+            return False
+
+        def done(self):
+            return True
+
+        def exception(self):
+            return RuntimeError("boom")
+
+    pipe._primed["futures"].append([_F()])
+    with warnings.catch_warnings(record=True) as rec:
+        warnings.simplefilter("always")
+        # epoch jump -> stale prime -> discard
+        list(pipe._step_groups(small_graph.train_nodes, None, 7))
+    assert any("boom" in str(w.message) for w in rec)

@@ -20,7 +20,7 @@ from gnn_tpu.utils.normalize import build_laplacian
 
 def _setup(graph, hot_k=256, orders=(1, 1), samp=128, batch=64,
            sampler="ladies", ship_cold=False, val_free=False,
-           stream_tiles=False, norm="row", stream_seg="off"):
+           stream_tiles=False, norm="row"):
     lap = build_laplacian(graph.adj_full, "graphsage", norm=norm)
     prob = compute_sample_prob(lap, graph.train_nodes, sum(orders))
     spec = HotSpec.from_sample_prob(prob, hot_k)
@@ -31,8 +31,7 @@ def _setup(graph, hot_k=256, orders=(1, 1), samp=128, batch=64,
               sampler=sampler, compress=False,
               resident_ship_cold=ship_cold,
               resident_val_free=ship_cold and val_free,
-              resident_stream_tiles=stream_tiles,
-              resident_stream_seg=stream_seg)
+              resident_stream_tiles=stream_tiles)
     cfg_hot = SamplerConfig(adj_format="hot", **kw)
     cfg_res = SamplerConfig(adj_format="resident", **kw)
     host = build_resident_graph(lap, spec, dense, dense_t)
@@ -172,63 +171,6 @@ def test_stream_tiles_e2e_training_matches_segsum(small_graph):
                                                 abs=2e-4)
     assert losses["stream"][1] == pytest.approx(losses["segsum"][1],
                                                 abs=2e-3)
-
-
-@pytest.mark.parametrize("seg", ["fwd", "both"])
-def test_stream_seg_modes_match_per_entry(small_graph, seg):
-    """The segment-grid cold kernel (forward tables only, or with the
-    (rows, cols)-swapped backward pack) trains identically to the
-    per-entry kernel: the forward adds tile contributions in the same
-    order (exact), the swapped backward reorders f32 sums (float
-    tolerance)."""
-    from gnn_tpu.models.gnn import build_model
-    from gnn_tpu.parallel.mesh import make_mesh
-    from gnn_tpu.sampling.pipeline import BatchPipeline
-    from gnn_tpu.train.trainer import Trainer
-
-    losses = {}
-    for name, mode in [("entry", "off"), ("seg", seg)]:
-        lap, spec, dense, dense_t, _, cfg_res, g = _setup(
-            small_graph, ship_cold=True, val_free=True,
-            stream_tiles=True, stream_seg=mode)
-        host = build_resident_graph(lap, spec, dense, dense_t)
-        pipe = BatchPipeline(cfg_res, lap, small_graph.labels,
-                             world_size=2, pool_num=2)
-        net = build_model("graphsage", nhid=32, orders=cfg_res.orders,
-                          num_classes=small_graph.num_classes)
-        tr = Trainer(net, pipe, small_graph.feats, mesh=make_mesh(2),
-                     lr=0.05, sigmoid_loss=False, seed=3,
-                     resident_graph=host)
-        m = tr.train_epoch(small_graph.train_nodes, epoch=0)
-        f1, vloss = tr.evaluate(small_graph.valid_nodes, 128, "val")
-        losses[name] = (m.train_loss, vloss, f1)
-    assert losses["seg"][0] == pytest.approx(losses["entry"][0],
-                                             abs=2e-4)
-    assert losses["seg"][1] == pytest.approx(losses["entry"][1],
-                                             abs=2e-3)
-
-
-def test_stream_seg_payload_tables(small_graph):
-    """'fwd' ships segment pointers only (no second coord grid);
-    'both' additionally ships the swapped pack for the backward."""
-    lap, spec, dense, dense_t, _, cfg_f, g = _setup(
-        small_graph, ship_cold=True, val_free=True, stream_tiles=True,
-        stream_seg="fwd")
-    tgt = small_graph.train_nodes[:64]
-    ref = ladies_sample(cfg_f, 11, tgt, lap,
-                        small_graph.labels).adjs[-1]
-    assert ref.es_segp is not None and ref.es_segp_t is None
-    assert ref.es_coords_t is None
-    _, _, _, _, _, cfg_b, _ = _setup(
-        small_graph, ship_cold=True, val_free=True, stream_tiles=True,
-        stream_seg="both")
-    ref = ladies_sample(cfg_b, 11, tgt, lap,
-                        small_graph.labels).adjs[-1]
-    assert ref.es_segp is not None and ref.es_segp_t is not None
-    assert ref.es_coords_t is not None
-    assert ref.es_coords_t.dtype == np.int16
-    # swapped pack carries the same edges (same coord-grid payload size)
-    assert ref.es_coords_t.shape == ref.es_coords.shape
 
 
 def test_stream_tiles_payload_replaces_cold_coo(small_graph):
