@@ -188,6 +188,11 @@ class HotDenseAdj:
     # (default) = replicated full blocks.
     part_axis: Optional[str] = struct.field(pytree_node=False,
                                             default=None)
+    # True when rows/cols/vals hold only THIS part's cold edges (sharded
+    # full-expansion mode: each part expands the CSR rows it owns) — the
+    # cold aggregation output is then psum-med over ``part_axis``. False
+    # (default) = the cold COO is replicated across parts.
+    cold_partial: bool = struct.field(pytree_node=False, default=False)
     # edge-stream tile payload for the cold residual (val-free resident
     # mode, gnn_tpu.ops.pallas_edgestream): when ``es_rc`` is not None
     # the cold aggregation runs through the tile-densify Pallas kernel
@@ -425,6 +430,10 @@ def hot_forward(adj: HotDenseAdj, x: jnp.ndarray) -> jnp.ndarray:
         # cold residual (row-sorted segment-sum)
         y = sparse_ops._coo_aggregate(adj.rows, adj.cols, adj.vals, x,
                                       adj.nrows, sorted_rows=True)
+    if adj.cold_partial:
+        # sharded full expansion: each part aggregated only its owned
+        # rows' cold edges — sum the partials (exact: one owner/edge)
+        y = jax.lax.psum(y, adj.part_axis)
     return y + hot_block_forward(adj, adj.dense, x)
 
 
@@ -438,4 +447,6 @@ def hot_transpose(adj: HotDenseAdj, g: jnp.ndarray) -> jnp.ndarray:
         dx = sparse_ops._coo_aggregate(adj.cols_t, adj.rows_t, adj.vals_t,
                                        g, adj.ncols,
                                        sorted_rows=adj.t_sorted)
+    if adj.cold_partial:
+        dx = jax.lax.psum(dx, adj.part_axis)
     return dx + hot_block_transpose(adj, adj.dense_t, g)

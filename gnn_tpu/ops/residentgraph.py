@@ -428,16 +428,29 @@ def materialize_layer(g: ResidentGraph, ref: ResidentLayerRef,
         return _finish_layer(g, ref, rows_g, cols_g, rr, cc, vv, n_cold)
 
     # --- expand the rows' CSR spans into ref.e_cap edge slots ---
+    cold_partial = False
     if g.part_axis is not None:
-        raise NotImplementedError(
-            "full-expansion resident mode needs the whole CSR on every "
-            "device; shard the CSR by row ranges (round-3) or use lite "
-            "mode (ship_cold=True) with ShardedResidentGraph")
-    # rows_g == n is the pad row: row_ptr[n] == E and the clipped
-    # row_ptr[n+1] read also lands on E, so its degree is 0
-    rp_lo = jnp.take(g.row_ptr, rows_g, mode="clip")
-    rp_hi = jnp.take(g.row_ptr, rows_g + 1, mode="clip")
-    deg = rp_hi - rp_lo
+        # row-range-sharded CSR: this part expands ONLY the rows it
+        # owns (others read degree 0), builds a PARTIAL cold COO, and
+        # the cold aggregation output is psum-med over the part axis
+        # (cold_partial below) — each edge is owned by exactly one
+        # part, so the sum is exact.
+        if getattr(g, "row_ptr_shard", None) is None:
+            raise ValueError(
+                "full-expansion resident mode on a part-sharded mesh "
+                "needs the row-range CSR shards: build the state with "
+                "ship_csr=True (shard_resident_state / "
+                "build_sharded_resident)")
+        rp_lo, deg = g.csr_spans(rows_g)
+        col_src, val_src = g.col_idx_shard, g.val_shard
+        cold_partial = True
+    else:
+        # rows_g == n is the pad row: row_ptr[n] == E and the clipped
+        # row_ptr[n+1] read also lands on E, so its degree is 0
+        rp_lo = jnp.take(g.row_ptr, rows_g, mode="clip")
+        rp_hi = jnp.take(g.row_ptr, rows_g + 1, mode="clip")
+        deg = rp_hi - rp_lo
+        col_src, val_src = g.col_idx, g.val
     starts = jnp.cumsum(deg) - deg                    # exclusive cumsum
     e_used = starts[-1] + deg[-1]
     seg = jnp.zeros(ref.e_cap + 1, jnp.int32).at[starts].add(
@@ -447,8 +460,8 @@ def materialize_layer(g: ResidentGraph, ref: ResidentLayerRef,
     e_valid = jnp.arange(ref.e_cap) < e_used
     eptr = jnp.take(rp_lo, lr) + (jnp.arange(ref.e_cap)
                                   - jnp.take(starts, lr))
-    gcol = jnp.take(g.col_idx, eptr, mode="fill", fill_value=0)
-    ev = jnp.take(g.val, eptr, mode="fill",
+    gcol = jnp.take(col_src, eptr, mode="fill", fill_value=0)
+    ev = jnp.take(val_src, eptr, mode="fill",
                   fill_value=0).astype(jnp.float32)
 
     # --- map global cols to layer-local ids (drop cols not sampled) ---
@@ -477,12 +490,14 @@ def materialize_layer(g: ResidentGraph, ref: ResidentLayerRef,
     cc = jnp.zeros(ref.nnz_cold, jnp.int32).at[pos].set(
         lc_safe, mode="drop")
     vv = jnp.zeros(ref.nnz_cold, jnp.float32).at[pos].set(w, mode="drop")
-    return _finish_layer(g, ref, rows_g, cols_g, rr, cc, vv, n_cold)
+    return _finish_layer(g, ref, rows_g, cols_g, rr, cc, vv, n_cold,
+                         cold_partial=cold_partial)
 
 
 def _finish_layer(g: ResidentGraph, ref: ResidentLayerRef, rows_g,
                   cols_g, rr, cc, vv, n_cold,
-                  es_rv=None, es_nf=None) -> HotDenseAdj:
+                  es_rv=None, es_nf=None,
+                  cold_partial: bool = False) -> HotDenseAdj:
     """Shared tail of the device rebuild: transpose copy + all hot-slot
     plumbing (the arrays the hot format used to ship per step)."""
     nrows, ncols = ref.nrows, ref.ncols
@@ -538,7 +553,7 @@ def _finish_layer(g: ResidentGraph, ref: ResidentLayerRef, rows_g,
         n_valid_rows=ref.n_valid_rows, n_valid_cols=ref.n_valid_cols,
         dense=g.dense, dense_t=g.dense_t,
         nrows=nrows, ncols=ncols, k=k, t_sorted=False,
-        part_axis=g.part_axis, **es_kw)
+        part_axis=g.part_axis, cold_partial=cold_partial, **es_kw)
 
 
 def materialize_adjs(g: ResidentGraph, adjs, sampled_nodes,

@@ -39,11 +39,18 @@ partitioning plays in the reference (`/root/reference/main.py:291-297`
 spreads state across ranks because one GPU cannot hold it) — but over
 a compiled SPMD mesh with XLA collectives instead of NCCL peer copies.
 
-Round-3 scope note: full-expansion mode (rebuilding cold edges from a
-device CSR) would additionally need the CSR sharded by row ranges; the
-lite path — the measured-fastest path — needs no device CSR at all.
+Full-expansion mode (``resident_ship_cold=False`` — zero per-edge
+payload, the right mode for low-degree graphs) additionally shards the
+CSR BY ROW RANGES: part p holds the indptr/indices/data of its owned
+node range, rebased to local offsets and padded to the max shard nnz.
+Each part expands only the spans of rows it owns (others get degree 0),
+builds its partial cold COO, and the cold aggregation output is summed
+with one psum over ``part`` — every edge is owned by exactly one part
+(its row's owner), so the sum is exact. Per-chip CSR HBM divides by P.
 """
 from __future__ import annotations
+
+from typing import Optional
 
 import jax
 import jax.numpy as jnp
@@ -74,6 +81,12 @@ class ShardedResidentGraph:
     nsh: int = struct.field(pytree_node=False)
     part_axis: str = struct.field(pytree_node=False, default=PART_AXIS)
     col_trivial: bool = struct.field(pytree_node=False, default=True)
+    # row-range CSR shards for full-expansion mode (None in lite mode —
+    # the measured-fastest path needs no device CSR at all). Local
+    # offsets: ``row_ptr_shard[i]`` indexes into ``col_idx_shard``.
+    row_ptr_shard: Optional[jnp.ndarray] = None  # int32 [nsh + 1]
+    col_idx_shard: Optional[jnp.ndarray] = None  # int32 [esh_pad]
+    val_shard: Optional[jnp.ndarray] = None      # f32/bf16 [esh_pad]
 
     def _owned(self, ids: jnp.ndarray):
         lo = jax.lax.axis_index(self.part_axis) * self.nsh
@@ -100,6 +113,16 @@ class ShardedResidentGraph:
         v = jnp.where(ok, jnp.take(self.col_val_shard, loc), 0.0)
         return jax.lax.psum(v, self.part_axis)
 
+    def csr_spans(self, ids: jnp.ndarray):
+        """Per-id ``(start, degree)`` into this part's LOCAL CSR shard
+        (full-expansion mode). Degree 0 for every id this part does not
+        own — including the pad id ``n`` — so the span expansion visits
+        each graph row on exactly one part."""
+        ok, loc = self._owned(ids)
+        lo = jnp.take(self.row_ptr_shard, loc, mode="clip")
+        hi = jnp.take(self.row_ptr_shard, loc + 1, mode="clip")
+        return jnp.where(ok, lo, 0), jnp.where(ok, hi - lo, 0)
+
 
 def local_shard(g_stacked) -> "ShardedResidentGraph":
     """Strip the leading length-1 axis shard_map leaves on every array
@@ -107,13 +130,43 @@ def local_shard(g_stacked) -> "ShardedResidentGraph":
     return jax.tree_util.tree_map(lambda a: a[0], g_stacked)
 
 
-def shard_resident_state(rg: dict, n_parts: int,
-                         axis: str = PART_AXIS) -> "ShardedResidentGraph":
+def _csr_row_shards(indptr, indices, data, n_parts: int, nsh: int):
+    """Row-range CSR shards, stacked on a leading part axis: per-part
+    LOCAL indptr ([nsh+1] int32, rebased to 0, constant past the owned
+    range so padded-tail node ids read degree 0) + indices/data padded
+    to the max shard nnz (multiple of 128)."""
+    n = len(indptr) - 1
+    indptr = np.asarray(indptr, np.int64)
+    rp = np.zeros((n_parts, nsh + 1), np.int32)
+    nnzs = []
+    for p in range(n_parts):
+        lo, hi = p * nsh, min((p + 1) * nsh, n)
+        seg = (indptr[lo:hi + 1] - indptr[lo] if hi > lo
+               else np.zeros(1, np.int64))
+        rp[p, : len(seg)] = seg
+        rp[p, len(seg):] = seg[-1]
+        nnzs.append(int(seg[-1]))
+    esh = ((max(max(nnzs), 1) + 127) // 128) * 128
+    ci = np.zeros((n_parts, esh), np.int32)
+    vv = np.zeros((n_parts, esh), np.asarray(data).dtype)
+    for p in range(n_parts):
+        lo, hi = p * nsh, min((p + 1) * nsh, n)
+        if hi > lo:
+            a, b = int(indptr[lo]), int(indptr[hi])
+            ci[p, : b - a] = indices[a:b]
+            vv[p, : b - a] = data[a:b]
+    return rp, ci, vv
+
+
+def shard_resident_state(rg: dict, n_parts: int, axis: str = PART_AXIS,
+                         ship_csr: bool = False
+                         ) -> "ShardedResidentGraph":
     """Convert a `build_resident_graph` host dict into stacked part
     shards (the Trainer-facing entry: the dict already carries the slot
     table, row values and dense blocks). The CSR members (row_ptr/
-    col_idx/val) are dropped — the sharded path is lite-mode only and
-    needs no device CSR (see module docstring)."""
+    col_idx/val) are dropped unless ``ship_csr`` — lite mode (the
+    measured-fastest path) needs no device CSR; full-expansion mode
+    (``resident_ship_cold=False``) reads row-range shards of it."""
     n, k = int(rg["n"]), int(rg["k"])
     if k % n_parts:
         raise ValueError(f"hot slot count k={k} (a multiple of 128) "
@@ -128,6 +181,11 @@ def shard_resident_state(rg: dict, n_parts: int,
     cvp[:n] = np.asarray(rg.get("col_val", np.ones(n)), np.float32)
     d = np.asarray(rg["dense"])
     dt = np.asarray(rg["dense_t"])
+    csr_kw = {}
+    if ship_csr:
+        rp, ci, vv = _csr_row_shards(rg["row_ptr"], rg["col_idx"],
+                                     rg["val"], n_parts, nsh)
+        csr_kw = dict(row_ptr_shard=rp, col_idx_shard=ci, val_shard=vv)
     return ShardedResidentGraph(
         slot_shard=slot.reshape(n_parts, nsh),
         row_val_shard=rvp.reshape(n_parts, nsh),
@@ -137,11 +195,12 @@ def shard_resident_state(rg: dict, n_parts: int,
         dense_t=np.stack([dt[:, p * ksh:(p + 1) * ksh]
                           for p in range(n_parts)]),
         n=n, k=k, nsh=nsh, part_axis=axis,
-        col_trivial=bool(rg.get("col_trivial", True)))
+        col_trivial=bool(rg.get("col_trivial", True)), **csr_kw)
 
 
 def build_sharded_resident(lap: sp.csr_matrix, spec: HotSpec, dense,
-                           dense_t, n_parts: int, axis: str = PART_AXIS):
+                           dense_t, n_parts: int, axis: str = PART_AXIS,
+                           ship_csr: bool = False):
     """Host-side stacked shards (leading axis = part, for in_spec
     ``P(axis)``) + the statics. ``dense``/``dense_t`` from
     ``build_hot_dense``. Returns a :class:`ShardedResidentGraph` whose
@@ -164,6 +223,14 @@ def build_sharded_resident(lap: sp.csr_matrix, spec: HotSpec, dense,
     cvp[:n] = cv
     d = np.asarray(dense)
     dt = np.asarray(dense_t)
+    csr_kw = {}
+    if ship_csr:
+        csr = lap.tocsr()
+        csr.sort_indices()
+        rp, ci, vv = _csr_row_shards(csr.indptr, csr.indices,
+                                     csr.data.astype(np.float32),
+                                     n_parts, nsh)
+        csr_kw = dict(row_ptr_shard=rp, col_idx_shard=ci, val_shard=vv)
     return ShardedResidentGraph(
         slot_shard=slot.reshape(n_parts, nsh),
         row_val_shard=rvp.reshape(n_parts, nsh),
@@ -173,4 +240,4 @@ def build_sharded_resident(lap: sp.csr_matrix, spec: HotSpec, dense,
         dense_t=np.stack([dt[:, p * ksh:(p + 1) * ksh]
                           for p in range(n_parts)]),
         n=n, k=k, nsh=nsh, part_axis=axis,
-        col_trivial=col_trivial), ok
+        col_trivial=col_trivial, **csr_kw), ok

@@ -29,7 +29,7 @@ def _part_mesh():
 
 
 def _setup(graph, hot_k=256, orders=(1, 1), samp=128, batch=64,
-           val_free=True):
+           val_free=True, ship_cold=True):
     lap = build_laplacian(graph.adj_full, "graphsage")
     prob = compute_sample_prob(lap, graph.train_nodes, sum(orders))
     spec = HotSpec.from_sample_prob(prob, hot_k)
@@ -38,15 +38,16 @@ def _setup(graph, hot_k=256, orders=(1, 1), samp=128, batch=64,
                         num_nodes=graph.adj_full.shape[0],
                         num_classes=graph.num_classes, hot_spec=spec,
                         adj_format="resident", compress=False,
-                        resident_ship_cold=True,
-                        resident_val_free=val_free)
+                        resident_ship_cold=ship_cold,
+                        resident_val_free=val_free and ship_cold)
     host = build_resident_graph(lap, spec, dense, dense_t)
     n, k = host.pop("n"), host.pop("k")
     host.pop("val_free")
     g_rep = ResidentGraph(**{f: jnp.asarray(v) for f, v in host.items()},
                           n=n, k=k)
     g_sh, const = build_sharded_resident(lap, spec, dense, dense_t,
-                                         N_PARTS)
+                                         N_PARTS,
+                                         ship_csr=not ship_cold)
     assert const is True  # binary synthetic adjacency
     return lap, spec, cfg, g_rep, g_sh
 
@@ -133,6 +134,97 @@ def test_sharded_materialize_matches_replicated(small_graph, orders,
                                        atol=2e-5, err_msg=f"l{l} p{p}")
             np.testing.assert_allclose(got_dx[p], want_dx, rtol=2e-5,
                                        atol=2e-5, err_msg=f"l{l} p{p}")
+
+
+def test_sharded_full_expansion_matches_replicated(small_graph):
+    """Full-expansion mode (``resident_ship_cold=False``, zero per-edge
+    payload) on the part-sharded mesh: each part expands only the CSR
+    row ranges it owns and one psum of the partial cold aggregation
+    restores the replicated rebuild exactly (this combination used to
+    raise NotImplementedError)."""
+    mesh = _part_mesh()
+    lap, spec, cfg, g_rep, g_sh = _setup(small_graph, ship_cold=False)
+    assert g_sh.row_ptr_shard is not None
+    mb = ladies_sample(cfg, 5, small_graph.train_nodes[:64], lap,
+                       small_graph.labels)
+    adjs = list(mb.adjs)
+    # full-expansion refs ship nothing per-edge
+    assert adjs[0].cols is None and adjs[0].e_cap > 0
+    samp = [jnp.asarray(s) for s in mb.sampled_nodes]
+    inp = jnp.asarray(mb.input_nodes)
+
+    from gnn_tpu.ops.residentgraph import materialize_adjs
+    ref_adjs = materialize_adjs(g_rep, adjs, samp, inp)
+    rng = np.random.default_rng(1)
+    xs = [jnp.asarray(rng.normal(size=(a.ncols, 8)).astype(np.float32))
+          for a in ref_adjs]
+    gs = [jnp.asarray(rng.normal(size=(a.nrows, 8)).astype(np.float32))
+          for a in ref_adjs]
+
+    def f(g_stacked, adjs, samp, inp, xs, gs):
+        g = local_shard(g_stacked)
+        mat = materialize_adjs(g, adjs, samp, inp)
+        assert all(a.cold_partial for a in mat)
+        ys = [spmm(a, x)[None] for a, x in zip(mat, xs)]
+        dxs = [spmm_transpose(a, gg)[None] for a, gg in zip(mat, gs)]
+        return ys, dxs
+
+    ys, dxs = jax.jit(jax.shard_map(
+        f, mesh=mesh,
+        in_specs=(P("part"), P(), P(), P(), P(), P()),
+        out_specs=(P("part"), P("part")), check_vma=False))(
+        g_sh, adjs, samp, inp, xs, gs)
+
+    for l, a in enumerate(ref_adjs):
+        want_y = np.asarray(spmm(a, xs[l]))
+        want_dx = np.asarray(spmm_transpose(a, gs[l]))
+        got_y, got_dx = np.asarray(ys[l]), np.asarray(dxs[l])
+        for p in range(N_PARTS):
+            np.testing.assert_allclose(got_y[p], want_y, rtol=2e-5,
+                                       atol=2e-5, err_msg=f"l{l} p{p}")
+            np.testing.assert_allclose(got_dx[p], want_dx, rtol=2e-5,
+                                       atol=2e-5, err_msg=f"l{l} p{p}")
+
+
+def test_sharded_full_expansion_trainer_matches_replicated(small_graph):
+    """Trainer plumbing for the sharded full-expansion mode
+    (``resident_parts=4, resident_ship_cold=False``): one epoch + val
+    match the replicated full-expansion trainer."""
+    if jax.device_count() < 8:
+        pytest.skip("needs 8 virtual devices")
+    from gnn_tpu.models.gnn import build_model
+    from gnn_tpu.parallel.mesh import make_mesh
+    from gnn_tpu.parallel.multihost import make_hybrid_mesh
+    from gnn_tpu.sampling.pipeline import BatchPipeline
+    from gnn_tpu.train.trainer import Trainer
+
+    lap, spec, cfg, g_rep, g_sh = _setup(small_graph, ship_cold=False)
+    from gnn_tpu.ops.hotdense import build_hot_dense
+    from gnn_tpu.ops.residentgraph import build_resident_graph
+    dense, dense_t = build_hot_dense(lap, spec, np.float32)
+    host = build_resident_graph(lap, spec, dense, dense_t)
+
+    results = {}
+    for name, mesh, parts in [
+            ("rep", make_mesh(2), 0),
+            ("sharded", make_hybrid_mesh(dp=2, part=N_PARTS), N_PARTS)]:
+        pipe = BatchPipeline(cfg, lap, small_graph.labels, world_size=2,
+                             pool_num=2)
+        net = build_model("graphsage", nhid=32, orders=cfg.orders,
+                          num_classes=small_graph.num_classes)
+        tr = Trainer(net, pipe, small_graph.feats, mesh=mesh, lr=0.05,
+                     sigmoid_loss=False, seed=3, resident_graph=host,
+                     resident_parts=parts, resident_ship_cold=False)
+        m = tr.train_epoch(small_graph.train_nodes, epoch=0)
+        f1, vloss = tr.evaluate(small_graph.valid_nodes, 128, "val")
+        results[name] = (m.train_loss, vloss, f1)
+
+    assert results["sharded"][0] == pytest.approx(results["rep"][0],
+                                                  abs=2e-4)
+    assert results["sharded"][1] == pytest.approx(results["rep"][1],
+                                                  abs=2e-3)
+    assert results["sharded"][2] == pytest.approx(results["rep"][2],
+                                                  abs=2e-2)
 
 
 def test_sharded_train_step_matches_dp(small_graph):
