@@ -121,43 +121,51 @@ def _parse_losses(out: str):
     return tl, fg
 
 
-def test_two_process_training_matches_single_process(tmp_path):
-    """SURVEY §7 step 8 beyond the psum smoke: one minibatch Trainer
-    epoch (part-sharded resident state, DP(2) x part(2)) and two
-    FullGraphTrainer halo steps run on a REAL 2-process jax.distributed
-    cluster, and their losses equal the identical single-process
-    4-device run — the training programs' collective layouts and
-    per-process feeding work across process boundaries, not just
-    axis-index psums."""
-    with socket.socket() as s:
-        s.bind(("127.0.0.1", 0))
-        port = s.getsockname()[1]
-    coord = f"127.0.0.1:{port}"
+def _worker_env():
     env = dict(os.environ)
     env["PYTHONPATH"] = "/root/repo" + os.pathsep + env.get("PYTHONPATH",
                                                             "")
     env.pop("JAX_PLATFORMS", None)
     env.pop("XLA_FLAGS", None)
+    return env
 
+
+@pytest.fixture(scope="module")
+def single_process_losses():
+    """Golden losses from the identical single-process 4-device run
+    (computed once, shared by the 2- and 4-process cluster tests)."""
     single = subprocess.run(
         [sys.executable, "-c", _TRAIN_WORKER, "1"],
-        capture_output=True, timeout=420, env=env)
+        capture_output=True, timeout=420, env=_worker_env())
     assert single.returncode == 0, single.stderr.decode()[-2000:]
-    want_tl, want_fg = _parse_losses(single.stdout.decode())
+    return _parse_losses(single.stdout.decode())
 
+
+def _run_train_cluster(nprocs: int, timeout: int):
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        port = s.getsockname()[1]
+    coord = f"127.0.0.1:{port}"
+    env = _worker_env()
     procs = [subprocess.Popen(
-        [sys.executable, "-c", _TRAIN_WORKER, "2", coord, str(pid)],
+        [sys.executable, "-c", _TRAIN_WORKER, str(nprocs), coord,
+         str(pid)],
         stdout=subprocess.PIPE, stderr=subprocess.PIPE, env=env)
-        for pid in range(2)]
+        for pid in range(nprocs)]
     outs = []
     try:
         for p in procs:
-            out, err = p.communicate(timeout=420)
+            out, err = p.communicate(timeout=timeout)
             outs.append((p.returncode, out.decode(), err.decode()))
     except subprocess.TimeoutExpired:
         for p in procs:
             p.kill()
         pytest.fail("distributed training workers timed out")
+    return outs
+
+
+def _assert_losses_match(outs, want):
+    want_tl, want_fg = want
     for rc, out, err in outs:
         assert rc == 0, f"worker failed:\n{out}\n{err[-3000:]}"
         got_tl, got_fg = _parse_losses(out)
@@ -165,6 +173,31 @@ def test_two_process_training_matches_single_process(tmp_path):
                                                             want_tl)
         assert got_fg == pytest.approx(want_fg, rel=1e-5), (got_fg,
                                                             want_fg)
+
+
+def test_two_process_training_matches_single_process(
+        single_process_losses):
+    """SURVEY §7 step 8 beyond the psum smoke: one minibatch Trainer
+    epoch (part-sharded resident state, DP(2) x part(2)) and two
+    FullGraphTrainer halo steps run on a REAL 2-process jax.distributed
+    cluster, and their losses equal the identical single-process
+    4-device run — the training programs' collective layouts and
+    per-process feeding work across process boundaries, not just
+    axis-index psums."""
+    outs = _run_train_cluster(2, timeout=420)
+    _assert_losses_match(outs, single_process_losses)
+
+
+def test_four_process_training_matches_single_process(
+        single_process_losses):
+    """The same DP(2) x part(2) hybrid programs on a FOUR-process
+    cluster, one device per process — now BOTH mesh axes cross process
+    boundaries (each data-parallel replica's part pair spans two
+    processes, and the gradient psum spans all four), the multi-host
+    shape SURVEY §7 step 8 / BASELINE's scale-out target describes.
+    Losses must equal the single-process 4-device run exactly."""
+    outs = _run_train_cluster(4, timeout=600)
+    _assert_losses_match(outs, single_process_losses)
 
 
 def test_two_process_cluster(tmp_path):
