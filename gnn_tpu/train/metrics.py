@@ -80,3 +80,59 @@ class ScaleFactorTuner:
         else:
             self.active = False
         return self.scale_factor
+
+# --- EpochMetrics (round-4 split) ---------------------------------------
+# The reference's per-epoch timing line (`main.py:196`) as a dataclass,
+# moved here from `trainer.py` so both the epoch loop (`trainer.py`) and
+# the grouped dispatch (`dispatch.py`) can build it without a cycle.
+import dataclasses
+
+import numpy as np
+
+
+@dataclasses.dataclass
+class EpochMetrics:
+    """The reference's per-epoch timing line (`main.py:196`), carrying all
+    of its buckets: spmm fwd/bwd time (`custom_sparse_ops.py:11-12`),
+    data-movement, communication, and execution time.
+
+    ``spmm_*`` and ``communication_time`` are isolated-op estimates:
+    everything inside one jitted program can't be bracketed the way the
+    reference brackets eager torch calls, so the per-layer aggregation
+    ops and the gradient psum / cache all_to_all are timed standalone on
+    the epoch's final batch and scaled by the step count (XLA may overlap
+    them in the real program, so these are upper bounds on their cost)."""
+
+    epoch: int
+    train_loss: float
+    valid_loss: float
+    valid_f1: float
+    data_movement_time: float
+    execution_time: float
+    sample_wait_time: float
+    spmm_fwd_time: float = float("nan")
+    spmm_bwd_time: float = float("nan")
+    communication_time: float = float("nan")
+    # true wall time of the training loop INCLUDING the end-of-epoch
+    # device sync (async dispatch means the per-step buckets alone
+    # under-count queued device work)
+    total_time: float = float("nan")
+
+    def format(self, scale_factor: float = 1.0) -> str:
+        ratio = (self.data_movement_time / self.execution_time
+                 if self.execution_time else 0.0)
+        buckets = ""
+        if np.isfinite(self.total_time):
+            buckets += f"(total {self.total_time:.2f}s)"
+        if np.isfinite(self.spmm_fwd_time):
+            buckets += (f"(spmm {self.spmm_fwd_time:.2f}s/"
+                        f"{self.spmm_bwd_time:.2f}s)"
+                        f"(comm {self.communication_time:.2f}s)")
+        return (f"Epoch: {self.epoch} ({self.sample_wait_time:.2f}s)"
+                f"({self.data_movement_time:.2f}s)"
+                f"({self.execution_time:.2f}s) {buckets}"
+                f"Train Loss: {self.train_loss:.2f}    "
+                f"Valid Loss: {self.valid_loss:.2f} "
+                f"Valid F1: {self.valid_f1:.3f}    "
+                f"scale_factor: {scale_factor:.3f}     "
+                f"ratio: {ratio:.3f}")
