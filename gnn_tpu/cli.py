@@ -224,14 +224,14 @@ def main(argv=None) -> int:
         raise SystemExit("--adj_format pattern is attention-only (the "
                          "aggregation weights are computed on device); "
                          "use coo/hot/resident for graphsage/gcn/gin")
-    if args.model == "gat" and args.adj_format in ("hot", "resident"):
-        # GAT's attention consumes the raw edge list (per-edge softmax
-        # with data-dependent values), so the rank-1 hot decomposition
-        # doesn't apply — but the PATTERN-only transport does: values
-        # never ship (computed on device from q.k), edges ride as int16
-        # cols + per-row counts (~2 bytes/edge, resident-lite-class)
+    if args.model == "gat" and args.adj_format == "hot":
+        # the hot SHIPPED-EDGE format carries precomputed values GAT
+        # never uses; the pattern transport is strictly cheaper there.
+        # (resident mode is GAT's fast path: hot-block attention on the
+        # resident dense block + per-edge cold residual,
+        # gnn_tpu.models.gat.hot_attention_aggregate)
         print("--model gat ships pattern-only edges; overriding "
-              f"--adj_format {args.adj_format} -> pattern", flush=True)
+              f"--adj_format hot -> pattern", flush=True)
         args.adj_format = "pattern"
 
     hot_spec = None
@@ -289,6 +289,13 @@ def main(argv=None) -> int:
                     or (args.resident_stream == "auto"
                         and args.adj_format == "resident"
                         and jax.default_backend() == "tpu"))
+    if args.model == "gat" and stream_tiles:
+        # hot-block attention consumes the cold residual as a per-edge
+        # COO (scores are data-dependent — the tile-densify kernel has
+        # no SDDMM direction); lite mode's COO is the same ~2 B/edge
+        print("--model gat: stream tiles off (cold attention is "
+              "per-edge)", flush=True)
+        stream_tiles = False
     cfg = SamplerConfig(
         batch_size=args.batch_size, samp_num=args.samp_num, orders=orders,
         num_nodes=n, num_classes=graph.num_classes, sampler=args.sampler,

@@ -141,12 +141,129 @@ def edge_attention_aggregate(adj, q_pad, k, v, n_heads: int):
     return y
 
 
+def hot_attention_aggregate(adj, q_pad, k, v, n_heads: int):
+    """Hot-block attention: the resident dense block carries the batch's
+    hot-hot edges, so their scores, softmax terms and aggregation run as
+    DENSE MXU matmuls over the batch-present compacted slots; only the
+    cold residual (~15-30% of edges) pays the per-edge gather/segment
+    route. One row-wise softmax spans both parts exactly.
+
+    ``adj`` is a :class:`~gnn_tpu.ops.hotdense.HotDenseAdj` (resident
+    mode — attention needs only the PATTERN, so the rank-1 recomputed
+    cold values serve purely as a live-edge mask). This is the
+    attention analog of `hot_forward`'s decomposition and exists for
+    the same reason: the per-edge route is gather-bound at 20-40
+    ns/element on TPU, and LADIES minibatch edges concentrate on the
+    hot slots (70-85% at canonical K — benchmarks/RESULTS.md).
+    """
+    H = n_heads
+    n_out = k.shape[1]
+    d = n_out // H
+    scale = 1.0 / jnp.sqrt(jnp.float32(d))
+    if adj.rows.shape[0] == 0 or adj.es_rc is not None:
+        raise ValueError(
+            "hot attention needs the cold COO residual on device: use "
+            "resident lite mode without stream tiles for GAT "
+            "(resident_stream_tiles=False)")
+
+    # --- hot part: compacted [rh, ch] dense scores on the MXU ---
+    sentinel = jnp.int32(1 << 30)
+    rh = adj.present_row_slots.shape[0]
+    ch = adj.present_col_slots.shape[0]
+    r_loc = jnp.take(adj.rowpos, adj.present_row_slots)   # local rows
+    c_loc = jnp.take(adj.colpos, adj.present_col_slots)   # local cols
+    # the present arrays pad by repeating slot 0 — mask pad entries via
+    # the true present counts or cols would double-aggregate
+    n_hot_r = jnp.sum((adj.row_cmp_idx != sentinel).astype(jnp.int32))
+    n_hot_c = jnp.sum((adj.col_cmp_idx != sentinel).astype(jnp.int32))
+    row_ok = jnp.arange(rh) < n_hot_r
+    col_ok = jnp.arange(ch) < n_hot_c
+    d_rows = jnp.take(adj.dense, adj.present_row_slots, axis=0)
+    d_sub = jnp.take(d_rows, adj.present_col_slots, axis=1)  # [rh, ch]
+    mask_hot = (d_sub != 0) & row_ok[:, None] & col_ok[None, :]
+
+    fill0 = dict(axis=0, mode="fill", fill_value=0)
+    q_cmp = jnp.take(q_pad, r_loc, **fill0)
+    k_cmp = jnp.take(k, c_loc, **fill0)
+    v_cmp = jnp.take(v, c_loc, **fill0)
+    split = lambda a: jnp.moveaxis(a.reshape(a.shape[0], H, d), 1, 0)
+    qh, kh, vh = split(q_cmp), split(k_cmp), split(v_cmp)
+    s_hot = jnp.einsum("hrd,hcd->hrc", qh, kh,
+                       preferred_element_type=jnp.float32) * scale
+    s_hot = jnp.where(mask_hot[None], s_hot, -jnp.inf)
+    m_hot = jnp.max(s_hot, axis=2)                         # [H, rh]
+
+    # --- cold residual: chunked per-edge scores ---
+    rows_c = adj.rows.astype(jnp.int32)
+    cols_c = adj.cols.astype(jnp.int32)
+    live = adj.vals.astype(jnp.float32) != 0   # pads ship exactly 0
+    nnz = rows_c.shape[0]
+    n_chunks = max(-(-nnz // _EDGE_CHUNK), 1)
+    pad = n_chunks * _EDGE_CHUNK - nnz
+    rc = jnp.pad(rows_c, (0, pad),
+                 constant_values=adj.nrows - 1).reshape(n_chunks, -1)
+    cc = jnp.pad(cols_c, (0, pad)).reshape(n_chunks, -1)
+    lc = jnp.pad(live, (0, pad)).reshape(n_chunks, -1)
+
+    def score_chunk(_, chunk):
+        r, c, msk = chunk
+        qe = jnp.take(q_pad, r, axis=0).reshape(-1, H, d)
+        ke = jnp.take(k, c, axis=0).reshape(-1, H, d)
+        s = jnp.einsum("ehd,ehd->eh", qe, ke) * scale
+        return None, jnp.where(msk[:, None], s, -jnp.inf)
+
+    _, s_cold = jax.lax.scan(score_chunk, None, (rc, cc, lc))
+    s_cold = s_cold.reshape(-1, H)[:nnz]                   # [nnz, H]
+    m_cold = jax.ops.segment_max(s_cold, rows_c,
+                                 num_segments=adj.nrows)   # [nrows, H]
+
+    # --- one softmax across both parts ---
+    m_hot_rows = jnp.take(m_hot.T, adj.row_cmp_idx, axis=0, mode="fill",
+                          fill_value=-jnp.inf)             # [nrows, H]
+    row_max = jnp.maximum(m_cold, m_hot_rows)
+    row_max = jnp.where(jnp.isfinite(row_max), row_max, 0.0)
+
+    rm_cmp = jnp.take(row_max, r_loc, **fill0)             # [rh, H]
+    e_hot = jnp.where(mask_hot[None],
+                      jnp.exp(s_hot - rm_cmp.T[:, :, None]), 0.0)
+    den_hot = jnp.sum(e_hot, axis=2)                       # [H, rh]
+    num_hot = jnp.einsum("hrc,hcd->hrd", e_hot, vh,
+                         preferred_element_type=jnp.float32)
+
+    att_cold = (jnp.exp(s_cold - jnp.take(row_max, rows_c, **fill0))
+                * live[:, None])                           # [nnz, H]
+    den = (jnp.take(den_hot.T, adj.row_cmp_idx, **fill0)
+           + jax.ops.segment_sum(att_cold, rows_c,
+                                 num_segments=adj.nrows))  # [nrows, H]
+
+    att_p = jnp.pad(att_cold, ((0, pad), (0, 0))).reshape(
+        n_chunks, -1, H)
+
+    def agg_chunk(acc, chunk):
+        r, c, a = chunk
+        ve = jnp.take(v, c, axis=0).reshape(-1, H, d)
+        contrib = (ve * a[:, :, None]).reshape(-1, n_out)
+        return acc + jax.ops.segment_sum(
+            contrib, r, num_segments=adj.nrows), None
+
+    num0 = jnp.take(
+        jnp.moveaxis(num_hot, 0, 1).reshape(rh, n_out),
+        adj.row_cmp_idx, **fill0)                          # [nrows, n_out]
+    num, _ = jax.lax.scan(agg_chunk, num0.astype(v.dtype), (rc, cc, att_p))
+    den_e = jnp.maximum(den, 1e-20)[:, :, None]            # [nrows, H, 1]
+    return (num.reshape(adj.nrows, H, d) / den_e).reshape(adj.nrows,
+                                                          n_out)
+
+
 class GATConv(nn.Module):
     """Multi-head dot-product graph attention over a sampled adjacency.
 
-    Two device strategies, selected by problem size (or forced via
-    ``impl``):
+    Three device strategies:
 
+    * ``HotDenseAdj`` input (resident mode) — hot-block attention:
+      dense MXU scores/softmax/aggregation over the resident block's
+      batch-present slots + the per-edge route on the cold residual
+      only. The deployed TPU path at scale.
     * ``'tile'`` — occupied-tile SDDMM + tile softmax + streaming SpMM
       on the MXU; fastest when the dense tile mask fits (small/medium
       minibatches).
@@ -173,6 +290,12 @@ class GATConv(nn.Module):
         q_rows = jnp.take(q, sampled_nodes, axis=0)
         q_pad = jnp.zeros((adj.nrows, self.n_out), q.dtype
                           ).at[: q_rows.shape[0]].set(q_rows)
+
+        from gnn_tpu.ops.hotdense import HotDenseAdj
+        if isinstance(adj, HotDenseAdj):
+            agg = hot_attention_aggregate(adj, q_pad, k, v, self.n_heads)
+            return nn.elu(agg + nn.Dense(self.n_out, name="self")(
+                jnp.take(x, sampled_nodes, axis=0)))
 
         impl = self.impl
         if impl == "auto":

@@ -249,6 +249,115 @@ def test_gat_pattern_transport_matches_coo(small_graph):
     assert payload["pattern"] < payload["coo"] / 2
 
 
+def _resident_setup(small_graph, hot_k=256, orders=(1, 1)):
+    from gnn_tpu.ops.hotdense import HotSpec, build_hot_dense
+    from gnn_tpu.ops.residentgraph import (ResidentGraph,
+                                           build_resident_graph)
+    from gnn_tpu.placement.engine import compute_sample_prob
+    from gnn_tpu.sampling.ladies import SamplerConfig
+    from gnn_tpu.utils.normalize import build_laplacian
+
+    lap = build_laplacian(small_graph.adj_full, "gcn")
+    prob = compute_sample_prob(lap, small_graph.train_nodes, sum(orders))
+    spec = HotSpec.from_sample_prob(prob, hot_k)
+    dense, dense_t = build_hot_dense(lap, spec, np.float32)
+    host = build_resident_graph(lap, spec, dense, dense_t)
+    n, k = host.pop("n"), host.pop("k")
+    host.pop("val_free")
+    g = ResidentGraph(**{f: jnp.asarray(v) for f, v in host.items()},
+                      n=n, k=k)
+    cfg = SamplerConfig(batch_size=64, samp_num=128, orders=orders,
+                        num_nodes=lap.shape[0],
+                        num_classes=small_graph.num_classes,
+                        hot_spec=spec, adj_format="resident",
+                        compress=False, resident_ship_cold=True,
+                        resident_val_free=True)
+    return lap, spec, cfg, g, host
+
+
+@pytest.mark.parametrize("heads", [1, 4])
+def test_hot_block_attention_matches_edge_route(small_graph, heads):
+    """GATConv on a materialized HotDenseAdj (hot-block attention: MXU
+    scores over the resident block's present slots + per-edge cold
+    residual, one shared softmax) equals the per-edge route on the
+    value-carrying COO of the SAME sampled batch."""
+    from gnn_tpu.ops.residentgraph import materialize_adjs
+    from gnn_tpu.sampling.ladies import SamplerConfig, ladies_sample
+    import dataclasses as dc
+
+    lap, spec, cfg, g, _ = _resident_setup(small_graph)
+    mb_r = ladies_sample(cfg, 11, small_graph.train_nodes[:64], lap,
+                         small_graph.labels)
+    cfg_coo = dc.replace(cfg, adj_format="coo", hot_spec=None)
+    mb_c = ladies_sample(cfg_coo, 11, small_graph.train_nodes[:64], lap,
+                         small_graph.labels)
+
+    adjs_r = materialize_adjs(g, list(mb_r.adjs),
+                              [jnp.asarray(s) for s in mb_r.sampled_nodes],
+                              jnp.asarray(mb_r.input_nodes))
+    a_hot, a_coo = adjs_r[0], mb_c.adjs[0]
+    assert (a_hot.nrows, a_hot.ncols) == (a_coo.nrows, a_coo.ncols)
+
+    rng = np.random.RandomState(2)
+    x = jnp.asarray(rng.randn(a_coo.ncols, 24).astype(np.float32))
+    sampled = jnp.asarray(mb_c.sampled_nodes[0])
+    conv_edge = GATConv(n_out=32, n_heads=heads, impl="edge")
+    variables = conv_edge.init(jax.random.PRNGKey(0), x, a_coo, sampled)
+    want = np.asarray(conv_edge.apply(variables, x, a_coo, sampled))
+    got = np.asarray(GATConv(n_out=32, n_heads=heads).apply(
+        variables, x, a_hot, sampled))
+    n_rows = int(np.asarray(a_coo.n_valid_rows))
+    np.testing.assert_allclose(got[:n_rows], want[:n_rows], rtol=2e-4,
+                               atol=2e-4)
+
+    # gradients flow through both parts identically
+    def loss(vars_, adj):
+        conv = GATConv(n_out=32, n_heads=heads, impl="edge")
+        return jnp.sum(conv.apply(vars_, x, adj, sampled)[:n_rows] ** 2)
+
+    g_hot = jax.grad(loss)(variables, a_hot)
+    g_coo = jax.grad(loss)(variables, a_coo)
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_allclose(np.asarray(a),
+                                                np.asarray(b), rtol=5e-3,
+                                                atol=5e-4),
+        g_hot, g_coo)
+
+
+def test_gat_resident_e2e_matches_coo(small_graph):
+    """GAT trained through resident transport (hot-block attention)
+    reproduces the COO-transport run (same seeds; the softmax spans
+    hot+cold exactly)."""
+    from gnn_tpu.models.gnn import build_model
+    from gnn_tpu.parallel.mesh import make_mesh
+    from gnn_tpu.sampling.ladies import SamplerConfig
+    from gnn_tpu.sampling.pipeline import BatchPipeline
+    from gnn_tpu.train.trainer import Trainer
+    import dataclasses as dc
+
+    lap, spec, cfg, g, host = _resident_setup(small_graph)
+    host = dict(host)
+    host.update(n=g.n, k=g.k, val_free=True)
+    losses = {}
+    for fmt in ("coo", "resident"):
+        cfg_f = (cfg if fmt == "resident"
+                 else dc.replace(cfg, adj_format="coo", hot_spec=None))
+        pipe = BatchPipeline(cfg_f, lap, small_graph.labels, world_size=2,
+                             pool_num=2)
+        net = build_model("gat", nhid=16, orders=(1, 1),
+                          num_classes=small_graph.num_classes)
+        tr = Trainer(net, pipe, small_graph.feats, mesh=make_mesh(2),
+                     lr=0.01, sigmoid_loss=False, seed=7,
+                     resident_graph=(host if fmt == "resident" else None))
+        m = tr.train_epoch(small_graph.train_nodes, epoch=0)
+        f1, vloss = tr.evaluate(small_graph.valid_nodes, 128, "val")
+        losses[fmt] = (m.train_loss, vloss, f1)
+    assert losses["resident"][0] == pytest.approx(losses["coo"][0],
+                                                  abs=2e-4)
+    assert losses["resident"][1] == pytest.approx(losses["coo"][1],
+                                                  abs=2e-3)
+
+
 def test_gat_op_timing_skips_pattern_layers(small_graph):
     """--op_timing with GAT's pattern transport must not crash (pattern
     layers have no standalone spmm op; buckets come back NaN-free for
