@@ -250,21 +250,27 @@ def main():
         log(f"  layer {li} [{R}x{C}] nnz={nnz} "
             f"cold={n_cold} ({100 * n_cold / max(nnz, 1):.0f}%) "
             f"present hot rows/cols {rh_pad}/{ch_pad}")
-        # deployed-path floor anatomy (per direction), used both as the
-        # measurement clamp and for the vs_deployed_floor headline:
-        #   hot matmul: max(MXU time of the row-compacted product,
-        #     HBM time of its operands: D rows [rh, k] + slot gather
-        #     [k, F] + in/out rows) — the bigger of compute and traffic
+        # deployed-path floor anatomy, PER DIRECTION (the fwd matmul
+        # compacts over present hot ROWS, the bwd over present COLS —
+        # one shared max() would inflate the cheap direction's floor):
+        #   hot matmul: max(MXU time of the compacted product, HBM time
+        #     of its operands: D rows [n_cmp, k] + slot gather [k, F] +
+        #     in/out rows) — the bigger of compute and traffic
         #   cold: the edge-stream kernel's structural cost law — the
         #     dense MXU cost of the occupied-tile AREA (RESULTS.md:
         #     invariant under grid/tile reshaping), or the segment-sum's
         #     HBM gather floor in the fallback
         d_bytes = 2 if on_tpu else 4
-        hot_mxu = 2.0 * max(rh_pad, ch_pad) * k_pad * n_feats / MXU_FLOPS
-        hot_mem = mem_t(max(rh_pad, ch_pad) * k_pad * d_bytes
+
+        def hot_dir_floor(n_cmp):
+            mxu = 2.0 * n_cmp * k_pad * n_feats / MXU_FLOPS
+            mem = mem_t(n_cmp * k_pad * d_bytes
                         + (k_pad + R + C) * n_feats * 4)
-        hot_floor = (max(hot_mxu, hot_mem)
-                     + mem_t(n_cold * n_feats * 4 * 2))
+            return max(mxu, mem)
+
+        hf_f, hf_b = hot_dir_floor(rh_pad), hot_dir_floor(ch_pad)
+        cold_seg = mem_t(n_cold * n_feats * 4 * 2)
+        hot_floor = (hf_f + cold_seg, hf_b + cold_seg)
         cand["hot"] = (
             (lambda u, a, d, dt: sops.spmm(
                 bind_dense([a], d, dt)[0], u)),
@@ -312,7 +318,7 @@ def main():
             nb_es = tiles.blk_rc.shape[0]
             cold_mxu = (2.0 * nb_es * es_bm * es_bk
                         * (n_feats + es_ecap) / MXU_FLOPS)
-            hs_floor = max(hot_mxu, hot_mem) + cold_mxu
+            hs_floor = (hf_f + cold_mxu, hf_b + cold_mxu)
             cand["hotstream"] = (
                 (lambda u, a, d, t, rv_, nf_:
                  hot_block_forward(a, d, u)
@@ -383,14 +389,17 @@ def main():
             except Exception as e:
                 log(f"  layer {li} {name}: failed {str(e)[:100]}")
                 continue
-            # clamp to the candidate's physical floor (and a 50us noise
-            # floor): two-point calibration through the relay can read
-            # impossibly low under host scheduling noise
-            lo = max(floor, 50e-6)
-            if tf < lo or tb < lo:
+            # clamp to the candidate's per-direction physical floor (and
+            # a 50us noise floor): two-point calibration through the
+            # relay can read impossibly low under host scheduling noise
+            f_f, f_b = floor if isinstance(floor, tuple) else (floor,
+                                                               floor)
+            lo_f, lo_b = max(f_f, 50e-6), max(f_b, 50e-6)
+            if tf < lo_f or tb < lo_b:
                 log(f"  layer {li} {name}: clamped to physical floor "
-                    f"({tf * 1e3:.3f}/{tb * 1e3:.3f} -> {lo * 1e3:.3f} ms)")
-            tf, tb = max(tf, lo), max(tb, lo)
+                    f"({tf * 1e3:.3f}/{tb * 1e3:.3f} -> "
+                    f"{lo_f * 1e3:.3f}/{lo_b * 1e3:.3f} ms)")
+            tf, tb = max(tf, lo_f), max(tb, lo_b)
             t = tf + tb
             log(f"  layer {li} {name}: fwd {tf * 1e3:.3f} ms, "
                 f"bwd {tb * 1e3:.3f} ms "
@@ -412,16 +421,16 @@ def main():
         # val-free
         if "hotstream" in layer_res:
             hot_total += sum(layer_res["hotstream"])
-            hot_floor_total += 2 * hs_floor
-            log(f"  layer {li} deployed floor {2 * hs_floor * 1e3:.3f} ms"
-                f" (hot mxu {2 * hot_mxu * 1e3:.3f} / hot mem "
-                f"{2 * hot_mem * 1e3:.3f} / cold area "
-                f"{2 * cold_mxu * 1e3:.3f}) vs measured "
+            hot_floor_total += sum(hs_floor)
+            log(f"  layer {li} deployed floor {sum(hs_floor) * 1e3:.3f} "
+                f"ms (hot fwd/bwd {hf_f * 1e3:.3f}/{hf_b * 1e3:.3f} + "
+                f"cold area {cold_mxu * 1e3:.3f}/dir over {nb_es} "
+                f"entries) vs measured "
                 f"{sum(layer_res['hotstream']) * 1e3:.3f} ms")
         elif "hot" in layer_res:
             hot_total += sum(layer_res["hot"])
-            hot_floor_total += 2 * hot_floor
-            log(f"  layer {li} deployed floor {2 * hot_floor * 1e3:.3f} "
+            hot_floor_total += sum(hot_floor)
+            log(f"  layer {li} deployed floor {sum(hot_floor) * 1e3:.3f} "
                 f"ms vs measured {sum(layer_res['hot']) * 1e3:.3f} ms")
         results[f"layer{li}"] = {
             k: [round(v[0] * 1e6), round(v[1] * 1e6)]
