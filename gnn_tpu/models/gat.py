@@ -155,6 +155,15 @@ def hot_attention_aggregate(adj, q_pad, k, v, n_heads: int):
     the same reason: the per-edge route is gather-bound at 20-40
     ns/element on TPU, and LADIES minibatch edges concentrate on the
     hot slots (70-85% at canonical K — benchmarks/RESULTS.md).
+
+    Part-sharded resident state (``adj.part_axis`` set,
+    `gnn_tpu.parallel.shardedresident`): each part owns a slot-COLUMN
+    shard of the block, so it masks to the hot columns it owns and the
+    softmax terms combine with one pmax + two psums over the part axis
+    ([rh]/[rh, n_out]-sized — batch-sized, never K-sized). The cold
+    residual is replicated across parts in lite mode; in sharded
+    full-expansion mode (``cold_partial``) its segment max/sums get the
+    same treatment.
     """
     H = n_heads
     n_out = k.shape[1]
@@ -179,7 +188,17 @@ def hot_attention_aggregate(adj, q_pad, k, v, n_heads: int):
     row_ok = jnp.arange(rh) < n_hot_r
     col_ok = jnp.arange(ch) < n_hot_c
     d_rows = jnp.take(adj.dense, adj.present_row_slots, axis=0)
-    d_sub = jnp.take(d_rows, adj.present_col_slots, axis=1)  # [rh, ch]
+    if adj.part_axis is not None:
+        # slot-COLUMN shard [k, ksh]: this part masks to the hot
+        # columns it owns; softmax terms recombine via pmax/psum below
+        ksh = adj.dense.shape[1]
+        lo = jax.lax.axis_index(adj.part_axis) * ksh
+        pcs_loc = adj.present_col_slots - lo
+        owned = (pcs_loc >= 0) & (pcs_loc < ksh)
+        d_sub = jnp.take(d_rows, jnp.clip(pcs_loc, 0, ksh - 1), axis=1)
+        col_ok = col_ok & owned
+    else:
+        d_sub = jnp.take(d_rows, adj.present_col_slots, axis=1)
     mask_hot = (d_sub != 0) & row_ok[:, None] & col_ok[None, :]
 
     fill0 = dict(axis=0, mode="fill", fill_value=0)
@@ -192,6 +211,8 @@ def hot_attention_aggregate(adj, q_pad, k, v, n_heads: int):
                        preferred_element_type=jnp.float32) * scale
     s_hot = jnp.where(mask_hot[None], s_hot, -jnp.inf)
     m_hot = jnp.max(s_hot, axis=2)                         # [H, rh]
+    if adj.part_axis is not None:
+        m_hot = jax.lax.pmax(m_hot, adj.part_axis)
 
     # --- cold residual: chunked per-edge scores ---
     rows_c = adj.rows.astype(jnp.int32)
@@ -216,6 +237,10 @@ def hot_attention_aggregate(adj, q_pad, k, v, n_heads: int):
     s_cold = s_cold.reshape(-1, H)[:nnz]                   # [nnz, H]
     m_cold = jax.ops.segment_max(s_cold, rows_c,
                                  num_segments=adj.nrows)   # [nrows, H]
+    if adj.cold_partial:
+        # sharded full expansion: each part holds only its owned rows'
+        # cold edges — combine the per-part softmax terms
+        m_cold = jax.lax.pmax(m_cold, adj.part_axis)
 
     # --- one softmax across both parts ---
     m_hot_rows = jnp.take(m_hot.T, adj.row_cmp_idx, axis=0, mode="fill",
@@ -229,13 +254,17 @@ def hot_attention_aggregate(adj, q_pad, k, v, n_heads: int):
     den_hot = jnp.sum(e_hot, axis=2)                       # [H, rh]
     num_hot = jnp.einsum("hrc,hcd->hrd", e_hot, vh,
                          preferred_element_type=jnp.float32)
+    if adj.part_axis is not None:
+        # each part summed only its owned hot columns: batch-sized
+        # ([rh]/[rh, n_out]) psums restore the full terms — nothing
+        # K-sized ever moves
+        den_hot = jax.lax.psum(den_hot, adj.part_axis)
+        num_hot = jax.lax.psum(num_hot, adj.part_axis)
 
     att_cold = (jnp.exp(s_cold - jnp.take(row_max, rows_c, **fill0))
                 * live[:, None])                           # [nnz, H]
-    den = (jnp.take(den_hot.T, adj.row_cmp_idx, **fill0)
-           + jax.ops.segment_sum(att_cold, rows_c,
-                                 num_segments=adj.nrows))  # [nrows, H]
-
+    den_cold = jax.ops.segment_sum(att_cold, rows_c,
+                                   num_segments=adj.nrows)
     att_p = jnp.pad(att_cold, ((0, pad), (0, 0))).reshape(
         n_chunks, -1, H)
 
@@ -246,10 +275,17 @@ def hot_attention_aggregate(adj, q_pad, k, v, n_heads: int):
         return acc + jax.ops.segment_sum(
             contrib, r, num_segments=adj.nrows), None
 
-    num0 = jnp.take(
+    num_cold, _ = jax.lax.scan(
+        agg_chunk, jnp.zeros((adj.nrows, n_out), v.dtype),
+        (rc, cc, att_p))
+    if adj.cold_partial:
+        den_cold = jax.lax.psum(den_cold, adj.part_axis)
+        num_cold = jax.lax.psum(num_cold, adj.part_axis)
+
+    den = jnp.take(den_hot.T, adj.row_cmp_idx, **fill0) + den_cold
+    num = num_cold + jnp.take(
         jnp.moveaxis(num_hot, 0, 1).reshape(rh, n_out),
-        adj.row_cmp_idx, **fill0)                          # [nrows, n_out]
-    num, _ = jax.lax.scan(agg_chunk, num0.astype(v.dtype), (rc, cc, att_p))
+        adj.row_cmp_idx, **fill0).astype(v.dtype)          # [nrows, n_out]
     den_e = jnp.maximum(den, 1e-20)[:, :, None]            # [nrows, H, 1]
     return (num.reshape(adj.nrows, H, d) / den_e).reshape(adj.nrows,
                                                           n_out)

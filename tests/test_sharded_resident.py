@@ -227,6 +227,49 @@ def test_sharded_full_expansion_trainer_matches_replicated(small_graph):
                                                   abs=2e-2)
 
 
+@pytest.mark.parametrize("ship_cold", [True, False])
+def test_sharded_hot_attention_matches_replicated(small_graph,
+                                                  ship_cold):
+    """GAT hot-block attention on the part-sharded resident state: each
+    part masks to its owned slot columns and the softmax terms combine
+    via pmax/psum — outputs equal the replicated hot attention on every
+    part, in both lite (replicated cold) and sharded full-expansion
+    (cold_partial) modes."""
+    mesh = _part_mesh()
+    lap, spec, cfg, g_rep, g_sh = _setup(small_graph,
+                                         ship_cold=ship_cold)
+    mb = ladies_sample(cfg, 7, small_graph.train_nodes[:64], lap,
+                       small_graph.labels)
+    adjs = list(mb.adjs)
+    samp = [jnp.asarray(s) for s in mb.sampled_nodes]
+    inp = jnp.asarray(mb.input_nodes)
+
+    from gnn_tpu.models.gat import GATConv
+    from gnn_tpu.ops.residentgraph import materialize_adjs
+    ref_adjs = materialize_adjs(g_rep, adjs, samp, inp)
+    a_rep = ref_adjs[0]
+    rng = np.random.default_rng(3)
+    x = jnp.asarray(rng.normal(size=(a_rep.ncols, 16)).astype(np.float32))
+    conv = GATConv(n_out=32, n_heads=2)
+    variables = conv.init(jax.random.PRNGKey(0), x, a_rep, samp[0])
+    want = np.asarray(conv.apply(variables, x, a_rep, samp[0]))
+
+    def f(g_stacked, adjs, samp, inp):
+        g = local_shard(g_stacked)
+        mat = materialize_adjs(g, adjs, samp, inp)
+        return conv.apply(variables, x, mat[0], samp[0])[None]
+
+    got = jax.jit(jax.shard_map(
+        f, mesh=mesh, in_specs=(P("part"), P(), P(), P()),
+        out_specs=P("part"), check_vma=False))(g_sh, adjs, samp, inp)
+    got = np.asarray(got)
+    n_rows = int(np.asarray(a_rep.n_valid_rows))
+    for p in range(N_PARTS):
+        np.testing.assert_allclose(got[p][:n_rows], want[:n_rows],
+                                   rtol=2e-4, atol=2e-4,
+                                   err_msg=f"p{p}")
+
+
 def test_sharded_train_step_matches_dp(small_graph):
     """One DP(2) x part(4) hybrid train step == the plain DP(2) step
     with the replicated resident graph: identical loss and parameters
