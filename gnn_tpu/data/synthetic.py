@@ -65,9 +65,16 @@ def make_powerlaw_graph(num_nodes: int, avg_degree: int, num_feats: int,
 
     feats = rng.normal(size=(num_nodes, num_feats)).astype(np.float32)
     if multilabel:
-        dense = (rng.random((num_nodes, num_classes)) < 0.15).astype(np.int32)
-        dense[np.arange(num_nodes),
-              rng.integers(0, num_classes, num_nodes)] = 1
+        # feature-correlated multi-hot (~15% positives/class + at least
+        # one label per node) so the sigmoid/multilabel path has signal
+        # to learn — purely random labels made every multilabel e2e run
+        # score F1 0.000 by construction
+        proj = rng.normal(size=(num_feats, num_classes))
+        scores = feats @ proj + 0.5 * rng.normal(
+            size=(num_nodes, num_classes))
+        thresh = np.quantile(scores, 0.85, axis=0, keepdims=True)
+        dense = (scores >= thresh).astype(np.int32)
+        dense[np.arange(num_nodes), np.argmax(scores, axis=1)] = 1
         labels = sp.csr_matrix(dense)
     else:
         # correlate label with features so learning is possible

@@ -122,7 +122,10 @@ def edge_attention_aggregate(adj, q_pad, k, v, n_heads: int):
     scores = scores.reshape(-1, H)[:nnz]                 # [nnz, H]
 
     row_max = jax.ops.segment_max(scores, rows, num_segments=adj.nrows)
-    row_max = jnp.where(jnp.isfinite(row_max), row_max, 0.0)
+    # softmax shift: gradient cancels analytically — drop it from the
+    # autodiff graph (identical grads, less backward work)
+    row_max = jax.lax.stop_gradient(
+        jnp.where(jnp.isfinite(row_max), row_max, 0.0))
     att = jnp.exp(scores - row_max[rows]) * live[:, None]
     denom = jax.ops.segment_sum(att, rows, num_segments=adj.nrows)
     att = att / jnp.maximum(denom[rows], 1e-20)          # [nnz, H]
@@ -139,6 +142,40 @@ def edge_attention_aggregate(adj, q_pad, k, v, n_heads: int):
     y0 = jnp.zeros((adj.nrows, n_out), v.dtype)
     y, _ = jax.lax.scan(agg_chunk, y0, (rc, cc, att_p))
     return y
+
+
+def _psum_terms(fn, axis, *args):
+    """``psum(fn(*args), axis)`` with a backward pass that ALSO psums
+    the input cotangents over ``axis``.
+
+    Inside a shard_map body, plain autodiff through ``lax.psum``
+    produces per-part cotangents whose AVERAGE (not each) is the true
+    gradient — the trainer's design invariant is that sharded-resident
+    grads are bit-identical across the part axis (its gradient psum
+    spans only the data axes), and spmm upholds it because its custom
+    VJP performs the backward psums itself (`ops/hotdense.py`). This
+    wrapper gives the same property to any partial-terms computation:
+    the forward sums each part's partial over the axis, the backward
+    runs the LOCAL vjp and psums the resulting partial input cotangents
+    so every part holds the full gradient."""
+    import functools
+
+    @functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1))
+    def call(f, ax, *a):
+        return jax.tree_util.tree_map(
+            lambda t: jax.lax.psum(t, ax), f(*a))
+
+    def call_fwd(f, ax, *a):
+        out, vjp = jax.vjp(f, *a)
+        return jax.tree_util.tree_map(
+            lambda t: jax.lax.psum(t, ax), out), vjp
+
+    def call_bwd(f, ax, vjp, g):
+        return tuple(jax.tree_util.tree_map(
+            lambda t: jax.lax.psum(t, ax), gr) for gr in vjp(g))
+
+    call.defvjp(call_fwd, call_bwd)
+    return call(fn, axis, *args)
 
 
 def hot_attention_aggregate(adj, q_pad, k, v, n_heads: int):
@@ -207,10 +244,15 @@ def hot_attention_aggregate(adj, q_pad, k, v, n_heads: int):
     v_cmp = jnp.take(v, c_loc, **fill0)
     split = lambda a: jnp.moveaxis(a.reshape(a.shape[0], H, d), 1, 0)
     qh, kh, vh = split(q_cmp), split(k_cmp), split(v_cmp)
-    s_hot = jnp.einsum("hrd,hcd->hrc", qh, kh,
-                       preferred_element_type=jnp.float32) * scale
-    s_hot = jnp.where(mask_hot[None], s_hot, -jnp.inf)
-    m_hot = jnp.max(s_hot, axis=2)                         # [H, rh]
+    # hot scores for the row max only — non-differentiable (the max is
+    # a softmax SHIFT whose gradient cancels analytically, and lax.pmax
+    # has no differentiation rule); the differentiable scores live in
+    # _hot_terms below (XLA CSE merges the duplicate forward einsum)
+    s_ng = jnp.einsum("hrd,hcd->hrc", jax.lax.stop_gradient(qh),
+                      jax.lax.stop_gradient(kh),
+                      preferred_element_type=jnp.float32) * scale
+    s_ng = jnp.where(mask_hot[None], s_ng, -jnp.inf)
+    m_hot = jnp.max(s_ng, axis=2)                          # [H, rh]
     if adj.part_axis is not None:
         m_hot = jax.lax.pmax(m_hot, adj.part_axis)
 
@@ -240,47 +282,77 @@ def hot_attention_aggregate(adj, q_pad, k, v, n_heads: int):
     if adj.cold_partial:
         # sharded full expansion: each part holds only its owned rows'
         # cold edges — combine the per-part softmax terms
-        m_cold = jax.lax.pmax(m_cold, adj.part_axis)
+        # (stop_gradient first: pmax has no differentiation rule)
+        m_cold = jax.lax.pmax(jax.lax.stop_gradient(m_cold),
+                              adj.part_axis)
 
     # --- one softmax across both parts ---
     m_hot_rows = jnp.take(m_hot.T, adj.row_cmp_idx, axis=0, mode="fill",
                           fill_value=-jnp.inf)             # [nrows, H]
     row_max = jnp.maximum(m_cold, m_hot_rows)
-    row_max = jnp.where(jnp.isfinite(row_max), row_max, 0.0)
+    # the max is a softmax SHIFT: its gradient cancels analytically, so
+    # cut it out of the autodiff graph (like jax.nn.softmax) — also
+    # required under part sharding, where lax.pmax has no
+    # differentiation rule
+    row_max = jax.lax.stop_gradient(
+        jnp.where(jnp.isfinite(row_max), row_max, 0.0))
 
     rm_cmp = jnp.take(row_max, r_loc, **fill0)             # [rh, H]
-    e_hot = jnp.where(mask_hot[None],
-                      jnp.exp(s_hot - rm_cmp.T[:, :, None]), 0.0)
-    den_hot = jnp.sum(e_hot, axis=2)                       # [H, rh]
-    num_hot = jnp.einsum("hrc,hcd->hrd", e_hot, vh,
-                         preferred_element_type=jnp.float32)
+
+    def _hot_terms(qh_, kh_, vh_):
+        s = jnp.einsum("hrd,hcd->hrc", qh_, kh_,
+                       preferred_element_type=jnp.float32) * scale
+        e = jnp.where(mask_hot[None],
+                      jnp.exp(s - rm_cmp.T[:, :, None]), 0.0)
+        return (jnp.sum(e, axis=2),                        # [H, rh]
+                jnp.einsum("hrc,hcd->hrd", e, vh_,
+                           preferred_element_type=jnp.float32))
+
     if adj.part_axis is not None:
-        # each part summed only its owned hot columns: batch-sized
-        # ([rh]/[rh, n_out]) psums restore the full terms — nothing
-        # K-sized ever moves
-        den_hot = jax.lax.psum(den_hot, adj.part_axis)
-        num_hot = jax.lax.psum(num_hot, adj.part_axis)
+        # each part sums only its owned hot columns; _psum_terms makes
+        # both the terms AND their input cotangents full on every part
+        # (batch-sized collectives — nothing K-sized moves), keeping
+        # gradients bit-identical across 'part' (the trainer's grad
+        # psum spans only the data axes)
+        den_hot, num_hot = _psum_terms(_hot_terms, adj.part_axis,
+                                       qh, kh, vh)
+    else:
+        den_hot, num_hot = _hot_terms(qh, kh, vh)
 
-    att_cold = (jnp.exp(s_cold - jnp.take(row_max, rows_c, **fill0))
-                * live[:, None])                           # [nnz, H]
-    den_cold = jax.ops.segment_sum(att_cold, rows_c,
-                                   num_segments=adj.nrows)
-    att_p = jnp.pad(att_cold, ((0, pad), (0, 0))).reshape(
-        n_chunks, -1, H)
+    def _cold_terms(qp_, k_, v_, s_c=None):
+        if s_c is None:  # sharded recompute (s_cold's graph is local)
+            def sc(_, chunk):
+                r, c, msk = chunk
+                qe = jnp.take(qp_, r, axis=0).reshape(-1, H, d)
+                ke = jnp.take(k_, c, axis=0).reshape(-1, H, d)
+                s = jnp.einsum("ehd,ehd->eh", qe, ke) * scale
+                return None, jnp.where(msk[:, None], s, -jnp.inf)
 
-    def agg_chunk(acc, chunk):
-        r, c, a = chunk
-        ve = jnp.take(v, c, axis=0).reshape(-1, H, d)
-        contrib = (ve * a[:, :, None]).reshape(-1, n_out)
-        return acc + jax.ops.segment_sum(
-            contrib, r, num_segments=adj.nrows), None
+            _, s_c = jax.lax.scan(sc, None, (rc, cc, lc))
+            s_c = s_c.reshape(-1, H)[:nnz]
+        att = (jnp.exp(s_c - jnp.take(row_max, rows_c, **fill0))
+               * live[:, None])                            # [nnz, H]
+        dc = jax.ops.segment_sum(att, rows_c, num_segments=adj.nrows)
+        att_p = jnp.pad(att, ((0, pad), (0, 0))).reshape(
+            n_chunks, -1, H)
 
-    num_cold, _ = jax.lax.scan(
-        agg_chunk, jnp.zeros((adj.nrows, n_out), v.dtype),
-        (rc, cc, att_p))
+        def agg_chunk(acc, chunk):
+            r, c, a = chunk
+            ve = jnp.take(v_, c, axis=0).reshape(-1, H, d)
+            contrib = (ve * a[:, :, None]).reshape(-1, n_out)
+            return acc + jax.ops.segment_sum(
+                contrib, r, num_segments=adj.nrows), None
+
+        nc, _ = jax.lax.scan(
+            agg_chunk, jnp.zeros((adj.nrows, n_out), v_.dtype),
+            (rc, cc, att_p))
+        return dc, nc
+
     if adj.cold_partial:
-        den_cold = jax.lax.psum(den_cold, adj.part_axis)
-        num_cold = jax.lax.psum(num_cold, adj.part_axis)
+        den_cold, num_cold = _psum_terms(_cold_terms, adj.part_axis,
+                                         q_pad, k, v)
+    else:
+        den_cold, num_cold = _cold_terms(q_pad, k, v, s_cold)
 
     den = jnp.take(den_hot.T, adj.row_cmp_idx, **fill0) + den_cold
     num = num_cold + jnp.take(

@@ -403,18 +403,24 @@ class BatchPipeline:
     def _discard_prime(self, primed):
         """Drop a stale prime: `Future.cancel` removes pending work from
         the FIFO pool (it would otherwise run ahead of eval submissions);
-        completed futures get their exceptions observed — a sampler
-        crash inside a primed batch must not vanish silently."""
+        futures that already ran — or are RUNNING right now, which
+        cancel() cannot stop — get their exceptions observed via a done
+        callback, so a sampler crash inside a primed batch never
+        vanishes silently."""
         import warnings
+
+        def _observe(f):
+            exc = f.exception()
+            if exc is not None:
+                warnings.warn(
+                    f"discarded primed sampler batch raised: {exc!r}")
 
         for group in primed["futures"]:
             for f in group:
-                if not f.cancel() and f.done():
-                    exc = f.exception()
-                    if exc is not None:
-                        warnings.warn(
-                            "discarded primed sampler batch raised: "
-                            f"{exc!r}")
+                if not f.cancel():
+                    # done OR still running: the callback fires now or
+                    # at completion respectively
+                    f.add_done_callback(_observe)
 
     def _prime_next_epoch(self, epoch, target_nodes, rank_chunks, depth):
         """Submit the first ``depth`` step-groups of epoch ``epoch``

@@ -70,8 +70,7 @@ class Trainer(DispatchMixin, OpTimingMixin, EvalMixin):
                  lr: float = 0.01, sigmoid_loss: bool = True,
                  seed: int = 0, feature_source=None, hot_dense=None,
                  steps_per_dispatch: int = 1, resident_graph=None,
-                 resident_parts: int = 0,
-                 resident_ship_cold: bool = True):
+                 resident_parts: int = 0):
         self.net = net
         self.pipeline = pipeline
         self.mesh = mesh if mesh is not None else make_mesh(
@@ -176,12 +175,16 @@ class Trainer(DispatchMixin, OpTimingMixin, EvalMixin):
             # bounded by the 1/P shards from the start.
             from gnn_tpu.parallel.shardedresident import \
                 shard_resident_state
-            # full-expansion mode (resident_ship_cold=False) reads the
-            # CSR on device — ship row-range shards of it (per-chip
-            # footprint E/P); lite mode ships no device CSR at all
+            # full-expansion mode (the pipeline's resident_ship_cold=
+            # False) reads the CSR on device — ship row-range shards of
+            # it (per-chip footprint E/P); lite mode ships no device
+            # CSR at all. Derived from the sampler config so the two
+            # ends cannot disagree.
+            ship_csr = not getattr(self.pipeline.cfg,
+                                   "resident_ship_cold", True)
             g_sh = shard_resident_state(dict(resident_graph),
                                         resident_parts,
-                                        ship_csr=not resident_ship_cold)
+                                        ship_csr=ship_csr)
             shp = NamedSharding(self.mesh, P(self.part_axis))
             self.agg_state = (jax.tree_util.tree_map(
                 lambda a: jax.device_put(jnp.asarray(a), shp), g_sh),)

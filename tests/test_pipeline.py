@@ -166,6 +166,8 @@ def test_stale_prime_is_cancelled_and_observed(small_graph):
         for f in group:
             f.exception()
     # poison one completed future so the discard path must report it
+    # (also covers the RUNNING-at-discard case: cancel() fails and the
+    # done callback observes the exception at completion)
     class _F:
         def cancel(self):
             return False
@@ -175,6 +177,9 @@ def test_stale_prime_is_cancelled_and_observed(small_graph):
 
         def exception(self):
             return RuntimeError("boom")
+
+        def add_done_callback(self, cb):
+            cb(self)
 
     pipe._primed["futures"].append([_F()])
     with warnings.catch_warnings(record=True) as rec:

@@ -214,7 +214,7 @@ def test_sharded_full_expansion_trainer_matches_replicated(small_graph):
                           num_classes=small_graph.num_classes)
         tr = Trainer(net, pipe, small_graph.feats, mesh=mesh, lr=0.05,
                      sigmoid_loss=False, seed=3, resident_graph=host,
-                     resident_parts=parts, resident_ship_cold=False)
+                     resident_parts=parts)
         m = tr.train_epoch(small_graph.train_nodes, epoch=0)
         f1, vloss = tr.evaluate(small_graph.valid_nodes, 128, "val")
         results[name] = (m.train_loss, vloss, f1)
@@ -254,20 +254,36 @@ def test_sharded_hot_attention_matches_replicated(small_graph,
     variables = conv.init(jax.random.PRNGKey(0), x, a_rep, samp[0])
     want = np.asarray(conv.apply(variables, x, a_rep, samp[0]))
 
+    n_rows = int(np.asarray(a_rep.n_valid_rows))
+
+    def loss(vars_, adj):
+        return jnp.sum(conv.apply(vars_, x, adj, samp[0])[:n_rows] ** 2)
+
+    want_grad = jax.grad(loss)(variables, a_rep)
+
     def f(g_stacked, adjs, samp, inp):
         g = local_shard(g_stacked)
         mat = materialize_adjs(g, adjs, samp, inp)
-        return conv.apply(variables, x, mat[0], samp[0])[None]
+        out = conv.apply(variables, x, mat[0], samp[0])[None]
+        # training must differentiate THROUGH the sharded attention
+        # (pmax rides behind stop_gradient; the psums transpose cleanly)
+        grads = jax.grad(loss)(variables, mat[0])
+        return out, jax.tree_util.tree_map(lambda a: a[None], grads)
 
-    got = jax.jit(jax.shard_map(
+    got, got_grads = jax.jit(jax.shard_map(
         f, mesh=mesh, in_specs=(P("part"), P(), P(), P()),
-        out_specs=P("part"), check_vma=False))(g_sh, adjs, samp, inp)
+        out_specs=(P("part"), P("part")), check_vma=False))(
+        g_sh, adjs, samp, inp)
     got = np.asarray(got)
-    n_rows = int(np.asarray(a_rep.n_valid_rows))
     for p in range(N_PARTS):
         np.testing.assert_allclose(got[p][:n_rows], want[:n_rows],
                                    rtol=2e-4, atol=2e-4,
                                    err_msg=f"p{p}")
+    jax.tree_util.tree_map(
+        lambda a, b: [np.testing.assert_allclose(
+            np.asarray(a)[p], np.asarray(b), rtol=5e-3, atol=5e-4)
+            for p in range(N_PARTS)],
+        got_grads, want_grad)
 
 
 def test_sharded_train_step_matches_dp(small_graph):
