@@ -400,8 +400,11 @@ class Trainer(DispatchMixin, OpTimingMixin, EvalMixin):
                             scale_factor=self.pipeline.cfg.scale_factor,
                             device_memory=device_memory_stats())
             # live scale-factor controller (the reference left this
-            # commented out at `main.py:200-212`)
-            if tuner is not None:
+            # commented out at `main.py:200-212`). Epoch 0's execution
+            # bucket is compile-dominated (ratio reads ~0), which would
+            # permanently deactivate the controller before it ever saw
+            # a steady epoch — skip the first measurement.
+            if tuner is not None and epoch > start_epoch:
                 new_sf = tuner.update(m.data_movement_time,
                                       m.execution_time)
                 if new_sf != self.pipeline.cfg.scale_factor:
