@@ -81,6 +81,46 @@ def test_scale_factor_tuner_bisects():
     assert not t.active
 
 
+def test_tuner_skips_compile_epoch(small_graph, monkeypatch):
+    """fit(locality_tuner=True) must NOT feed the tuner epoch 0's
+    buckets: the first epoch's execution time is compile-dominated, its
+    movement/exec ratio reads ~0, and (at sf=1.0) the tuner's
+    middle-zone rule would permanently deactivate the controller before
+    it ever saw a steady epoch (observed on a canonical chip run)."""
+    from gnn_tpu.models.gnn import build_model
+    from gnn_tpu.sampling.ladies import SamplerConfig
+    from gnn_tpu.sampling.pipeline import BatchPipeline
+    from gnn_tpu.train.metrics import EpochMetrics
+    from gnn_tpu.train.trainer import Trainer
+    from gnn_tpu.utils.normalize import build_laplacian
+
+    lap = build_laplacian(small_graph.adj_full, "graphsage")
+    cfg = SamplerConfig(batch_size=32, samp_num=64, orders=(1, 1),
+                        num_nodes=lap.shape[0],
+                        num_classes=small_graph.num_classes)
+    pipe = BatchPipeline(cfg, lap, small_graph.labels, world_size=1,
+                         pool_num=1)
+    net = build_model("graphsage", nhid=8, orders=(1, 1),
+                      num_classes=small_graph.num_classes)
+    tr = Trainer(net, pipe, small_graph.feats, lr=0.01,
+                 sigmoid_loss=False)
+
+    def fake_epoch(train_nodes, epoch, rank_chunks=None):
+        # epoch 0 looks compile-dominated (ratio ~0); later epochs are
+        # movement-dominated (ratio 5.0 -> the tuner should double)
+        exec_t = 100.0 if epoch == 0 else 1.0
+        return EpochMetrics(epoch=epoch, train_loss=1.0, valid_loss=1.0,
+                            valid_f1=0.0, data_movement_time=5.0,
+                            execution_time=exec_t, sample_wait_time=0.0)
+
+    monkeypatch.setattr(tr, "train_epoch", fake_epoch)
+    monkeypatch.setattr(tr, "evaluate", lambda *a, **k: (0.0, 1.0))
+    tr.fit(small_graph.train_nodes, small_graph.valid_nodes, epochs=3,
+           log=False, locality_tuner=True)
+    # epoch 0 skipped; epochs 1-2 (ratio 5.0) double twice: 1 -> 2 -> 4
+    assert tr.pipeline.cfg.scale_factor == 4.0
+
+
 def test_loss_matches_torch_formulas():
     """Golden check of `utils.py:129-140` semantics: BCEWithLogits with
     per-example weight 1/B sum reduction, and weighted CE."""
