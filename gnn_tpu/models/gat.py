@@ -302,8 +302,13 @@ def hot_attention_aggregate(adj, q_pad, k, v, n_heads: int):
     def _hot_terms(qh_, kh_, vh_):
         s = jnp.einsum("hrd,hcd->hrc", qh_, kh_,
                        preferred_element_type=jnp.float32) * scale
-        e = jnp.where(mask_hot[None],
-                      jnp.exp(s - rm_cmp.T[:, :, None]), 0.0)
+        # premask to -inf BEFORE the exp: masked entries' raw s - rm
+        # can exceed the f32 exp range, and while where() discards the
+        # inf in the forward, the exp VJP recomputes it against a zero
+        # cotangent — 0 * inf = NaN (bit us at canonical magnitudes;
+        # small-scale tests never overflow)
+        s = jnp.where(mask_hot[None], s, -jnp.inf)
+        e = jnp.exp(s - rm_cmp.T[:, :, None])
         return (jnp.sum(e, axis=2),                        # [H, rh]
                 jnp.einsum("hrc,hcd->hrd", e, vh_,
                            preferred_element_type=jnp.float32))

@@ -324,6 +324,38 @@ def test_hot_block_attention_matches_edge_route(small_graph, heads):
         g_hot, g_coo)
 
 
+def test_hot_attention_grads_finite_at_large_magnitudes(small_graph):
+    """Gradients through hot-block attention must stay finite when raw
+    scores exceed the f32 exp range: masked score entries are not
+    bounded by the row max, and an unmasked exp(s - rm) overflows to
+    inf in the VJP where the cotangent is 0 — 0 * inf = NaN (regression
+    from a canonical-scale chip run; small magnitudes never trip it)."""
+    from gnn_tpu.ops.residentgraph import materialize_adjs
+    from gnn_tpu.sampling.ladies import ladies_sample
+
+    lap, spec, cfg, g, _ = _resident_setup(small_graph)
+    mb = ladies_sample(cfg, 11, small_graph.train_nodes[:64], lap,
+                       small_graph.labels)
+    adjs = materialize_adjs(g, list(mb.adjs),
+                            [jnp.asarray(s) for s in mb.sampled_nodes],
+                            jnp.asarray(mb.input_nodes))
+    a_hot = adjs[0]
+    rng = np.random.RandomState(2)
+    # 50x features push q.k far past exp's f32 range (s ~ thousands)
+    x = jnp.asarray(50.0 * rng.randn(a_hot.ncols, 24).astype(np.float32))
+    sampled = jnp.asarray(mb.sampled_nodes[0])
+    conv = GATConv(n_out=32, n_heads=2)
+    variables = conv.init(jax.random.PRNGKey(0), x, a_hot, sampled)
+
+    def loss(vars_):
+        return jnp.sum(conv.apply(vars_, x, a_hot, sampled) ** 2)
+
+    val, grads = jax.value_and_grad(loss)(variables)
+    assert np.isfinite(float(val))
+    for leaf in jax.tree_util.tree_leaves(grads):
+        assert np.isfinite(np.asarray(leaf)).all()
+
+
 def test_gat_resident_e2e_matches_coo(small_graph):
     """GAT trained through resident transport (hot-block attention)
     reproduces the COO-transport run (same seeds; the softmax spans
