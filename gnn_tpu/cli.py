@@ -289,13 +289,10 @@ def main(argv=None) -> int:
                     or (args.resident_stream == "auto"
                         and args.adj_format == "resident"
                         and jax.default_backend() == "tpu"))
-    if args.model == "gat" and stream_tiles:
-        # hot-block attention consumes the cold residual as a per-edge
-        # COO (scores are data-dependent — the tile-densify kernel has
-        # no SDDMM direction); lite mode's COO is the same ~2 B/edge
-        print("--model gat: stream tiles off (cold attention is "
-              "per-edge)", flush=True)
-        stream_tiles = False
+    # GAT composes with stream tiles too: the cold attention runs the
+    # SDDMM-direction edge-stream kernels (gnn_tpu.ops.pallas_esattn —
+    # tile-dense masked flash attention over the same packed coords the
+    # SpMM direction streams), so the per-edge gather route never runs.
     cfg = SamplerConfig(
         batch_size=args.batch_size, samp_num=args.samp_num, orders=orders,
         num_nodes=n, num_classes=graph.num_classes, sampler=args.sampler,

@@ -181,9 +181,12 @@ def _psum_terms(fn, axis, *args):
 def hot_attention_aggregate(adj, q_pad, k, v, n_heads: int):
     """Hot-block attention: the resident dense block carries the batch's
     hot-hot edges, so their scores, softmax terms and aggregation run as
-    DENSE MXU matmuls over the batch-present compacted slots; only the
-    cold residual (~15-30% of edges) pays the per-edge gather/segment
-    route. One row-wise softmax spans both parts exactly.
+    DENSE MXU matmuls over the batch-present compacted slots; the cold
+    residual (~15-30% of edges) runs the SDDMM-direction edge-stream
+    kernels when the batch ships stream tiles (``adj.es_rc`` set —
+    tile-dense masked flash attention, `gnn_tpu.ops.pallas_esattn`), or
+    the chunked per-edge gather/segment route on a shipped cold COO.
+    One row-wise softmax spans both parts exactly.
 
     ``adj`` is a :class:`~gnn_tpu.ops.hotdense.HotDenseAdj` (resident
     mode — attention needs only the PATTERN, so the rank-1 recomputed
@@ -206,11 +209,15 @@ def hot_attention_aggregate(adj, q_pad, k, v, n_heads: int):
     n_out = k.shape[1]
     d = n_out // H
     scale = 1.0 / jnp.sqrt(jnp.float32(d))
-    if adj.rows.shape[0] == 0 or adj.es_rc is not None:
-        raise ValueError(
-            "hot attention needs the cold COO residual on device: use "
-            "resident lite mode without stream tiles for GAT "
-            "(resident_stream_tiles=False)")
+    # three cold strategies: edge-stream tiles (the deployed TPU path —
+    # tile-dense flash attention on the packed coords,
+    # gnn_tpu.ops.pallas_esattn), the chunked per-edge route (COO on
+    # device), or nothing (a fully-hot layer with zero cold capacity)
+    use_es = adj.es_rc is not None
+    cold_empty = (not use_es) and adj.rows.shape[0] == 0
+    if use_es:
+        assert not adj.cold_partial, \
+            "stream tiles are replicated across parts (lite mode)"
 
     # --- hot part: compacted [rh, ch] dense scores on the MXU ---
     sentinel = jnp.int32(1 << 30)
@@ -256,35 +263,53 @@ def hot_attention_aggregate(adj, q_pad, k, v, n_heads: int):
     if adj.part_axis is not None:
         m_hot = jax.lax.pmax(m_hot, adj.part_axis)
 
-    # --- cold residual: chunked per-edge scores ---
-    rows_c = adj.rows.astype(jnp.int32)
-    cols_c = adj.cols.astype(jnp.int32)
-    live = adj.vals.astype(jnp.float32) != 0   # pads ship exactly 0
-    nnz = rows_c.shape[0]
-    n_chunks = max(-(-nnz // _EDGE_CHUNK), 1)
-    pad = n_chunks * _EDGE_CHUNK - nnz
-    rc = jnp.pad(rows_c, (0, pad),
-                 constant_values=adj.nrows - 1).reshape(n_chunks, -1)
-    cc = jnp.pad(cols_c, (0, pad)).reshape(n_chunks, -1)
-    lc = jnp.pad(live, (0, pad)).reshape(n_chunks, -1)
+    # --- cold residual, pass 1: per-row score max ---
+    if use_es:
+        # SDDMM-direction edge-stream: the packed cold tiles densify on
+        # the MXU and the row max never materializes per-edge scores
+        from gnn_tpu.ops import pallas_esattn as esat
+        es_interp = jax.default_backend() != "tpu"
+        qs = q_pad * scale            # fold the scale into q once
+        m_cold = esat.cold_attention_rowmax(
+            adj.es_coords, adj.es_rc, adj.es_off,
+            jax.lax.stop_gradient(qs), jax.lax.stop_gradient(k),
+            n_heads=H, bm=adj.es_bm, bk=adj.es_bk, interpret=es_interp)
+        # kernel emits float32-min for rows with no cold edges; restore
+        # the -inf convention the combine below expects
+        m_cold = jnp.where(m_cold > esat.NEG_SENTINEL / 2, m_cold,
+                           -jnp.inf)
+    elif cold_empty:
+        m_cold = jnp.full((adj.nrows, H), -jnp.inf)
+    else:
+        # chunked per-edge scores (COO residual on device)
+        rows_c = adj.rows.astype(jnp.int32)
+        cols_c = adj.cols.astype(jnp.int32)
+        live = adj.vals.astype(jnp.float32) != 0  # pads ship exactly 0
+        nnz = rows_c.shape[0]
+        n_chunks = max(-(-nnz // _EDGE_CHUNK), 1)
+        pad = n_chunks * _EDGE_CHUNK - nnz
+        rc = jnp.pad(rows_c, (0, pad),
+                     constant_values=adj.nrows - 1).reshape(n_chunks, -1)
+        cc = jnp.pad(cols_c, (0, pad)).reshape(n_chunks, -1)
+        lc = jnp.pad(live, (0, pad)).reshape(n_chunks, -1)
 
-    def score_chunk(_, chunk):
-        r, c, msk = chunk
-        qe = jnp.take(q_pad, r, axis=0).reshape(-1, H, d)
-        ke = jnp.take(k, c, axis=0).reshape(-1, H, d)
-        s = jnp.einsum("ehd,ehd->eh", qe, ke) * scale
-        return None, jnp.where(msk[:, None], s, -jnp.inf)
+        def score_chunk(_, chunk):
+            r, c, msk = chunk
+            qe = jnp.take(q_pad, r, axis=0).reshape(-1, H, d)
+            ke = jnp.take(k, c, axis=0).reshape(-1, H, d)
+            s = jnp.einsum("ehd,ehd->eh", qe, ke) * scale
+            return None, jnp.where(msk[:, None], s, -jnp.inf)
 
-    _, s_cold = jax.lax.scan(score_chunk, None, (rc, cc, lc))
-    s_cold = s_cold.reshape(-1, H)[:nnz]                   # [nnz, H]
-    m_cold = jax.ops.segment_max(s_cold, rows_c,
-                                 num_segments=adj.nrows)   # [nrows, H]
-    if adj.cold_partial:
-        # sharded full expansion: each part holds only its owned rows'
-        # cold edges — combine the per-part softmax terms
-        # (stop_gradient first: pmax has no differentiation rule)
-        m_cold = jax.lax.pmax(jax.lax.stop_gradient(m_cold),
-                              adj.part_axis)
+        _, s_cold = jax.lax.scan(score_chunk, None, (rc, cc, lc))
+        s_cold = s_cold.reshape(-1, H)[:nnz]               # [nnz, H]
+        m_cold = jax.ops.segment_max(s_cold, rows_c,
+                                     num_segments=adj.nrows)
+        if adj.cold_partial:
+            # sharded full expansion: each part holds only its owned
+            # rows' cold edges — combine the per-part softmax terms
+            # (stop_gradient first: pmax has no differentiation rule)
+            m_cold = jax.lax.pmax(jax.lax.stop_gradient(m_cold),
+                                  adj.part_axis)
 
     # --- one softmax across both parts ---
     m_hot_rows = jnp.take(m_hot.T, adj.row_cmp_idx, axis=0, mode="fill",
@@ -324,46 +349,70 @@ def hot_attention_aggregate(adj, q_pad, k, v, n_heads: int):
     else:
         den_hot, num_hot = _hot_terms(qh, kh, vh)
 
-    def _cold_terms(qp_, k_, v_, s_c=None):
-        if s_c is None:  # sharded recompute (s_cold's graph is local)
-            def sc(_, chunk):
-                r, c, msk = chunk
-                qe = jnp.take(qp_, r, axis=0).reshape(-1, H, d)
-                ke = jnp.take(k_, c, axis=0).reshape(-1, H, d)
-                s = jnp.einsum("ehd,ehd->eh", qe, ke) * scale
-                return None, jnp.where(msk[:, None], s, -jnp.inf)
-
-            _, s_c = jax.lax.scan(sc, None, (rc, cc, lc))
-            s_c = s_c.reshape(-1, H)[:nnz]
-        att = (jnp.exp(s_c - jnp.take(row_max, rows_c, **fill0))
-               * live[:, None])                            # [nnz, H]
-        dc = jax.ops.segment_sum(att, rows_c, num_segments=adj.nrows)
-        att_p = jnp.pad(att, ((0, pad), (0, 0))).reshape(
-            n_chunks, -1, H)
-
-        def agg_chunk(acc, chunk):
-            r, c, a = chunk
-            ve = jnp.take(v_, c, axis=0).reshape(-1, H, d)
-            contrib = (ve * a[:, :, None]).reshape(-1, n_out)
-            return acc + jax.ops.segment_sum(
-                contrib, r, num_segments=adj.nrows), None
-
-        nc, _ = jax.lax.scan(
-            agg_chunk, jnp.zeros((adj.nrows, n_out), v_.dtype),
-            (rc, cc, att_p))
-        return dc, nc
-
-    if adj.cold_partial:
-        den_cold, num_cold = _psum_terms(_cold_terms, adj.part_axis,
-                                         q_pad, k, v)
+    # --- cold pass 2: softmax denominators + aggregation ---
+    if use_es:
+        # tile-dense softmax terms + aggregation on the MXU
+        # (flash-attention-style custom VJP; no per-edge score table,
+        # no gathers — the SDDMM direction of the edge-stream kernel).
+        # Replicated across parts in lite mode, so no psum.
+        den_cold, num_cold = esat.cold_attention_terms(
+            adj.es_coords, adj.es_rc, adj.es_off, adj.es_ord,
+            qs, k, v, row_max, n_heads=H, bm=adj.es_bm, bk=adj.es_bk,
+            interpret=es_interp)
+    elif cold_empty:
+        den_cold = jnp.zeros((adj.nrows, H), jnp.float32)
+        num_cold = jnp.zeros((adj.nrows, n_out), jnp.float32)
     else:
-        den_cold, num_cold = _cold_terms(q_pad, k, v, s_cold)
+        def _cold_terms(qp_, k_, v_, s_c=None):
+            if s_c is None:  # sharded recompute (s_cold's graph is local)
+                def sc(_, chunk):
+                    r, c, msk = chunk
+                    qe = jnp.take(qp_, r, axis=0).reshape(-1, H, d)
+                    ke = jnp.take(k_, c, axis=0).reshape(-1, H, d)
+                    s = jnp.einsum("ehd,ehd->eh", qe, ke) * scale
+                    return None, jnp.where(msk[:, None], s, -jnp.inf)
+
+                _, s_c = jax.lax.scan(sc, None, (rc, cc, lc))
+                s_c = s_c.reshape(-1, H)[:nnz]
+            att = (jnp.exp(s_c - jnp.take(row_max, rows_c, **fill0))
+                   * live[:, None])                        # [nnz, H]
+            dc = jax.ops.segment_sum(att, rows_c,
+                                     num_segments=adj.nrows)
+            att_p = jnp.pad(att, ((0, pad), (0, 0))).reshape(
+                n_chunks, -1, H)
+
+            def agg_chunk(acc, chunk):
+                r, c, a = chunk
+                ve = jnp.take(v_, c, axis=0).reshape(-1, H, d)
+                contrib = (ve * a[:, :, None]).reshape(-1, n_out)
+                return acc + jax.ops.segment_sum(
+                    contrib, r, num_segments=adj.nrows), None
+
+            nc, _ = jax.lax.scan(
+                agg_chunk, jnp.zeros((adj.nrows, n_out), v_.dtype),
+                (rc, cc, att_p))
+            return dc, nc
+
+        if adj.cold_partial:
+            den_cold, num_cold = _psum_terms(_cold_terms, adj.part_axis,
+                                             q_pad, k, v)
+        else:
+            den_cold, num_cold = _cold_terms(q_pad, k, v, s_cold)
+    num_cold = num_cold.astype(v.dtype)
 
     den = jnp.take(den_hot.T, adj.row_cmp_idx, **fill0) + den_cold
     num = num_cold + jnp.take(
         jnp.moveaxis(num_hot, 0, 1).reshape(rh, n_out),
         adj.row_cmp_idx, **fill0).astype(v.dtype)          # [nrows, n_out]
-    den_e = jnp.maximum(den, 1e-20)[:, :, None]            # [nrows, H, 1]
+    # den == 0 exactly iff the row has NO edges (any edge contributes
+    # exp(s - rm) with rm == its row's max, so den >= ~1 otherwise —
+    # pad rows only). Substitute 1, NOT a tiny epsilon: the division
+    # VJP computes -g * num / den^2, and 1e-40 overflows the f32
+    # reciprocal to inf, making 0 * inf = NaN COTANGENTS at pad rows.
+    # The per-edge segment-sum backward silently discarded those NaNs
+    # (its transpose is a gather that never touches edgeless rows); the
+    # edge-stream attention VJP does not, so keep them from existing.
+    den_e = jnp.where(den > 0, den, 1.0)[:, :, None]       # [nrows, H, 1]
     return (num.reshape(adj.nrows, H, d) / den_e).reshape(adj.nrows,
                                                           n_out)
 
@@ -375,8 +424,9 @@ class GATConv(nn.Module):
 
     * ``HotDenseAdj`` input (resident mode) — hot-block attention:
       dense MXU scores/softmax/aggregation over the resident block's
-      batch-present slots + the per-edge route on the cold residual
-      only. The deployed TPU path at scale.
+      batch-present slots + the cold residual via the edge-stream
+      attention kernels (stream tiles) or the per-edge route (cold
+      COO). The deployed TPU path at scale.
     * ``'tile'`` — occupied-tile SDDMM + tile softmax + streaming SpMM
       on the MXU; fastest when the dense tile mask fits (small/medium
       minibatches).

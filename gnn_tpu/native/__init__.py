@@ -303,27 +303,15 @@ def pack_tiles_perm_native(lib, rows: np.ndarray, cols: np.ndarray,
     return coords, tile_cnt, perm
 
 
-def ladies_layer_native(lib, graph: NativeCSR, prev: np.ndarray,
-                        samp_num: int, seed: int,
-                        skew: np.ndarray | None = None,
-                        scale_factor: float = 1.0,
-                        hot_node: np.ndarray | None = None,
-                        tile_spec: tuple | None = None):
-    """One LADIES layer step, fully in native code.
-
-    Returns (after, normfact, rows, cols, vals): the sampled node set,
-    debias vector, and the COO of ``A[prev][:, after]`` with final edge
-    weights — the exact quantities of `sampler.py:113-139`.
-
-    ``hot_node`` (uint8[N], resident-lite mode): emit ONLY the cold
-    edges (row or col not hot) — the hot-hot ones live in the
-    device-resident dense block and never need host materialization.
-
-    ``tile_spec`` = ``(n_rt, n_ct, log2_bm, log2_bk)`` (stream-tiles
-    payload; needs ``hot_node``): skip the COO entirely — the cold
-    edges go STRAIGHT to tile-grouped packed coords in one scan.
-    Returns ``(after, normfact, coords_view, tile_cnt)`` instead.
-    """
+def sample_columns_native(lib, graph: NativeCSR, prev: np.ndarray,
+                          samp_num: int, seed: int,
+                          skew: np.ndarray | None = None,
+                          scale_factor: float = 1.0):
+    """Column-probability build + Gumbel top-k sample + debias vector
+    (the sampling half of `sampler.py:113-131`): returns
+    ``(after, normfact, pos)`` with ``pos`` the global->local column
+    map (-1 = not sampled). Shared by the LADIES per-layer step and the
+    subgraph sampler's one-shot sample."""
     n = graph.shape[1]
     prev = np.ascontiguousarray(prev, np.int32)
     pi = np.zeros(n, np.float64)
@@ -351,21 +339,42 @@ def ladies_layer_native(lib, graph: NativeCSR, prev: np.ndarray,
 
     pos = np.full(n, -1, np.int32)
     pos[after] = np.arange(len(after), dtype=np.int32)
+    return after, normfact, pos
+
+
+def slice_rows_native(lib, graph: NativeCSR, row_set: np.ndarray,
+                      pos: np.ndarray, normfact: np.ndarray,
+                      hot_node: np.ndarray | None = None,
+                      tile_spec: tuple | None = None):
+    """COO (or stream-tile coords) of ``A[row_set][:, sampled]`` with
+    final edge weights — the slicing half of a sampler layer, shared by
+    LADIES (rows = prev) and the subgraph sampler (first layer rows =
+    prev, deeper layers rows = after).
+
+    ``hot_node`` (uint8[N], resident-lite mode): emit ONLY the cold
+    edges (row or col not hot) — the hot-hot ones live in the
+    device-resident dense block and never need host materialization.
+
+    ``tile_spec`` = ``(n_rt, n_ct, log2_bm, log2_bk)`` (stream-tiles
+    payload; needs ``hot_node``): skip the COO entirely — the cold
+    edges go STRAIGHT to tile-grouped packed coords in one scan, and
+    the return is ``(coords_view, tile_cnt)``.
+    """
+    row_set = np.ascontiguousarray(row_set, np.int32)
+    c_i64 = ctypes.c_int64
     if tile_spec is not None:
         assert hot_node is not None, "tile_spec needs hot_node"
         n_rt, n_ct, log2_bm, log2_bk = tile_spec
-        coords, tile_cnt = slice_cold_tiles_native(
-            lib, graph, prev, pos, hot_node, n_rt, n_ct, log2_bm,
+        return slice_cold_tiles_native(
+            lib, graph, row_set, pos, hot_node, n_rt, n_ct, log2_bm,
             log2_bk)
-        return after, normfact, coords, tile_cnt
-    rowlen = np.empty(len(prev), np.int64)
     u8 = ctypes.c_uint8
     if hot_node is not None:
         # fused single-scan cold extraction (count + fill + per-row
         # counts in one pass over the row spans); reusable per-thread
         # buffers avoid the ~70 us/page first-touch tax
-        hot_prev = np.ascontiguousarray(hot_node[prev], np.uint8)
-        rowcnt = np.empty(len(prev), np.int32)
+        hot_prev = np.ascontiguousarray(hot_node[row_set], np.uint8)
+        rowcnt = np.empty(len(row_set), np.int32)
         idx2, dat2, hsplit = graph.ensure_split(hot_node)
         br, bc, bv, _, _, _ = _split_buffers(1 << 16)
         while True:
@@ -374,7 +383,7 @@ def ladies_layer_native(lib, graph: NativeCSR, prev: np.ndarray,
                 _ptr(graph.indptr, ctypes.c_int64),
                 _ptr(hsplit, ctypes.c_int64),
                 _ptr(idx2, ctypes.c_int32), _ptr(dat2, ctypes.c_float),
-                _ptr(prev, ctypes.c_int32), c_i64(len(prev)),
+                _ptr(row_set, ctypes.c_int32), c_i64(len(row_set)),
                 _ptr(pos, ctypes.c_int32), _ptr(normfact, ctypes.c_float),
                 _ptr(hot_prev, u8), c_i64(cap),
                 _ptr(br, ctypes.c_int32), _ptr(bc, ctypes.c_int32),
@@ -382,14 +391,15 @@ def ladies_layer_native(lib, graph: NativeCSR, prev: np.ndarray,
             if n_cold >= 0:
                 break
             br, bc, bv, _, _, _ = _split_buffers(-n_cold)
-        return after, normfact, br[:n_cold], bc[:n_cold], bv[:n_cold]
+        return br[:n_cold], bc[:n_cold], bv[:n_cold]
+    rowlen = np.empty(len(row_set), np.int64)
     lib.slice_cols_count(_ptr(graph.indptr, ctypes.c_int64),
                          _ptr(graph.indices, ctypes.c_int32),
-                         _ptr(prev, ctypes.c_int32), c_i64(len(prev)),
+                         _ptr(row_set, ctypes.c_int32), c_i64(len(row_set)),
                          _ptr(pos, ctypes.c_int32),
                          _ptr(rowlen, ctypes.c_int64))
-    row_off = np.empty(len(prev) + 1, np.int64)
-    lib.prefix_sum(_ptr(rowlen, ctypes.c_int64), c_i64(len(prev)),
+    row_off = np.empty(len(row_set) + 1, np.int64)
+    lib.prefix_sum(_ptr(rowlen, ctypes.c_int64), c_i64(len(row_set)),
                    _ptr(row_off, ctypes.c_int64))
     nnz = int(row_off[-1])
     rows = np.empty(nnz, np.int32)
@@ -398,11 +408,32 @@ def ladies_layer_native(lib, graph: NativeCSR, prev: np.ndarray,
     lib.slice_cols_fill(_ptr(graph.indptr, ctypes.c_int64),
                         _ptr(graph.indices, ctypes.c_int32),
                         _ptr(graph.data, ctypes.c_float),
-                        _ptr(prev, ctypes.c_int32), c_i64(len(prev)),
+                        _ptr(row_set, ctypes.c_int32), c_i64(len(row_set)),
                         _ptr(pos, ctypes.c_int32),
                         _ptr(normfact, ctypes.c_float),
                         _ptr(row_off, ctypes.c_int64),
                         _ptr(rows, ctypes.c_int32),
                         _ptr(cols, ctypes.c_int32),
                         _ptr(vals, ctypes.c_float))
-    return after, normfact, rows, cols, vals
+    return rows, cols, vals
+
+
+def ladies_layer_native(lib, graph: NativeCSR, prev: np.ndarray,
+                        samp_num: int, seed: int,
+                        skew: np.ndarray | None = None,
+                        scale_factor: float = 1.0,
+                        hot_node: np.ndarray | None = None,
+                        tile_spec: tuple | None = None):
+    """One LADIES layer step, fully in native code.
+
+    Returns (after, normfact, rows, cols, vals): the sampled node set,
+    debias vector, and the COO of ``A[prev][:, after]`` with final edge
+    weights — the exact quantities of `sampler.py:113-139`. With
+    ``tile_spec`` (see :func:`slice_rows_native`), returns
+    ``(after, normfact, coords_view, tile_cnt)`` instead.
+    """
+    after, normfact, pos = sample_columns_native(
+        lib, graph, prev, samp_num, seed, skew, scale_factor)
+    out = slice_rows_native(lib, graph, prev, pos, normfact,
+                            hot_node=hot_node, tile_spec=tile_spec)
+    return (after, normfact) + tuple(out)

@@ -199,6 +199,8 @@ class HotDenseAdj:
     # instead of the segment-sum — the packed coords replace
     # rows/cols/vals entirely (those ship as zero-length arrays).
     # Measured on-chip at canonical shapes: 1.5x fwd / 3.4x bwd.
+    # GAT consumes the same tiles through the SDDMM-direction attention
+    # kernels (gnn_tpu.ops.pallas_esattn).
     es_coords: Optional[jnp.ndarray] = None  # int16 [n_cr, EC=256]
     es_rc: Optional[jnp.ndarray] = None      # int32 [nb]
     es_off: Optional[jnp.ndarray] = None     # int32 [2, nb+1]

@@ -1,0 +1,400 @@
+"""Edge-stream ATTENTION: the SDDMM direction of the tile-densify kernel.
+
+GAT's cold residual used to take the chunked per-edge gather route
+(q/k/v gathers + segment max/sum over the cold edges), the same
+20-40 ns/element gather wall every per-edge formulation hits on TPU
+(benchmarks/RESULTS.md) — ~21 s/epoch of async device drain at
+canonical scale. This module removes the per-edge work the same way
+`gnn_tpu.ops.pallas_edgestream` did for SpMM: each occupied cold tile
+is densified ON the MXU from the packed int16 coords (two one-hot
+broadcast-compares + one [bm, E] x [E, bk] matmul), and the attention
+math then runs TILE-DENSE:
+
+    A01[bm, bk]  = R @ C^T                        (occupancy mask)
+    S_h[bm, bk]  = Q_h @ K_h^T                    (SDDMM, per head)
+    masked       = where(A01 > 0, S, -inf)
+    pass 1:  m[r, h]    = max over the row's tiles        (row max)
+    pass 2:  den[r, h]  = sum exp(S - m[r]) over edges    (softmax den)
+             num[r, :]  = exp(S - m[r]) @ V_h             (aggregation)
+    backward (custom VJP, flash-attention style recompute):
+             dS = att * (gden[r, h] + Gnum_h @ V_h^T)
+             dQ_h += dS @ K_h          (row-tile-major pass)
+             dK_h += dS^T @ Q_h        (col-tile-major pass, t_order)
+             dV_h += att^T @ Gnum_h
+
+No [nnz, H] score table ever materializes — per-edge SCORES are never
+written out at all; the softmax terms leave the kernel batch-row-sized.
+This is strictly more fused than "emit per-edge scores in tile order,
+then aggregate through the per-edge-value SpMM": one shipped coord
+buffer (the SAME buffer the SpMM direction uses — `EdgeTiles` layout,
+rt-major entries with a ct-major ``t_order`` permutation) serves the
+max pass, the terms pass and both backward passes.
+
+The reference has no attention model; the per-op bar this answers is
+its load-balanced CUDA kernel (`/root/reference/spmm_cpp/
+cuda_spmm.cu:163-212`) applied to every model family the framework
+ships (VERDICT round-4 Missing #3).
+
+Shapes/layout: heads ride on LANES for the [*, HP=128] row-max /
+denominator arrays (head h in lane h; H <= 128) and as static column
+slices of width d = n_out // H for q/k/v — on real TPU d must be a
+multiple of 128 (canonical GAT: nhid 512, 1-8 heads); interpreter mode
+(CPU tests) takes any d.
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from gnn_tpu.ops.pallas_edgestream import BLK_ROWS, EC
+
+# head-lane padding of the row-max / denominator arrays ([*, HP] f32)
+HP = 128
+
+NEG_SENTINEL = float(np.finfo(np.float32).min)  # -inf stand-in safe under exp
+
+
+def _build_a01(ca_ref, cb_ref, off, cnt, *, bm, bk, shift, dt):
+    """Densify one entry's occupancy mask ``A01 [bm, bk]`` from the
+    2-block coord window (identical window logic to
+    `pallas_edgestream._edge_stream_kernel`; pure 0/1 one-hots)."""
+    base_edge = (off // (BLK_ROWS * EC)) * (BLK_ROWS * EC)
+    io_r = jax.lax.broadcasted_iota(jnp.int32, (bm, EC), 0)
+    io_c = jax.lax.broadcasted_iota(jnp.int32, (bk, EC), 0)
+    io_e = jax.lax.broadcasted_iota(jnp.int32, (1, EC), 1)
+
+    def w_body(w, acc):
+        wa = jnp.minimum(w, BLK_ROWS - 1)
+        wb = jnp.clip(w - BLK_ROWS, 0, BLK_ROWS - 1)
+        ca = ca_ref[pl.ds(wa, 1), :]
+        cb = cb_ref[pl.ds(wb, 1), :]
+        cw = jnp.where(w < BLK_ROWS, ca, cb)             # [1, EC] int32
+        eidx = base_edge + w * EC + io_e
+        valid = jnp.logical_and(eidx >= off, eidx < off + cnt)
+        lr = jnp.where(valid, (cw >> shift) & ((1 << (16 - shift)) - 1),
+                       bm)
+        lc = jnp.where(valid, cw & ((1 << shift) - 1), bk)
+        R = (io_r == lr).astype(dt)                      # [bm, EC]
+        C = (io_c == lc).astype(dt)                      # [bk, EC]
+        return acc + jax.lax.dot_general(
+            R, C, dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)
+
+    d0 = off - base_edge
+    w_lo = d0 // EC
+    w_hi = (d0 + cnt + EC - 1) // EC
+    return jax.lax.fori_loop(w_lo, jnp.where(cnt > 0, w_hi, w_lo),
+                             w_body, jnp.zeros((bm, bk), jnp.float32))
+
+
+def _esattn_kernel(ord_ref, rc_ref, offcnt_ref, ca_ref, cb_ref, *rest,
+                   mode: str, bm: int, bk: int, shift: int, H: int,
+                   d: int):
+    """One kernel body, four modes (max / terms / bwd_q / bwd_kv).
+
+    Entry grid; output blocks key on the entry's row tile (col tile for
+    bwd_kv, whose visit order is ``t_order``) and zero/-inf-init on
+    first visit — the same revisit-accumulation contract as the SpMM
+    edge-stream kernel."""
+    if mode == "max":
+        q_ref, k_ref, m_ref = rest
+    elif mode == "terms":
+        q_ref, k_ref, v_ref, rm_ref, den_ref, num_ref = rest
+    elif mode == "bwd_q":
+        q_ref, k_ref, v_ref, rm_ref, gd_ref, gn_ref, dq_ref = rest
+    else:  # bwd_kv
+        q_ref, k_ref, v_ref, rm_ref, gd_ref, gn_ref, dk_ref, \
+            dv_ref = rest
+    j = pl.program_id(0)
+
+    def out_tile(i):
+        rc = rc_ref[ord_ref[i]]
+        return (rc & 0xFFFF) if mode == "bwd_kv" else (rc >> 16)
+
+    first = jnp.logical_or(j == 0, out_tile(j) != out_tile(
+        jnp.maximum(j - 1, 0)))
+
+    @pl.when(first)
+    def _():
+        if mode == "max":
+            m_ref[:] = jnp.full_like(m_ref, NEG_SENTINEL)
+        elif mode == "terms":
+            den_ref[:] = jnp.zeros_like(den_ref)
+            num_ref[:] = jnp.zeros_like(num_ref)
+        elif mode == "bwd_q":
+            dq_ref[:] = jnp.zeros_like(dq_ref)
+        else:
+            dk_ref[:] = jnp.zeros_like(dk_ref)
+            dv_ref[:] = jnp.zeros_like(dv_ref)
+
+    ent = ord_ref[j]
+    off = offcnt_ref[0, ent]
+    cnt = offcnt_ref[1, ent]
+    dt = q_ref.dtype
+    a01 = _build_a01(ca_ref, cb_ref, off, cnt, bm=bm, bk=bk,
+                     shift=shift, dt=dt)
+    mask = a01 > 0.0
+
+    io_l = jax.lax.broadcasted_iota(jnp.int32, (bm, HP), 1)
+    if mode == "max":
+        m_new = jnp.full((bm, HP), NEG_SENTINEL, jnp.float32)
+    elif mode == "terms":
+        den_new = jnp.zeros((bm, HP), jnp.float32)
+    parts = []
+    parts2 = []
+    for h in range(H):
+        sl = slice(h * d, (h + 1) * d)
+        qh = q_ref[:, sl]                                # [bm, d]
+        kh = k_ref[:, sl]                                # [bk, d]
+        s = jax.lax.dot_general(
+            qh, kh, dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)          # [bm, bk]
+        s = jnp.where(mask, s, NEG_SENTINEL)
+        if mode == "max":
+            mh = jnp.max(s, axis=1, keepdims=True)       # [bm, 1]
+            m_new = jnp.where(io_l == h, mh, m_new)
+            continue
+        rm_col = rm_ref[:, h:h + 1]                      # [bm, 1] f32
+        # NEG_SENTINEL - rm underflows to exactly 0 under exp; masked entries
+        # never contribute (and never NaN — rm is finite by contract)
+        e = jnp.exp(s - rm_col)                          # [bm, bk] f32
+        if mode == "terms":
+            den_h = jnp.sum(e, axis=1, keepdims=True)    # [bm, 1]
+            den_new = jnp.where(io_l == h, den_h, den_new)
+            vh = v_ref[:, sl]                            # [bk, d]
+            parts.append(jnp.dot(e.astype(dt), vh,
+                                 preferred_element_type=jnp.float32))
+            continue
+        vh = v_ref[:, sl]
+        gnh = gn_ref[:, sl]                              # [bm, d]
+        t = gd_ref[:, h:h + 1] + jax.lax.dot_general(
+            gnh, vh, dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)          # [bm, bk]
+        # select, not multiply: rows with no edges can carry NaN/inf
+        # cotangents in t (upstream divisions), and e == 0 must DISCARD
+        # them — matching the segment-sum backward's gather semantics
+        ds = jnp.where(e > 0.0, e * t, 0.0).astype(dt)   # [bm, bk]
+        if mode == "bwd_q":
+            parts.append(jnp.dot(ds, kh,
+                                 preferred_element_type=jnp.float32))
+        else:
+            parts.append(jax.lax.dot_general(
+                ds, qh, dimension_numbers=(((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32))     # [bk, d]
+            parts2.append(jax.lax.dot_general(
+                e.astype(dt), gnh,
+                dimension_numbers=(((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32))     # [bk, d]
+
+    if mode == "max":
+        m_ref[:] = jnp.maximum(m_ref[:], m_new)
+    elif mode == "terms":
+        den_ref[:] += den_new
+        num_ref[:] += jnp.concatenate(parts, axis=1)
+    elif mode == "bwd_q":
+        dq_ref[:] += jnp.concatenate(parts, axis=1)
+    else:
+        dk_ref[:] += jnp.concatenate(parts, axis=1)
+        dv_ref[:] += jnp.concatenate(parts2, axis=1)
+
+
+def _common_specs(nb):
+    blk_a = pl.BlockSpec((BLK_ROWS, EC),
+                         lambda j, o, r, oc:
+                         (oc[0, o[j]] // (BLK_ROWS * EC), 0))
+    blk_b = pl.BlockSpec((BLK_ROWS, EC),
+                         lambda j, o, r, oc:
+                         (oc[0, o[j]] // (BLK_ROWS * EC) + 1, 0))
+    return blk_a, blk_b
+
+
+def _rt_spec(shape):
+    return pl.BlockSpec(shape,
+                        lambda j, o, r, oc: (r[o[j]] >> 16, 0))
+
+
+def _ct_spec(shape):
+    return pl.BlockSpec(shape,
+                        lambda j, o, r, oc: (r[o[j]] & 0xFFFF, 0))
+
+
+def _cast_op(x, interpret):
+    if not interpret and jax.default_backend() == "tpu":
+        return x.astype(jnp.bfloat16)
+    return x
+
+
+def _check_dims(n_out, H, bm, bk, nrows, ncols, q, k, interpret):
+    assert n_out % H == 0, (n_out, H)
+    d = n_out // H
+    assert H <= HP, H
+    assert q.shape == (nrows, n_out), (q.shape, nrows, n_out)
+    assert k.shape == (ncols, n_out), (k.shape, ncols, n_out)
+    if not interpret and jax.default_backend() == "tpu":
+        if d % 128 != 0:
+            raise ValueError(
+                f"edge-stream attention on TPU needs head dim "
+                f"({d}) % 128 == 0 — pick n_heads so nhid/n_heads "
+                f"is a multiple of 128, or use a non-stream format")
+    return d
+
+
+def _call(mode, coords, blk_rc, off, ord_arr, ins, out_shape, out_specs,
+          in_specs_tail, *, bm, bk, H, d, interpret, flops_per_entry):
+    nb = blk_rc.shape[0]
+    blk_a, blk_b = _common_specs(nb)
+    kernel = functools.partial(_esattn_kernel, mode=mode, bm=bm, bk=bk,
+                               shift=bk.bit_length() - 1, H=H, d=d)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,   # ord, blk_rc, off/cnt
+        grid=(nb,),
+        in_specs=[blk_a, blk_b] + in_specs_tail,
+        out_specs=out_specs,
+    )
+    c32 = coords.astype(jnp.int32)
+    bytes_accessed = coords.size * 4 + sum(
+        int(np.prod(x.shape)) * x.dtype.itemsize for x in ins)
+    return pl.pallas_call(
+        kernel, grid_spec=grid_spec, out_shape=out_shape,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=110 * 1024 * 1024),
+        cost_estimate=pl.CostEstimate(
+            flops=nb * flops_per_entry,
+            bytes_accessed=bytes_accessed, transcendentals=nb * bm * bk),
+        interpret=interpret,
+    )(ord_arr, blk_rc, off, c32, c32, *ins)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("n_heads", "bm", "bk", "interpret"))
+def cold_attention_rowmax(coords, blk_rc, off, q, k, *, n_heads: int,
+                          bm: int, bk: int,
+                          interpret: bool = False) -> jnp.ndarray:
+    """Per-row max of the cold edge scores: ``m[r, h] = max_c q_r.k_c``
+    over the packed edges (scale pre-folded into ``q``). Returns
+    [nrows, H] f32; rows with no cold edges read float32 min (treat as
+    -inf). Non-differentiable by design — the softmax shift's gradient
+    cancels (callers stop_gradient the operands)."""
+    nrows, n_out = q.shape
+    ncols = k.shape[0]
+    d = _check_dims(n_out, n_heads, bm, bk, nrows, ncols, q, k,
+                    interpret)
+    nb = blk_rc.shape[0]
+    qc, kc = _cast_op(q, interpret), _cast_op(k, interpret)
+    out = _call(
+        "max", coords, blk_rc, off,
+        jnp.arange(nb, dtype=jnp.int32), [qc, kc],
+        jax.ShapeDtypeStruct((nrows, HP), jnp.float32),
+        _rt_spec((bm, HP)),
+        [_rt_spec((bm, n_out)), _ct_spec((bk, n_out))],
+        bm=bm, bk=bk, H=n_heads, d=d, interpret=interpret,
+        flops_per_entry=2 * bm * bk * (2 * EC + n_out))
+    return out[:, :n_heads]
+
+
+def _terms_fwd_call(coords, blk_rc, off, rm_p, q, k, v, *, H, bm, bk,
+                    interpret):
+    nrows, n_out = q.shape
+    d = n_out // H
+    nb = blk_rc.shape[0]
+    qc, kc, vc = (_cast_op(a, interpret) for a in (q, k, v))
+    den, num = _call(
+        "terms", coords, blk_rc, off,
+        jnp.arange(nb, dtype=jnp.int32), [qc, kc, vc, rm_p],
+        (jax.ShapeDtypeStruct((nrows, HP), jnp.float32),
+         jax.ShapeDtypeStruct((nrows, n_out), jnp.float32)),
+        (_rt_spec((bm, HP)), _rt_spec((bm, n_out))),
+        [_rt_spec((bm, n_out)), _ct_spec((bk, n_out)),
+         _ct_spec((bk, n_out)), _rt_spec((bm, HP))],
+        bm=bm, bk=bk, H=H, d=d, interpret=interpret,
+        flops_per_entry=2 * bm * bk * (2 * EC + 2 * n_out))
+    return den[:, :H], num
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
+def _terms_p(static, coords, blk_rc, off, t_order, rm_p, q, k, v):
+    H, bm, bk, interpret = static
+    return _terms_fwd_call(coords, blk_rc, off, rm_p, q, k, v,
+                           H=H, bm=bm, bk=bk, interpret=interpret)
+
+
+def _terms_p_fwd(static, coords, blk_rc, off, t_order, rm_p, q, k, v):
+    out = _terms_p(static, coords, blk_rc, off, t_order, rm_p, q, k, v)
+    return out, (coords, blk_rc, off, t_order, rm_p, q, k, v)
+
+
+def _terms_p_bwd(static, res, ct):
+    H, bm, bk, interpret = static
+    coords, blk_rc, off, t_order, rm_p, q, k, v = res
+    gden, gnum = ct
+    nrows, n_out = q.shape
+    ncols = k.shape[0]
+    d = n_out // H
+    gd_p = jnp.zeros((nrows, HP), jnp.float32).at[:, :H].set(
+        gden.astype(jnp.float32))
+    gn = gnum.astype(jnp.float32)
+    nb = blk_rc.shape[0]
+    qc, kc, vc = (_cast_op(a, interpret) for a in (q, k, v))
+    gnc = _cast_op(gn, interpret)
+    ins = [qc, kc, vc, rm_p, gd_p, gnc]
+    tail = [_rt_spec((bm, n_out)), _ct_spec((bk, n_out)),
+            _ct_spec((bk, n_out)), _rt_spec((bm, HP)),
+            _rt_spec((bm, HP)), _rt_spec((bm, n_out))]
+    dq = _call(
+        "bwd_q", coords, blk_rc, off,
+        jnp.arange(nb, dtype=jnp.int32), ins,
+        jax.ShapeDtypeStruct((nrows, n_out), jnp.float32),
+        _rt_spec((bm, n_out)), tail,
+        bm=bm, bk=bk, H=H, d=d, interpret=interpret,
+        flops_per_entry=2 * bm * bk * (2 * EC + 3 * n_out))
+    dk, dv = _call(
+        "bwd_kv", coords, blk_rc, off, t_order, ins,
+        (jax.ShapeDtypeStruct((ncols, n_out), jnp.float32),
+         jax.ShapeDtypeStruct((ncols, n_out), jnp.float32)),
+        (_ct_spec((bk, n_out)), _ct_spec((bk, n_out))), tail,
+        bm=bm, bk=bk, H=H, d=d, interpret=interpret,
+        flops_per_entry=2 * bm * bk * (2 * EC + 4 * n_out))
+
+    def _zero(t):
+        return np.zeros(t.shape, dtype=jax.dtypes.float0)
+
+    return (_zero(coords), _zero(blk_rc), _zero(off), _zero(t_order),
+            jnp.zeros_like(rm_p), dq.astype(q.dtype),
+            dk.astype(k.dtype), dv.astype(v.dtype))
+
+
+_terms_p.defvjp(_terms_p_fwd, _terms_p_bwd)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("n_heads", "bm", "bk", "interpret"))
+def cold_attention_terms(coords, blk_rc, off, t_order, q, k, v, row_max,
+                         *, n_heads: int, bm: int, bk: int,
+                         interpret: bool = False):
+    """Softmax terms of the cold residual, tile-dense on the MXU:
+    ``den[r, h] = sum_c exp(s_rc,h - row_max[r, h])`` and
+    ``num[r, :] = sum_c exp(...) * v_c`` over the packed cold edges.
+
+    ``row_max`` [nrows, H] is the GLOBAL (hot+cold) row max, finite
+    everywhere (callers coerce) and treated as a constant (softmax
+    shift — zero cotangent). Differentiable in q/k/v via a
+    flash-attention-style custom VJP that re-runs the tile recompute in
+    two passes (row-tile-major for dQ, ``t_order`` col-tile-major for
+    dK/dV). Returns ``(den [nrows, H] f32, num [nrows, n_out] f32)``.
+    """
+    nrows, n_out = q.shape
+    ncols = k.shape[0]
+    H = n_heads
+    _check_dims(n_out, H, bm, bk, nrows, ncols, q, k, interpret)
+    assert v.shape == (ncols, n_out)
+    assert row_max.shape == (nrows, H), (row_max.shape, nrows, H)
+    rm_p = jnp.zeros((nrows, HP), jnp.float32).at[:, :H].set(
+        jax.lax.stop_gradient(row_max.astype(jnp.float32)))
+    return _terms_p((H, bm, bk, interpret), coords, blk_rc, off,
+                    t_order, rm_p, q, k, v)

@@ -249,7 +249,8 @@ def test_gat_pattern_transport_matches_coo(small_graph):
     assert payload["pattern"] < payload["coo"] / 2
 
 
-def _resident_setup(small_graph, hot_k=256, orders=(1, 1)):
+def _resident_setup(small_graph, hot_k=256, orders=(1, 1),
+                    stream=False):
     from gnn_tpu.ops.hotdense import HotSpec, build_hot_dense
     from gnn_tpu.ops.residentgraph import (ResidentGraph,
                                            build_resident_graph)
@@ -271,21 +272,25 @@ def _resident_setup(small_graph, hot_k=256, orders=(1, 1)):
                         num_classes=small_graph.num_classes,
                         hot_spec=spec, adj_format="resident",
                         compress=False, resident_ship_cold=True,
-                        resident_val_free=True)
+                        resident_val_free=True,
+                        resident_stream_tiles=stream)
     return lap, spec, cfg, g, host
 
 
-@pytest.mark.parametrize("heads", [1, 4])
-def test_hot_block_attention_matches_edge_route(small_graph, heads):
+@pytest.mark.parametrize("heads,stream", [(1, False), (4, False),
+                                          (1, True), (4, True)])
+def test_hot_block_attention_matches_edge_route(small_graph, heads,
+                                                stream):
     """GATConv on a materialized HotDenseAdj (hot-block attention: MXU
-    scores over the resident block's present slots + per-edge cold
-    residual, one shared softmax) equals the per-edge route on the
-    value-carrying COO of the SAME sampled batch."""
+    scores over the resident block's present slots + cold residual via
+    the per-edge route or — ``stream=True`` — the SDDMM-direction
+    edge-stream kernels, one shared softmax) equals the per-edge route
+    on the value-carrying COO of the SAME sampled batch."""
     from gnn_tpu.ops.residentgraph import materialize_adjs
     from gnn_tpu.sampling.ladies import SamplerConfig, ladies_sample
     import dataclasses as dc
 
-    lap, spec, cfg, g, _ = _resident_setup(small_graph)
+    lap, spec, cfg, g, _ = _resident_setup(small_graph, stream=stream)
     mb_r = ladies_sample(cfg, 11, small_graph.train_nodes[:64], lap,
                          small_graph.labels)
     cfg_coo = dc.replace(cfg, adj_format="coo", hot_spec=None)
@@ -324,16 +329,20 @@ def test_hot_block_attention_matches_edge_route(small_graph, heads):
         g_hot, g_coo)
 
 
-def test_hot_attention_grads_finite_at_large_magnitudes(small_graph):
+@pytest.mark.parametrize("stream", [False, True])
+def test_hot_attention_grads_finite_at_large_magnitudes(small_graph,
+                                                        stream):
     """Gradients through hot-block attention must stay finite when raw
     scores exceed the f32 exp range: masked score entries are not
     bounded by the row max, and an unmasked exp(s - rm) overflows to
     inf in the VJP where the cotangent is 0 — 0 * inf = NaN (regression
-    from a canonical-scale chip run; small magnitudes never trip it)."""
+    from a canonical-scale chip run; small magnitudes never trip it).
+    The stream variant covers the edge-stream attention kernels' NaN
+    discipline too (NEG_SENTINEL masking + select-not-multiply VJP)."""
     from gnn_tpu.ops.residentgraph import materialize_adjs
     from gnn_tpu.sampling.ladies import ladies_sample
 
-    lap, spec, cfg, g, _ = _resident_setup(small_graph)
+    lap, spec, cfg, g, _ = _resident_setup(small_graph, stream=stream)
     mb = ladies_sample(cfg, 11, small_graph.train_nodes[:64], lap,
                        small_graph.labels)
     adjs = materialize_adjs(g, list(mb.adjs),
@@ -356,10 +365,12 @@ def test_hot_attention_grads_finite_at_large_magnitudes(small_graph):
         assert np.isfinite(np.asarray(leaf)).all()
 
 
-def test_gat_resident_e2e_matches_coo(small_graph):
+@pytest.mark.parametrize("stream", [False, True])
+def test_gat_resident_e2e_matches_coo(small_graph, stream):
     """GAT trained through resident transport (hot-block attention)
     reproduces the COO-transport run (same seeds; the softmax spans
-    hot+cold exactly)."""
+    hot+cold exactly). ``stream=True`` trains through the
+    SDDMM-direction edge-stream cold attention."""
     from gnn_tpu.models.gnn import build_model
     from gnn_tpu.parallel.mesh import make_mesh
     from gnn_tpu.sampling.ladies import SamplerConfig
@@ -367,7 +378,8 @@ def test_gat_resident_e2e_matches_coo(small_graph):
     from gnn_tpu.train.trainer import Trainer
     import dataclasses as dc
 
-    lap, spec, cfg, g, host = _resident_setup(small_graph)
+    lap, spec, cfg, g, host = _resident_setup(small_graph,
+                                              stream=stream)
     host = dict(host)
     host.update(n=g.n, k=g.k, val_free=True)
     losses = {}
@@ -415,3 +427,36 @@ def test_gat_op_timing_skips_pattern_layers(small_graph):
     tr.train_epoch(small_graph.train_nodes, epoch=0)
     fwd, bwd, comm = tr.measure_op_buckets()
     assert np.isfinite(comm)
+
+
+def test_hot_attention_fully_hot_layer_runs(small_graph):
+    """A resident layer whose cold residual is EMPTY (every sampled edge
+    hot-hot) must run hot-block attention with the cold terms skipped,
+    not crash (round-4 advice: zero cold capacity raised ValueError)."""
+    import dataclasses as dc
+    from gnn_tpu.ops.residentgraph import materialize_adjs
+    from gnn_tpu.sampling.ladies import ladies_sample
+
+    # hot_k >= num_nodes: every node is hot, so no cold edges exist
+    lap, spec, cfg, g, _ = _resident_setup(
+        small_graph, hot_k=small_graph.adj_full.shape[0])
+    mb = ladies_sample(cfg, 11, small_graph.train_nodes[:64], lap,
+                       small_graph.labels)
+    adjs = materialize_adjs(g, list(mb.adjs),
+                            [jnp.asarray(s) for s in mb.sampled_nodes],
+                            jnp.asarray(mb.input_nodes))
+    a = adjs[0]
+    assert int(np.asarray(mb.adjs[0].n_cold)) == 0
+    rng = np.random.RandomState(4)
+    x = jnp.asarray(rng.randn(a.ncols, 24).astype(np.float32))
+    sampled = jnp.asarray(mb.sampled_nodes[0])
+    conv = GATConv(n_out=32, n_heads=2)
+    variables = conv.init(jax.random.PRNGKey(0), x, a, sampled)
+
+    def loss(vars_):
+        return jnp.sum(conv.apply(vars_, x, a, sampled) ** 2)
+
+    val, grads = jax.value_and_grad(loss)(variables)
+    assert np.isfinite(float(val))
+    for leaf in jax.tree_util.tree_leaves(grads):
+        assert np.isfinite(np.asarray(leaf)).all()
