@@ -162,3 +162,77 @@ def test_compressed_payload_half(small_graph):
         np.testing.assert_array_equal(ac.cols.astype(np.int32), au.cols)
         np.testing.assert_allclose(ac.vals.astype(np.float32), au.vals,
                                    rtol=5e-3)
+
+
+def test_subgraph_native_slice_matches_numpy(small_graph):
+    """The subgraph sampler's native row-set slice (`slice_rows_native`,
+    shared with the LADIES layers) equals the scipy slice for BOTH row
+    sets it uses: the batch rows (first layer) and the square
+    after x after re-slice (deeper layers)."""
+    import pytest
+    from gnn_tpu import native as native_mod
+    from gnn_tpu.sampling.ladies import _slice_cols_to_coo
+
+    lib = native_mod.get_lib()
+    if lib is None:
+        pytest.skip("native core unavailable")
+    lap = build_laplacian(small_graph.adj_full, "graphsage")
+    n = lap.shape[0]
+    rng = np.random.RandomState(0)
+    prev = np.sort(rng.choice(n, 48, replace=False)).astype(np.int64)
+    extra = rng.choice(n, 300, replace=False)
+    after = np.unique(np.concatenate([prev, extra]))
+    normfact = rng.uniform(0.1, 1.0, len(after)).astype(np.float32)
+    pos = np.full(n, -1, np.int32)
+    pos[after] = np.arange(len(after), dtype=np.int32)
+    graph = native_mod.NativeCSR(lap)
+    for row_set in (prev, after):
+        want = _slice_cols_to_coo(lap[row_set, :].tocsr(), after, normfact)
+        got = native_mod.slice_rows_native(lib, graph, row_set, pos,
+                                           normfact)
+        for g, w in zip(got, want):
+            np.testing.assert_allclose(g, w, rtol=1e-6)
+
+
+def test_subgraph_resident_stream_trains(small_graph):
+    """`--sampler subgraph` composes with the deployed resident +
+    edge-stream transport (native direct-to-tiles slice): deeper layers
+    share ONE packed square adjacency and training converges."""
+    from gnn_tpu.models.gnn import build_model
+    from gnn_tpu.ops.hotdense import HotSpec, build_hot_dense
+    from gnn_tpu.ops.residentgraph import build_resident_graph
+    from gnn_tpu.placement.engine import compute_sample_prob
+    from gnn_tpu.sampling.pipeline import BatchPipeline
+    from gnn_tpu.train.trainer import Trainer
+
+    lap = build_laplacian(small_graph.adj_full, "graphsage")
+    prob = compute_sample_prob(lap, small_graph.train_nodes, 2)
+    spec = HotSpec.from_sample_prob(prob, 256)
+    dense, dense_t = build_hot_dense(lap, spec, np.float32)
+    host = build_resident_graph(lap, spec, dense, dense_t)
+    host.update(n=lap.shape[0], k=spec.k)
+    cfg = SamplerConfig(batch_size=64, samp_num=128, orders=(1, 1, 1),
+                        num_nodes=lap.shape[0],
+                        num_classes=small_graph.num_classes,
+                        sampler="subgraph", hot_spec=spec,
+                        adj_format="resident",
+                        resident_val_free=host["val_free"],
+                        resident_stream_tiles=True)
+    mb = subgraph_sample(cfg, 3, small_graph.train_nodes[:64], lap,
+                         small_graph.labels)
+    # the two deeper layers share ONE packed object (identical square
+    # adj; the top layer's rows are the batch, so it differs)
+    assert mb.adjs[0] is mb.adjs[1]
+    assert mb.adjs[2] is not mb.adjs[0]
+    if host["val_free"]:
+        assert mb.adjs[0].es_rc is not None
+    pipe = BatchPipeline(cfg, lap, small_graph.labels, world_size=1,
+                         pool_num=2)
+    net = build_model("graphsage", 32, (1, 1, 1),
+                      small_graph.num_classes)
+    tr = Trainer(net, pipe, small_graph.feats, lr=0.05,
+                 sigmoid_loss=False, resident_graph=dict(host))
+    m0 = tr.train_epoch(small_graph.train_nodes, 0)
+    m1 = tr.train_epoch(small_graph.train_nodes, 1)
+    assert np.isfinite(m0.train_loss)
+    assert m1.train_loss < m0.train_loss + 0.2
