@@ -196,13 +196,17 @@ def load_dataset(name: str, root_dir: str | None = None) -> GraphData:
     ``synthetic:nodes=100000,deg=50,feats=602,classes=41[,multilabel]``."""
     if name.startswith("synthetic"):
         kw = dict(num_nodes=100_000, avg_degree=50, num_feats=602,
-                  num_classes=41, seed=0, multilabel=False)
+                  num_classes=41, seed=0, multilabel=False,
+                  homophily=0.0)
         if ":" in name:
             for part in name.split(":", 1)[1].split(","):
                 if part == "multilabel":
                     kw["multilabel"] = True
                     continue
                 k, v = part.split("=")
+                if k == "homophily":
+                    kw["homophily"] = float(v)
+                    continue
                 key = {"nodes": "num_nodes", "deg": "avg_degree",
                        "feats": "num_feats", "classes": "num_classes",
                        "seed": "seed"}[k]
@@ -213,7 +217,11 @@ def load_dataset(name: str, root_dir: str | None = None) -> GraphData:
         cache_root = os.environ.get("GNN_TPU_SYNTH_CACHE",
                                     os.path.join("/tmp", "gnn_tpu_synth"))
         if kw["num_nodes"] >= 100_000 and cache_root:
-            tag = "_".join(f"{k}={v}" for k, v in sorted(kw.items()))
+            # default homophily stays out of the tag so pre-knob caches
+            # remain valid
+            tag_kw = {k: v for k, v in kw.items()
+                      if not (k == "homophily" and v == 0.0)}
+            tag = "_".join(f"{k}={v}" for k, v in sorted(tag_kw.items()))
             path = os.path.join(cache_root, f"{tag}.npz")
             g = _load_graph_cache(path)
             if g is not None:

@@ -30,6 +30,14 @@ def small_graph():
 
 
 @pytest.fixture(scope="session")
+def homophilous_graph():
+    from gnn_tpu.data.synthetic import make_powerlaw_graph
+    return make_powerlaw_graph(num_nodes=3000, avg_degree=14,
+                               num_feats=32, num_classes=7, seed=0,
+                               homophily=0.7)
+
+
+@pytest.fixture(scope="session")
 def multilabel_graph():
     from gnn_tpu.data.synthetic import make_powerlaw_graph
     return make_powerlaw_graph(num_nodes=1000, avg_degree=10, num_feats=16,

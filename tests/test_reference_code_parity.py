@@ -574,3 +574,83 @@ def test_convergence_parity_with_alignment_bug_neutralized(ref,
     m_ours = float(np.mean(l_ours[-18:]))
     assert m_ref < 2.0 and m_ours < 2.0  # both actually trained
     assert abs(m_ref - m_ours) <= 0.25, (m_ref, m_ours)
+
+
+# ---------------------------------------------------------------------------
+# 7. GCN trajectory parity on a HOMOPHILOUS graph (round-4 Weak #4: the
+#    config-model graphs gave GCN nothing to learn, so a GCN regression
+#    was invisible; here the losses actually move AND match)
+# ---------------------------------------------------------------------------
+
+def test_gcn_step_training_parity_on_homophilous_graph(
+        ref, homophilous_graph):
+    import optax
+
+    from gnn_tpu.models.gnn import GNN, GCN
+    from gnn_tpu.train.loss import masked_loss
+    from gnn_tpu.train.trainer import clip_by_global_norm
+    from gnn_tpu.utils.normalize import build_laplacian
+    import jax
+
+    g = homophilous_graph
+    lap = build_laplacian(g.adj_full, "gcn")
+    f, h, c = g.feats.shape[1], 12, g.num_classes
+    torch.manual_seed(2)
+    with cpu_cuda_shim():
+        enc_t = ref.models.GCN(nfeat=f, nhid=h, orders=[1, 1],
+                               dropout=0.0)
+        net_t = ref.models.GNN(encoder=enc_t, num_classes=c, dropout=0.0,
+                               inp=f)
+    net_t.eval()
+    params = {"params": {
+        "encoder": {
+            f"gcs_{i}": {
+                "linear": _copy_linear(enc_t.gcs[i].linear),
+                "scale": jnp.asarray(_np_copy(enc_t.gcs[i].scale)),
+                "offset": jnp.asarray(_np_copy(enc_t.gcs[i].offset))}
+            for i in range(2)},
+        "linear": _copy_linear(net_t.linear),
+    }}
+    net_j = GNN(encoder=GCN(nhid=h, orders=(1, 1), dropout=0.0),
+                num_classes=c, dropout=0.0)
+    opt = optax.adam(0.01)
+    opt_state = opt.init(params)
+    topt = torch.optim.Adam(net_t.parameters(), lr=0.01)
+
+    def jax_loss(p, x, packs, sampled, labels, mask):
+        out = net_j.apply(p, x, packs, sampled)
+        return masked_loss(out, labels, mask, sigmoid_loss=True)
+
+    grad_fn = jax.jit(jax.value_and_grad(jax_loss))
+
+    losses_t, losses_j = [], []
+    for step in range(8):
+        batch = g.train_nodes[step * 32:(step + 1) * 32]
+        adjs, input_ids, out_label, sampled = _ref_sample(
+            ref, lap, g.labels, batch, samp_num=96, orders=(1, 1),
+            seed=300 + step)
+        x_np = g.feats[input_ids].astype(np.float32)
+
+        with cpu_cuda_shim():
+            out = net_t(torch.from_numpy(x_np), adjs, sampled)
+            lt = ref.utils.loss(out, out_label, True, "cpu")
+            topt.zero_grad()
+            lt.backward()
+            torch.nn.utils.clip_grad_norm_(net_t.parameters(), 5)
+            topt.step()
+        losses_t.append(float(lt))
+
+        packs = [_to_pack(a) for a in adjs]
+        s_j = [jnp.asarray(s.astype(np.int32)) for s in sampled]
+        lj, grads = grad_fn(params, jnp.asarray(x_np), packs, s_j,
+                            jnp.asarray(out_label.numpy()),
+                            jnp.ones(out_label.shape[0], np.float32))
+        grads = clip_by_global_norm(grads, 5.0)
+        updates, opt_state = opt.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        losses_j.append(float(lj))
+
+    np.testing.assert_allclose(losses_j, losses_t, rtol=5e-3, atol=5e-3)
+    # the losses MOVE on this graph (learning is visible, unlike the
+    # config-model graphs where GCN was flat)
+    assert losses_t[-1] < losses_t[0] - 1e-3
