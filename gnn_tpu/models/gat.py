@@ -251,17 +251,28 @@ def hot_attention_aggregate(adj, q_pad, k, v, n_heads: int):
     v_cmp = jnp.take(v, c_loc, **fill0)
     split = lambda a: jnp.moveaxis(a.reshape(a.shape[0], H, d), 1, 0)
     qh, kh, vh = split(q_cmp), split(k_cmp), split(v_cmp)
-    # hot scores for the row max only — non-differentiable (the max is
-    # a softmax SHIFT whose gradient cancels analytically, and lax.pmax
-    # has no differentiation rule); the differentiable scores live in
-    # _hot_terms below (XLA CSE merges the duplicate forward einsum)
-    s_ng = jnp.einsum("hrd,hcd->hrc", jax.lax.stop_gradient(qh),
-                      jax.lax.stop_gradient(kh),
-                      preferred_element_type=jnp.float32) * scale
-    s_ng = jnp.where(mask_hot[None], s_ng, -jnp.inf)
-    m_hot = jnp.max(s_ng, axis=2)                          # [H, rh]
+    s_hot = None
     if adj.part_axis is not None:
-        m_hot = jax.lax.pmax(m_hot, adj.part_axis)
+        # sharded path: the row max crosses parts through lax.pmax
+        # (which has no differentiation rule), so it comes from a
+        # stop-gradient score pass; the differentiable scores are
+        # recomputed inside _hot_terms below (inherent to the custom
+        # two-phase psum softmax — a per-part [H, rh, ch/P] einsum)
+        s_ng = jnp.einsum("hrd,hcd->hrc", jax.lax.stop_gradient(qh),
+                          jax.lax.stop_gradient(kh),
+                          preferred_element_type=jnp.float32) * scale
+        s_ng = jnp.where(mask_hot[None], s_ng, -jnp.inf)
+        m_hot = jax.lax.pmax(jnp.max(s_ng, axis=2), adj.part_axis)
+    else:
+        # replicated path: ONE differentiable score einsum serves both
+        # the row max (through stop_gradient — the max is a softmax
+        # shift whose gradient cancels) and the softmax terms below; no
+        # reliance on XLA CSE to merge a duplicate (round-4 advice: CSE
+        # does not fire across custom_vjp boundaries)
+        s_hot = jnp.einsum("hrd,hcd->hrc", qh, kh,
+                           preferred_element_type=jnp.float32) * scale
+        s_hot = jnp.where(mask_hot[None], s_hot, -jnp.inf)
+        m_hot = jax.lax.stop_gradient(jnp.max(s_hot, axis=2))  # [H, rh]
 
     # --- cold residual, pass 1: per-row score max ---
     if use_es:
@@ -347,7 +358,12 @@ def hot_attention_aggregate(adj, q_pad, k, v, n_heads: int):
         den_hot, num_hot = _psum_terms(_hot_terms, adj.part_axis,
                                        qh, kh, vh)
     else:
-        den_hot, num_hot = _hot_terms(qh, kh, vh)
+        # reuse the single differentiable score einsum from the row-max
+        # pass (s_hot) — the hot score matmul runs exactly once
+        e_hot = jnp.exp(s_hot - rm_cmp.T[:, :, None])
+        den_hot = jnp.sum(e_hot, axis=2)                   # [H, rh]
+        num_hot = jnp.einsum("hrc,hcd->hrd", e_hot, vh,
+                             preferred_element_type=jnp.float32)
 
     # --- cold pass 2: softmax denominators + aggregation ---
     if use_es:

@@ -62,8 +62,12 @@ class ScaleFactorTuner:
         self.scale_factor = initial
         self.max_factor = max_factor
         self.active = True
-        self._before = 0.0
-        self._after = 0.0
+        # bisection lower bound starts at the INITIAL factor, not 0:
+        # with initial > 1 and an immediate ratio < 0.1, (0 + sf)/2
+        # would halve toward factors below the visited range
+        # (round-4 advice)
+        self._before = initial
+        self._after = initial
 
     def update(self, movement_time: float, execution_time: float) -> float:
         if not self.active or execution_time <= 0:

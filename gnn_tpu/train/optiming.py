@@ -38,10 +38,15 @@ class OpTimingMixin:
         """Per-step spmm-fwd / spmm-bwd / communication seconds, estimated
         by timing the isolated jitted ops on the epoch's last batch (the
         reference brackets its eager calls the same way conceptually,
-        `custom_sparse_ops.py:21-27`, `main.py:150-168`). Cached — static
-        shapes make the cost epoch-invariant."""
-        if getattr(self, "_op_buckets", None) is not None:
-            return self._op_buckets
+        `custom_sparse_ops.py:21-27`, `main.py:150-168`). Cached keyed
+        on the CURRENT scale factor — shapes are epoch-invariant only
+        until the live ScaleFactorTuner changes cfg.scale_factor
+        (sampled-set sizes shift buckets), so a factor change
+        invalidates the cache (round-4 advice)."""
+        sf_key = float(getattr(self.pipeline.cfg, "scale_factor", 1.0))
+        cached = getattr(self, "_op_buckets", None)
+        if cached is not None and cached[0] == sf_key:
+            return cached[1]
         if getattr(self, "_last_dev_batch", None) is None:
             # packed transport keeps the last batch host-side; ship it
             # once here for the isolated-op timing
@@ -168,5 +173,5 @@ class OpTimingMixin:
                 t_comm += time.perf_counter() - t0
             except Exception:
                 pass
-        self._op_buckets = (t_fwd, t_bwd, t_comm)
-        return self._op_buckets
+        self._op_buckets = (sf_key, (t_fwd, t_bwd, t_comm))
+        return self._op_buckets[1]

@@ -460,3 +460,62 @@ def test_hot_attention_fully_hot_layer_runs(small_graph):
     assert np.isfinite(float(val))
     for leaf in jax.tree_util.tree_leaves(grads):
         assert np.isfinite(np.asarray(leaf)).all()
+
+
+def test_hot_score_einsum_runs_once_in_replicated_path(small_graph):
+    """The replicated hot-block path computes the [H, rh, ch] score
+    matmul exactly ONCE (row max via stop_gradient of the same scores)
+    — not once for the max and once for the terms with XLA CSE hoped to
+    merge them (round-4 advice: CSE does not fire across custom_vjp
+    boundaries in the part-sharded variant of this code)."""
+    from gnn_tpu.models.gat import hot_attention_aggregate
+    from gnn_tpu.ops.residentgraph import materialize_adjs
+    from gnn_tpu.sampling.ladies import ladies_sample
+
+    lap, spec, cfg, g, _ = _resident_setup(small_graph)
+    mb = ladies_sample(cfg, 11, small_graph.train_nodes[:64], lap,
+                       small_graph.labels)
+    adjs = materialize_adjs(g, list(mb.adjs),
+                            [jnp.asarray(s) for s in mb.sampled_nodes],
+                            jnp.asarray(mb.input_nodes))
+    a = adjs[0]
+    H = 2
+    n_out = 32
+    rh = a.present_row_slots.shape[0]
+    ch = a.present_col_slots.shape[0]
+    q = jnp.zeros((a.nrows, n_out))
+    k = jnp.zeros((a.ncols, n_out))
+    v = jnp.zeros((a.ncols, n_out))
+    jaxpr = jax.make_jaxpr(
+        lambda q_, k_, v_: hot_attention_aggregate(a, q_, k_, v_, H))(
+            q, k, v)
+
+    def count_score_dots(jxp):
+        n = 0
+        for eqn in jxp.eqns:
+            if eqn.primitive.name == "dot_general" and \
+                    tuple(eqn.outvars[0].aval.shape) == (H, rh, ch):
+                n += 1
+            for sub in eqn.params.values():
+                if hasattr(sub, "jaxpr"):
+                    n += count_score_dots(sub.jaxpr)
+                elif isinstance(sub, (list, tuple)):
+                    for s in sub:
+                        if hasattr(s, "jaxpr"):
+                            n += count_score_dots(s.jaxpr)
+        return n
+
+    assert count_score_dots(jaxpr.jaxpr) == 1
+
+
+def test_scale_factor_tuner_bisects_within_visited_range():
+    """Bisection from an initial factor > 1 must stay within the
+    visited [initial, current] range, not halve toward 0 (round-4
+    advice: _before initialized to 0.0)."""
+    from gnn_tpu.train.metrics import ScaleFactorTuner
+
+    t = ScaleFactorTuner(initial=4.0)
+    # first steady epoch reads ratio < 0.1: bisect DOWN but not below
+    # the initial factor
+    sf = t.update(movement_time=0.01, execution_time=1.0)
+    assert sf >= 4.0 / 1.0 - 1e-9 and sf <= 4.0
