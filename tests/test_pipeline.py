@@ -187,3 +187,46 @@ def test_stale_prime_is_cancelled_and_observed(small_graph):
         # epoch jump -> stale prime -> discard
         list(pipe._step_groups(small_graph.train_nodes, None, 7))
     assert any("boom" in str(w.message) for w in rec)
+
+
+def test_shape_book_pins_stacked_shapes(small_graph, tmp_path):
+    """Sticky shape buckets: after a big batch grows the book, smaller
+    batches pad UP to the recorded maxima — every stacked step has
+    IDENTICAL leaf shapes (one compiled program), and a fresh pipeline
+    loading the persisted book reproduces them from its first batch
+    (the epoch-0 compile-budget lever)."""
+    import jax
+
+    from gnn_tpu.sampling.pipeline import BatchPipeline
+    from gnn_tpu.sampling.ladies import SamplerConfig, to_device_batch
+    from gnn_tpu.utils.normalize import build_laplacian
+
+    lap = build_laplacian(small_graph.adj_full, "graphsage")
+    cfg = SamplerConfig(batch_size=64, samp_num=128, orders=(1, 1),
+                        num_nodes=small_graph.adj_full.shape[0],
+                        num_classes=small_graph.num_classes)
+    book_path = str(tmp_path / "book.json")
+
+    def shapes_of(mb):
+        return tuple(
+            (tuple(a.shape), str(a.dtype)) for a in
+            jax.tree_util.tree_leaves(to_device_batch(mb)))
+
+    pipe = BatchPipeline(cfg, lap, small_graph.labels, world_size=2,
+                         pool_num=2, shape_book_path=book_path)
+    sigs = [shapes_of(mb) for mb in
+            pipe.train_epoch(small_graph.train_nodes, epoch=0)]
+    # shapes may grow early, but once grown they never shrink: the
+    # LAST signature is the maximum and the set of distinct signatures
+    # is tiny (growth events only)
+    assert len(set(sigs)) <= 3, len(set(sigs))
+    assert sigs[-1] in set(sigs)
+
+    # a fresh pipeline with the persisted book starts AT the maxima
+    pipe2 = BatchPipeline(cfg, lap, small_graph.labels, world_size=2,
+                          pool_num=2, shape_book_path=book_path)
+    sigs2 = [shapes_of(mb) for mb in
+             pipe2.train_epoch(small_graph.train_nodes, epoch=0)]
+    assert len(set(sigs2)) == 1
+    assert sigs2[0] == max(set(sigs), key=lambda s: sum(
+        np.prod(sh) for sh, _ in s))
