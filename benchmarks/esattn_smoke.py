@@ -39,16 +39,67 @@ def main():
 
     for H in (1, 4):
         n_out = 512
+        d = n_out // H
         q = jnp.asarray(rng.randn(nr, n_out).astype(np.float32))
         k = jnp.asarray(rng.randn(nc, n_out).astype(np.float32))
         v = jnp.asarray(rng.randn(nc, n_out).astype(np.float32))
         kw = dict(n_heads=H, bm=256, bk=256)
-        m_real = esat.cold_attention_rowmax(t.coords, t.blk_rc, t.off,
-                                            q, k, **kw)
+
+        def stage(name, fn):
+            try:
+                out = jax.block_until_ready(fn())
+                print(f"H={H} {name}: OK", flush=True)
+                return out
+            except Exception as e:
+                print(f"H={H} {name}: FAILED {type(e).__name__}: "
+                      f"{str(e)[:600]}", flush=True)
+                raise SystemExit(1)
+
         m_intp = esat.cold_attention_rowmax(t.coords, t.blk_rc, t.off,
                                             q, k, interpret=True, **kw)
+        m_real = stage("rowmax", lambda: esat.cold_attention_rowmax(
+            t.coords, t.blk_rc, t.off, q, k, **kw))
         dm = float(jnp.max(jnp.abs(m_real - m_intp)))
         rm = jnp.where(m_intp > esat.NEG_SENTINEL / 2, m_intp, 0.0)
+        rm_p = jnp.zeros((nr, esat.HP), jnp.float32).at[:, :H].set(rm)
+
+        # staged per-kernel checks (pinpoint which Mosaic program
+        # faults; each blocks before the next launches)
+        terms_r = stage("terms-fwd", lambda: esat._terms_fwd_call(
+            t.coords, t.blk_rc, t.off, rm_p, q, k, v, H=H, bm=256,
+            bk=256, interpret=False))
+        gden = jnp.ones((nr, esat.HP), jnp.float32)
+        gnum = jnp.ones((nr, n_out), jnp.float32)
+        ins = [a.astype(jnp.bfloat16) if on_tpu else a
+               for a in (q, k, v)] + [rm_p, gden,
+                                      gnum.astype(jnp.bfloat16)
+                                      if on_tpu else gnum]
+        tail = [esat._rt_spec((256, n_out)), esat._ct_spec((256, n_out)),
+                esat._ct_spec((256, n_out)), esat._rt_spec((256, esat.HP)),
+                esat._rt_spec((256, esat.HP)),
+                esat._rt_spec((256, n_out))]
+        nb = t.blk_rc.shape[0]
+        stage("bwd-q", lambda: esat._call(
+            "bwd_q", t.coords, t.blk_rc, t.off,
+            jnp.arange(nb, dtype=jnp.int32), ins,
+            jax.ShapeDtypeStruct((nr, n_out), jnp.float32),
+            esat._rt_spec((256, n_out)), tail,
+            bm=256, bk=256, H=H, d=d, interpret=False,
+            flops_per_entry=1))
+        ins_kv = ins[:3] + [ins[3].T, ins[4].T, ins[5]]
+        tail_kv = [esat._rt_spec((256, n_out)),
+                   esat._ct_spec((256, n_out)),
+                   esat._ct_spec((256, n_out)),
+                   esat._rt_spec_t((esat.HP, 256)),
+                   esat._rt_spec_t((esat.HP, 256)),
+                   esat._rt_spec((256, n_out))]
+        stage("bwd-kv", lambda: esat._call(
+            "bwd_kv", t.coords, t.blk_rc, t.off, t.t_order, ins_kv,
+            (jax.ShapeDtypeStruct((nc, n_out), jnp.float32),
+             jax.ShapeDtypeStruct((nc, n_out), jnp.float32)),
+            (esat._ct_spec((256, n_out)), esat._ct_spec((256, n_out))),
+            tail_kv, bm=256, bk=256, H=H, d=d, interpret=False,
+            flops_per_entry=1))
 
         def loss(fn_interp, q_, k_, v_):
             dn, nm = esat.cold_attention_terms(
@@ -56,7 +107,8 @@ def main():
                 interpret=fn_interp, **kw)
             return jnp.sum(nm ** 2) + jnp.sum(dn ** 2)
 
-        g_real = jax.grad(loss, argnums=(1, 2, 3))(False, q, k, v)
+        g_real = stage("full-grad", lambda: jax.grad(
+            loss, argnums=(1, 2, 3))(False, q, k, v))
         g_intp = jax.grad(loss, argnums=(1, 2, 3))(True, q, k, v)
         rel = [float(jnp.max(jnp.abs(a - b))
                      / (jnp.max(jnp.abs(b)) + 1e-9))

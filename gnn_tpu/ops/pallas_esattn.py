@@ -60,10 +60,13 @@ HP = 128
 NEG_SENTINEL = float(np.finfo(np.float32).min)  # -inf stand-in safe under exp
 
 
-def _build_a01(ca_ref, cb_ref, off, cnt, *, bm, bk, shift, dt):
-    """Densify one entry's occupancy mask ``A01 [bm, bk]`` from the
-    2-block coord window (identical window logic to
-    `pallas_edgestream._edge_stream_kernel`; pure 0/1 one-hots)."""
+def _build_a01(ca_ref, cb_ref, off, cnt, *, bm, bk, shift, dt,
+               transpose: bool = False):
+    """Densify one entry's occupancy mask ``A01 [bm, bk]`` (or its
+    ``[bk, bm]`` transpose) from the 2-block coord window (identical
+    window logic to `pallas_edgestream._edge_stream_kernel`; pure 0/1
+    one-hots — the transpose swaps the one-hot roles exactly like the
+    SpMM kernel's transpose direction)."""
     base_edge = (off // (BLK_ROWS * EC)) * (BLK_ROWS * EC)
     io_r = jax.lax.broadcasted_iota(jnp.int32, (bm, EC), 0)
     io_c = jax.lax.broadcasted_iota(jnp.int32, (bk, EC), 0)
@@ -82,15 +85,17 @@ def _build_a01(ca_ref, cb_ref, off, cnt, *, bm, bk, shift, dt):
         lc = jnp.where(valid, cw & ((1 << shift) - 1), bk)
         R = (io_r == lr).astype(dt)                      # [bm, EC]
         C = (io_c == lc).astype(dt)                      # [bk, EC]
+        a, b = (C, R) if transpose else (R, C)
         return acc + jax.lax.dot_general(
-            R, C, dimension_numbers=(((1,), (1,)), ((), ())),
+            a, b, dimension_numbers=(((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32)
 
     d0 = off - base_edge
     w_lo = d0 // EC
     w_hi = (d0 + cnt + EC - 1) // EC
+    shape = (bk, bm) if transpose else (bm, bk)
     return jax.lax.fori_loop(w_lo, jnp.where(cnt > 0, w_hi, w_lo),
-                             w_body, jnp.zeros((bm, bk), jnp.float32))
+                             w_body, jnp.zeros(shape, jnp.float32))
 
 
 def _esattn_kernel(ord_ref, rc_ref, offcnt_ref, ca_ref, cb_ref, *rest,
@@ -138,16 +143,62 @@ def _esattn_kernel(ord_ref, rc_ref, offcnt_ref, ca_ref, cb_ref, *rest,
     cnt = offcnt_ref[1, ent]
     dt = q_ref.dtype
     a01 = _build_a01(ca_ref, cb_ref, off, cnt, bm=bm, bk=bk,
-                     shift=shift, dt=dt)
+                     shift=shift, dt=dt, transpose=(mode == "bwd_kv"))
     mask = a01 > 0.0
 
     io_l = jax.lax.broadcasted_iota(jnp.int32, (bm, HP), 1)
+    # head-h column extraction from the [bm, HP] lane-layout arrays as a
+    # VALUE-level masked reduce (a width-1 ref slice at lane offset h is
+    # the kind of unaligned lane access Mosaic rejects)
+    def _col(ref, h):
+        a = ref[:]                                       # [bm, HP] f32
+        return jnp.sum(jnp.where(io_l == h, a, 0.0), axis=1,
+                       keepdims=True)                    # [bm, 1]
+
+    if mode == "bwd_kv":
+        # TRANSPOSED orientation throughout ([bk, bm] tiles, one-hot
+        # roles swapped — exactly the SpMM kernel's transpose recipe):
+        # every matmul then contracts dim 1, which is the only
+        # contraction the MXU path supports robustly, and the per-ROW
+        # softmax terms arrive PRE-TRANSPOSED ([HP, nrows] blocks) so
+        # head extraction is a sublane masked reduce.
+        io_s = jax.lax.broadcasted_iota(jnp.int32, (HP, bm), 0)
+
+        def _row(ref, h):                                # [1, bm] f32
+            a = ref[:]                                   # [HP, bm]
+            return jnp.sum(jnp.where(io_s == h, a, 0.0), axis=0,
+                           keepdims=True)
+
+        dk_parts, dv_parts = [], []
+        for h in range(H):
+            sl = slice(h * d, (h + 1) * d)
+            qh = q_ref[:, sl]                            # [bm, d]
+            kh = k_ref[:, sl]                            # [bk, d]
+            vh = v_ref[:, sl]                            # [bk, d]
+            gnh = gn_ref[:, sl]                          # [bm, d]
+            s_t = jax.lax.dot_general(
+                kh, qh, dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32)      # [bk, bm]
+            s_t = jnp.where(mask, s_t, NEG_SENTINEL)
+            e_t = jnp.exp(s_t - _row(rm_ref, h))         # [bk, bm]
+            t_t = _row(gd_ref, h) + jax.lax.dot_general(
+                vh, gnh, dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32)      # [bk, bm]
+            ds_t = jnp.where(e_t > 0.0, e_t * t_t, 0.0).astype(dt)
+            dk_parts.append(jnp.dot(
+                ds_t, qh, preferred_element_type=jnp.float32))
+            dv_parts.append(jnp.dot(
+                e_t.astype(dt), gnh,
+                preferred_element_type=jnp.float32))     # [bk, d]
+        dk_ref[:] += jnp.concatenate(dk_parts, axis=1)
+        dv_ref[:] += jnp.concatenate(dv_parts, axis=1)
+        return
+
     if mode == "max":
         m_new = jnp.full((bm, HP), NEG_SENTINEL, jnp.float32)
     elif mode == "terms":
         den_new = jnp.zeros((bm, HP), jnp.float32)
     parts = []
-    parts2 = []
     for h in range(H):
         sl = slice(h * d, (h + 1) * d)
         qh = q_ref[:, sl]                                # [bm, d]
@@ -160,7 +211,7 @@ def _esattn_kernel(ord_ref, rc_ref, offcnt_ref, ca_ref, cb_ref, *rest,
             mh = jnp.max(s, axis=1, keepdims=True)       # [bm, 1]
             m_new = jnp.where(io_l == h, mh, m_new)
             continue
-        rm_col = rm_ref[:, h:h + 1]                      # [bm, 1] f32
+        rm_col = _col(rm_ref, h)                         # [bm, 1] f32
         # NEG_SENTINEL - rm underflows to exactly 0 under exp; masked entries
         # never contribute (and never NaN — rm is finite by contract)
         e = jnp.exp(s - rm_col)                          # [bm, bk] f32
@@ -173,35 +224,23 @@ def _esattn_kernel(ord_ref, rc_ref, offcnt_ref, ca_ref, cb_ref, *rest,
             continue
         vh = v_ref[:, sl]
         gnh = gn_ref[:, sl]                              # [bm, d]
-        t = gd_ref[:, h:h + 1] + jax.lax.dot_general(
+        t = _col(gd_ref, h) + jax.lax.dot_general(
             gnh, vh, dimension_numbers=(((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32)          # [bm, bk]
         # select, not multiply: rows with no edges can carry NaN/inf
         # cotangents in t (upstream divisions), and e == 0 must DISCARD
         # them — matching the segment-sum backward's gather semantics
         ds = jnp.where(e > 0.0, e * t, 0.0).astype(dt)   # [bm, bk]
-        if mode == "bwd_q":
-            parts.append(jnp.dot(ds, kh,
-                                 preferred_element_type=jnp.float32))
-        else:
-            parts.append(jax.lax.dot_general(
-                ds, qh, dimension_numbers=(((0,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32))     # [bk, d]
-            parts2.append(jax.lax.dot_general(
-                e.astype(dt), gnh,
-                dimension_numbers=(((0,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32))     # [bk, d]
+        parts.append(jnp.dot(ds, kh,
+                             preferred_element_type=jnp.float32))
 
     if mode == "max":
         m_ref[:] = jnp.maximum(m_ref[:], m_new)
     elif mode == "terms":
         den_ref[:] += den_new
         num_ref[:] += jnp.concatenate(parts, axis=1)
-    elif mode == "bwd_q":
+    else:  # bwd_q
         dq_ref[:] += jnp.concatenate(parts, axis=1)
-    else:
-        dk_ref[:] += jnp.concatenate(parts, axis=1)
-        dv_ref[:] += jnp.concatenate(parts2, axis=1)
 
 
 def _common_specs(nb):
@@ -222,6 +261,12 @@ def _rt_spec(shape):
 def _ct_spec(shape):
     return pl.BlockSpec(shape,
                         lambda j, o, r, oc: (r[o[j]] & 0xFFFF, 0))
+
+
+def _rt_spec_t(shape):
+    """Row-tile-keyed block of a TRANSPOSED [HP, nrows] array."""
+    return pl.BlockSpec(shape,
+                        lambda j, o, r, oc: (0, r[o[j]] >> 16))
 
 
 def _cast_op(x, interpret):
@@ -353,11 +398,18 @@ def _terms_p_bwd(static, res, ct):
         _rt_spec((bm, n_out)), tail,
         bm=bm, bk=bk, H=H, d=d, interpret=interpret,
         flops_per_entry=2 * bm * bk * (2 * EC + 3 * n_out))
+    # bwd_kv runs in transposed tile orientation; the per-ROW softmax
+    # terms ship pre-transposed ([HP, nrows]) so the kernel reads them
+    # as (HP, bm) blocks keyed by the entry's row tile
+    ins_kv = [qc, kc, vc, rm_p.T, gd_p.T, gnc]
+    tail_kv = [_rt_spec((bm, n_out)), _ct_spec((bk, n_out)),
+               _ct_spec((bk, n_out)), _rt_spec_t((HP, bm)),
+               _rt_spec_t((HP, bm)), _rt_spec((bm, n_out))]
     dk, dv = _call(
-        "bwd_kv", coords, blk_rc, off, t_order, ins,
+        "bwd_kv", coords, blk_rc, off, t_order, ins_kv,
         (jax.ShapeDtypeStruct((ncols, n_out), jnp.float32),
          jax.ShapeDtypeStruct((ncols, n_out), jnp.float32)),
-        (_ct_spec((bk, n_out)), _ct_spec((bk, n_out))), tail,
+        (_ct_spec((bk, n_out)), _ct_spec((bk, n_out))), tail_kv,
         bm=bm, bk=bk, H=H, d=d, interpret=interpret,
         flops_per_entry=2 * bm * bk * (2 * EC + 4 * n_out))
 
