@@ -679,3 +679,54 @@ def test_sharded_trainer_hbm_divides_by_P(small_graph):
         # per-chip committed bytes divide by P (pad rows allow ~6%)
         assert nbytes <= rep_total / P_ * 1.06, (
             dev, nbytes, rep_total / P_)
+
+
+def test_sharded_gat_stream_trainer_matches_replicated(small_graph):
+    """GAT + SDDMM-direction edge-stream cold attention under
+    part-sharded resident state: the hot blocks shard by slot columns
+    (partial scores + pmax/psum softmax combine) while the stream-tile
+    cold attention runs replicated (lite mode) — one epoch + val must
+    match the replicated resident run (same seeds). This is the full
+    composition of gnn_tpu.ops.pallas_esattn with
+    gnn_tpu.parallel.shardedresident through the Trainer."""
+    if jax.device_count() < 8:
+        pytest.skip("needs 8 virtual devices")
+    import dataclasses
+
+    from gnn_tpu.models.gnn import build_model
+    from gnn_tpu.parallel.feature_cache import PartShardedFeatures
+    from gnn_tpu.parallel.mesh import make_mesh
+    from gnn_tpu.parallel.multihost import make_hybrid_mesh
+    from gnn_tpu.sampling.pipeline import BatchPipeline
+    from gnn_tpu.train.trainer import Trainer
+
+    lap, spec, cfg, g_rep, g_sh = _setup(small_graph)
+    cfg = dataclasses.replace(cfg, resident_stream_tiles=True)
+    from gnn_tpu.ops.residentgraph import build_resident_graph
+    dense, dense_t = build_hot_dense(lap, spec, np.float32)
+    host = build_resident_graph(lap, spec, dense, dense_t)
+
+    results = {}
+    for name, mesh, parts in [
+            ("rep", make_mesh(2), 0),
+            ("sharded", make_hybrid_mesh(dp=2, part=N_PARTS),
+             N_PARTS)]:
+        pipe = BatchPipeline(cfg, lap, small_graph.labels, world_size=2,
+                             pool_num=2)
+        net = build_model("gat", nhid=32, orders=cfg.orders,
+                          num_classes=small_graph.num_classes)
+        src = (PartShardedFeatures(small_graph.feats, parts)
+               if parts else None)
+        tr = Trainer(net, pipe, small_graph.feats, mesh=mesh, lr=0.05,
+                     sigmoid_loss=False, seed=3, resident_graph=host,
+                     resident_parts=parts, feature_source=src)
+        m = tr.train_epoch(small_graph.train_nodes, epoch=0)
+        f1, vloss = tr.evaluate(small_graph.valid_nodes, 128, "val")
+        results[name] = (m.train_loss, vloss, f1)
+
+    assert results["sharded"][0] == pytest.approx(results["rep"][0],
+                                                  abs=2e-4)
+    assert results["sharded"][1] == pytest.approx(results["rep"][1],
+                                                  abs=2e-3)
+    assert results["sharded"][2] == pytest.approx(results["rep"][2],
+                                                  abs=2e-2)
