@@ -200,6 +200,89 @@ def main():
         a_sb, a_cb = mat(rg, mb_sb), mat(rg, mb_cb)
         for li, (a_s, a_c) in enumerate(zip(a_sb, a_cb)):
             compare(f"stacked[b{b}] L{li}", a_s, a_c)
+    # ---- stage C: the kernels inside lax.scan over the stacked G=4
+    # leading axis (the e2e dispatch shape: shard_map(scan(step)));
+    # Mosaic under scan is the one context the smoke never ran ----
+    import jax.tree_util as jtu
+
+    def scan_agg(stacked_adjs, li):
+        a = stacked_adjs[li]
+        nrows, ncols = a.nrows, a.ncols
+        q = jnp.asarray(rng.randn(nrows, n_out).astype(np.float32))
+        k = jnp.asarray(rng.randn(ncols, n_out).astype(np.float32))
+        v = jnp.asarray(rng.randn(ncols, n_out).astype(np.float32))
+
+        arr = lambda x: isinstance(x, (np.ndarray, jnp.ndarray)) \
+            and getattr(x, "ndim", 0) > 0 and x.shape[0] == 4
+        leaves = {f.name: getattr(a, f.name)
+                  for f in dataclasses.fields(a)
+                  if arr(getattr(a, f.name))}
+        import dataclasses as dcm
+
+        def body(_, sl):
+            adj = dcm.replace(a, **sl)
+            adj = dcm.replace(
+                adj, n_valid_rows=adj.n_valid_rows.reshape(()),
+                n_valid_cols=adj.n_valid_cols.reshape(()))
+            return None, hot_attention_aggregate(adj, q, k, v, H)
+
+        _, outs = jax.jit(lambda lv: jax.lax.scan(body, None, lv))(
+            {k2: jnp.asarray(v2) for k2, v2 in leaves.items()})
+        return np.asarray(outs), (q, k, v)
+
+    # materialized stacked adjs with leading axis: materialize per-b
+    # then stack leaves (the real step materializes INSIDE the scan,
+    # but the kernel inputs are identical either way)
+    def stack_mat(st, mbs):
+        per_b = []
+        from types import SimpleNamespace
+        for b in range(4):
+            mbb = SimpleNamespace(
+                adjs=[slice_b(a, b) for a in st.adjs],
+                sampled_nodes=[s_[b] for s_ in st.sampled_nodes],
+                input_nodes=st.input_nodes[b])
+            per_b.append(mat(rg, mbb))
+        out = []
+        for li in range(len(per_b[0])):
+            a0 = per_b[0][li]
+            fields = {}
+            for f in dataclasses.fields(a0):
+                v0 = getattr(a0, f.name)
+                if isinstance(v0, jnp.ndarray):
+                    fields[f.name] = jnp.stack(
+                        [getattr(per_b[b][li], f.name)
+                         for b in range(4)])
+            out.append(dataclasses.replace(a0, **fields))
+        return out, per_b
+
+    st_mat_s, per_b_s = stack_mat(st_s, mbs_s)
+    st_mat_c, per_b_c = stack_mat(st_c, mbs_c)
+    for li in range(len(st_mat_s)):
+        outs_s, qkv = scan_agg(st_mat_s, li)
+        # per-edge route under the same scan, same q/k/v
+        a = st_mat_c[li]
+        q, k, v = qkv
+
+        def body_c(_, sl):
+            import dataclasses as dcm
+            adj = dcm.replace(a, **sl)
+            adj = dcm.replace(
+                adj, n_valid_rows=adj.n_valid_rows.reshape(()),
+                n_valid_cols=adj.n_valid_cols.reshape(()))
+            return None, hot_attention_aggregate(adj, q, k, v, H)
+
+        arr = lambda x: isinstance(x, jnp.ndarray) \
+            and getattr(x, "ndim", 0) > 0 and x.shape[0] == 4
+        leaves_c = {f.name: getattr(a, f.name)
+                    for f in dataclasses.fields(a)
+                    if arr(getattr(a, f.name))}
+        _, outs_c = jax.jit(lambda lv: jax.lax.scan(body_c, None, lv))(
+            leaves_c)
+        outs_c = np.asarray(outs_c)
+        d = float(np.max(np.abs(outs_s - outs_c)))
+        sc = float(np.max(np.abs(outs_c))) + 1e-9
+        print(f"scan L{li}: FWD max|d|={d:.3e} (rel {d/sc:.2e})",
+              flush=True)
     print("PROBE DONE", flush=True)
 
 
