@@ -77,12 +77,15 @@ def main():
     rng = np.random.RandomState(0)
     n_out, H = 512, 1
 
+    # rg passed as a jit ARGUMENT: closure capture embeds the 4.3 GB
+    # tables as program constants, which the remote-compile service
+    # rejects (HTTP 413)
+    mat_f = jax.jit(materialize_adjs)
+
     def mat(rg, mb):
-        f = jax.jit(lambda adjs, sn, inp: materialize_adjs(
-            rg, adjs, sn, inp))
-        return f(list(mb.adjs),
-                 [jnp.asarray(s) for s in mb.sampled_nodes],
-                 jnp.asarray(mb.input_nodes))
+        return mat_f(rg, list(mb.adjs),
+                     [jnp.asarray(s) for s in mb.sampled_nodes],
+                     jnp.asarray(mb.input_nodes))
 
     def drill(tag, a_s, a_c):
         """Pass-level kernel-vs-oracle on the materialized buffers."""
