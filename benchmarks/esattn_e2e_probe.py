@@ -141,12 +141,15 @@ def main():
             return jnp.sum(hot_attention_aggregate(adj, q_, k_, v_, H)
                            * w)
 
+        # adj must be a jit ARGUMENT — closure capture embeds the
+        # materialized block slices as per-program device constants
+        # (HBM exhaustion after a few layers)
+        f = jax.jit(lambda adj, q_, k_, v_:
+                    hot_attention_aggregate(adj, q_, k_, v_, H))
+        gf = jax.jit(jax.grad(loss, argnums=(1, 2, 3)))
         outs, grads = {}, {}
         for nm, adj in (("stream", a_s), ("peredge", a_c)):
-            f = jax.jit(lambda q_, k_, v_, adj=adj:
-                        hot_attention_aggregate(adj, q_, k_, v_, H))
-            outs[nm] = np.asarray(f(q, k, v))
-            gf = jax.jit(jax.grad(loss, argnums=(1, 2, 3)))
+            outs[nm] = np.asarray(f(adj, q, k, v))
             grads[nm] = [np.asarray(x) for x in gf(adj, q, k, v)]
         do = float(np.max(np.abs(outs["stream"] - outs["peredge"])))
         so = float(np.max(np.abs(outs["peredge"]))) + 1e-9
