@@ -51,6 +51,13 @@ def build_parser() -> argparse.ArgumentParser:
                    help="fraction of nodes buffered per device")
     p.add_argument("--scale_factor", type=float, default=1.0)
     p.add_argument("--lr", type=float, default=0.01)
+    p.add_argument("--lr_warmup", type=int, default=-1,
+                   help="linear lr warmup steps (lr/100 -> lr; "
+                        "schedule rides the Adam step count). -1 = "
+                        "auto: 300 for attention models (gat — flat "
+                        "lr at canonical scale can saturate the "
+                        "softmax into a uniform fixed point; measured "
+                        "round 5), 0 for everything else")
     p.add_argument("--test", action="store_true")
     p.add_argument("--alpha", type=float, default=0)
     p.add_argument("--sampler", type=str, default="ladies",
@@ -349,8 +356,12 @@ def main(argv=None) -> int:
         mesh = make_hybrid_mesh(dp=n_devices, part=args.resident_parts)
     else:
         mesh = make_mesh(n_devices)
+    lr_warmup = args.lr_warmup
+    if lr_warmup < 0:
+        lr_warmup = 300 if args.model == "gat" else 0
     trainer = Trainer(net, pipe, graph.feats, mesh=mesh,
                       lr=args.lr, sigmoid_loss=args.sigmoid_loss,
+                      lr_warmup=lr_warmup,
                       seed=args.seed, feature_source=source,
                       hot_dense=hot_dense,
                       resident_graph=resident_graph,

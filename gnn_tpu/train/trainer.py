@@ -70,14 +70,24 @@ class Trainer(DispatchMixin, OpTimingMixin, EvalMixin):
                  lr: float = 0.01, sigmoid_loss: bool = True,
                  seed: int = 0, feature_source=None, hot_dense=None,
                  steps_per_dispatch: int = 1, resident_graph=None,
-                 resident_parts: int = 0):
+                 resident_parts: int = 0, lr_warmup: int = 0):
         self.net = net
         self.pipeline = pipeline
         self.mesh = mesh if mesh is not None else make_mesh(
             pipeline.world_size)
         self.feature_source = (feature_source if feature_source is not None
                                else ReplicatedFeatures(feats))
-        self.optimizer = optax.adam(lr)
+        # optional linear lr warmup (``lr_warmup`` optimizer steps,
+        # lr/100 -> lr, constant after). Attention models at canonical
+        # scale sit near a stability edge at the reference's flat
+        # lr=0.01: the first large steps can saturate the softmax into
+        # a uniform-prediction fixed point (loss pinned at ln(C));
+        # measured on chip round 5 — GAT at flat 0.01 trains at chance,
+        # at 0.002 or with warmup it converges. The schedule rides the
+        # Adam step count, so multi-step scan dispatch sees it exactly.
+        self.optimizer = optax.adam(
+            optax.linear_schedule(lr / 100.0, lr, lr_warmup)
+            if lr_warmup > 0 else lr)
         # resident_parts > 1: shard the resident-graph state over the
         # mesh's 'part' axis (gnn_tpu.parallel.shardedresident) — for
         # graphs whose slot table / hot blocks exceed one chip's HBM.

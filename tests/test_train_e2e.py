@@ -126,3 +126,49 @@ def test_gcn_learns_on_homophilous_graph(homophilous_graph):
                         log=False)
     assert hist[-1].valid_f1 > hist_m[-1].valid_f1 + 0.05, (
         hist[-1].valid_f1, hist_m[-1].valid_f1)
+
+
+def test_lr_warmup_scales_first_steps(small_graph):
+    """``Trainer(lr_warmup=N)``: the first optimizer steps run at
+    ~lr/100 and the schedule reaches the full lr by step N (it rides
+    the Adam step count, so multi-step dispatch sees it exactly).
+    Measured rationale: canonical-scale GAT at the reference's flat
+    lr=0.01 saturates into a uniform-prediction fixed point (loss
+    pinned at ln(C)); with warmup (or lr 0.002) it converges — round-5
+    chip A/B in benchmarks/RESULTS.md."""
+    import copy
+
+    from gnn_tpu.models.gnn import build_model
+    from gnn_tpu.parallel.mesh import make_mesh
+    from gnn_tpu.sampling.ladies import SamplerConfig
+    from gnn_tpu.sampling.pipeline import BatchPipeline
+    from gnn_tpu.train.trainer import Trainer
+
+    lap = build_laplacian(small_graph.adj_full, "graphsage")
+    deltas = {}
+    for warmup in (0, 1000):
+        cfg = SamplerConfig(batch_size=64, samp_num=128, orders=(1, 1),
+                            num_nodes=small_graph.adj_full.shape[0],
+                            num_classes=small_graph.num_classes,
+                            adj_format="coo")
+        pipe = BatchPipeline(cfg, lap, small_graph.labels, world_size=1,
+                             pool_num=2)
+        net = build_model("graphsage", nhid=32, orders=(1, 1),
+                          num_classes=small_graph.num_classes)
+        tr = Trainer(net, pipe, small_graph.feats, mesh=make_mesh(1),
+                     lr=0.01, sigmoid_loss=False, seed=3,
+                     lr_warmup=warmup)
+        tr.train_epoch(small_graph.train_nodes[:64], epoch=0)
+        p0 = copy.deepcopy(jax.tree_util.tree_map(np.asarray,
+                                                  tr.params))
+        tr.train_epoch(small_graph.train_nodes[:64], epoch=1)
+        p1 = jax.tree_util.tree_map(np.asarray, tr.params)
+        leaves0 = jax.tree_util.tree_leaves(p0)
+        leaves1 = jax.tree_util.tree_leaves(p1)
+        deltas[warmup] = max(
+            float(np.max(np.abs(a - b)))
+            for a, b in zip(leaves0, leaves1))
+    # far from the 1000-step ramp's end, each Adam step is ~lr/100:
+    # the per-epoch parameter movement must be well under the
+    # no-warmup movement (Adam's unit-ish steps make this ~100x)
+    assert deltas[1000] < deltas[0] * 0.2, deltas
