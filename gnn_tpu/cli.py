@@ -50,7 +50,15 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--buffer_size", type=float, default=0.2,
                    help="fraction of nodes buffered per device")
     p.add_argument("--scale_factor", type=float, default=1.0)
-    p.add_argument("--lr", type=float, default=0.01)
+    p.add_argument("--lr", type=float, default=None,
+                   help="learning rate. Default 0.01 (the reference's, "
+                        "main.py:30) — except --model gat, which "
+                        "defaults to 0.002: flat 0.01 is UNSTABLE for "
+                        "canonical-scale dot-product graph attention "
+                        "(it saturates to a uniform-prediction fixed "
+                        "point; chip-measured round 5, "
+                        "benchmarks/RESULTS.md). An explicit --lr "
+                        "always wins")
     p.add_argument("--lr_warmup", type=int, default=-1,
                    help="linear lr warmup steps (lr/100 -> lr; "
                         "schedule rides the Adam step count). -1 = "
@@ -148,6 +156,26 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--no_op_timing", dest="op_timing",
                    action="store_false")
     return p
+
+
+def resolve_training_defaults(args, steps_per_epoch: int = 10**9) -> int:
+    """Resolve model-dependent lr / warmup defaults (mutates args.lr;
+    returns the warmup step count).
+
+    GAT defaults to lr 0.002 + warmup (min(300, one epoch) steps):
+    flat lr 0.01 is unstable for canonical-scale dot-product graph
+    attention — the first large Adam steps saturate the softmax into a
+    uniform-prediction fixed point, and a warmup ramp back to 0.01
+    re-collapses (both chip-measured, benchmarks/RESULTS.md round 5).
+    Reference models keep the reference's 0.01 (`main.py:30`); an
+    explicit --lr always wins."""
+    if args.lr is None:
+        args.lr = 0.002 if args.model == "gat" else 0.01
+    if args.lr_warmup >= 0:
+        return args.lr_warmup
+    if args.model != "gat":
+        return 0
+    return max(1, min(300, steps_per_epoch))
 
 
 def main(argv=None) -> int:
@@ -356,9 +384,9 @@ def main(argv=None) -> int:
         mesh = make_hybrid_mesh(dp=n_devices, part=args.resident_parts)
     else:
         mesh = make_mesh(n_devices)
-    lr_warmup = args.lr_warmup
-    if lr_warmup < 0:
-        lr_warmup = 300 if args.model == "gat" else 0
+    lr_warmup = resolve_training_defaults(
+        args, steps_per_epoch=max(
+            1, len(graph.train_nodes) // (args.batch_size * n_devices)))
     trainer = Trainer(net, pipe, graph.feats, mesh=mesh,
                       lr=args.lr, sigmoid_loss=args.sigmoid_loss,
                       lr_warmup=lr_warmup,
