@@ -373,6 +373,20 @@ class Trainer(DispatchMixin, OpTimingMixin, EvalMixin):
             if self.params is None:
                 self._init_params(self._peek_batch(train_nodes))
             start_epoch = self.restore(checkpoint_dir, name="latest")
+            # the best-so-far PARAMS must survive resume too: the final
+            # test sweep evaluates the best checkpoint (the reference's
+            # intended protocol, `main.py:218-235`), and without this a
+            # resumed run would silently sweep with the LATEST params
+            if os.path.exists(os.path.join(checkpoint_dir,
+                                           "best_model.msgpack")):
+                from gnn_tpu.train.checkpoint import load_checkpoint
+                host = jax.tree_util.tree_map(np.asarray, self.params)
+                host_opt = jax.tree_util.tree_map(np.asarray,
+                                                  self.opt_state)
+                bp, _, _, bv = load_checkpoint(checkpoint_dir, host,
+                                               host_opt, name="best")
+                self.best_params = bp
+                self.best_val = max(self.best_val, bv)
             print(f"resumed from {checkpoint_dir} at epoch "
                   f"{start_epoch} (best val F1 {self.best_val:.3f})",
                   flush=True)

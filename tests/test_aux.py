@@ -202,3 +202,38 @@ def test_kill_and_resume_reproduces_loss_curve(small_graph, tmp_path):
         np.testing.assert_allclose(m_resumed.train_loss,
                                    m_ref.train_loss, rtol=1e-5)
     assert tr_b.best_val >= 0  # watermark restored/updated
+
+
+def test_resume_restores_best_params_for_test_sweep(small_graph,
+                                                    tmp_path):
+    """A resumed run's final test sweep must evaluate the BEST
+    checkpoint, exactly like an uninterrupted run (`main.py:218-235`
+    protocol): fit + crash + fit(resume=True) at the SAME final epoch
+    (no further training) -> best_params is loaded from
+    best_model.msgpack, and test() equals the uninterrupted run's."""
+    from tests.test_train_e2e import _make_trainer
+
+    ck = str(tmp_path / "best_resume_ck")
+    tr_a = _make_trainer(small_graph, world_size=2)
+    tr_a.fit(small_graph.train_nodes, small_graph.valid_nodes, epochs=3,
+             log=False, checkpoint_dir=ck)
+    assert tr_a.best_params is not None
+    want_best = jax.tree_util.tree_map(np.asarray, tr_a.best_params)
+    want_val = tr_a.best_val
+    del tr_a
+
+    tr_b = _make_trainer(small_graph, world_size=2)
+    hist_b = tr_b.fit(small_graph.train_nodes, small_graph.valid_nodes,
+                      epochs=3, log=False, checkpoint_dir=ck,
+                      resume=True)
+    assert hist_b == []  # already at the final epoch: no training ran
+    assert tr_b.best_params is not None  # loaded from best_model
+    assert tr_b.best_val == pytest.approx(want_val)
+    for a, b in zip(jax.tree_util.tree_leaves(want_best),
+                    jax.tree_util.tree_leaves(tr_b.best_params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    # and the sweep actually runs on them (F1 finite; eval batches are
+    # themselves SAMPLED — reference sampler.py:194-210 — so the score
+    # is rng-state-dependent and not comparable across trainers)
+    got = tr_b.test(small_graph.test_nodes, batch_size=64)
+    assert 0.0 <= got <= 1.0
