@@ -76,6 +76,10 @@ def main():
 
     rng = np.random.RandomState(0)
     n_out, H = 512, 1
+    # canonical-run score magnitudes are |s| ~ 50-100 (the round-4 NaN
+    # fix proved f32-exp-range scores occur); GNN_PROBE_QSCALE scales
+    # q/k to probe magnitude-dependent divergence
+    qscale = float(os.environ.get("GNN_PROBE_QSCALE", "1"))
 
     # rg passed as a jit ARGUMENT: closure capture embeds the 4.3 GB
     # tables as program constants, which the remote-compile service
@@ -107,8 +111,10 @@ def main():
         """Pass-level kernel-vs-oracle on the materialized buffers."""
         nrows, ncols = a_s.nrows, a_s.ncols
         interp = jax.default_backend() != "tpu"
-        q = jnp.asarray(rng.randn(nrows, n_out).astype(np.float32))
-        k = jnp.asarray(rng.randn(ncols, n_out).astype(np.float32))
+        q = jnp.asarray(rng.randn(nrows, n_out).astype(np.float32)
+                        * qscale)
+        k = jnp.asarray(rng.randn(ncols, n_out).astype(np.float32)
+                        * qscale)
         v = jnp.asarray(rng.randn(ncols, n_out).astype(np.float32))
         er = a_c.rows.astype(jnp.int32)
         ec = a_c.cols.astype(jnp.int32)
@@ -148,8 +154,10 @@ def main():
 
     def compare(tag, a_s, a_c):
         nrows, ncols = a_s.nrows, a_s.ncols
-        q = jnp.asarray(rng.randn(nrows, n_out).astype(np.float32))
-        k = jnp.asarray(rng.randn(ncols, n_out).astype(np.float32))
+        q = jnp.asarray(rng.randn(nrows, n_out).astype(np.float32)
+                        * qscale)
+        k = jnp.asarray(rng.randn(ncols, n_out).astype(np.float32)
+                        * qscale)
         v = jnp.asarray(rng.randn(ncols, n_out).astype(np.float32))
         w = jnp.asarray(rng.randn(nrows, n_out).astype(np.float32))
 
@@ -283,8 +291,10 @@ def main():
     for li in range(len(st_mat_s)):
         a_s, a_c = st_mat_s[li], st_mat_c[li]
         nrows, ncols = a_s.nrows, a_s.ncols
-        q = jnp.asarray(rng.randn(nrows, n_out).astype(np.float32))
-        k = jnp.asarray(rng.randn(ncols, n_out).astype(np.float32))
+        q = jnp.asarray(rng.randn(nrows, n_out).astype(np.float32)
+                        * qscale)
+        k = jnp.asarray(rng.randn(ncols, n_out).astype(np.float32)
+                        * qscale)
         v = jnp.asarray(rng.randn(ncols, n_out).astype(np.float32))
         outs_s = scan_fwd(a_s, q, k, v)
         outs_c = scan_fwd(a_c, q, k, v)
